@@ -1,0 +1,310 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Four strategies, cheapest-first — the standard LLM-corpus dedup ladder:
+
+1. **Exact** — hash-groupBy on a content fingerprint. One shuffle on
+   the hash; at 100 TB this is the classic "dedup by md5" pass.
+2. **N-gram Jaccard** — exact set-similarity on 5-token shingles,
+   restricted to candidate pairs that share a *rare* shingle
+   (document frequency <= DF_MAX). The inverted-index self-join
+   replaces the O(n²) cross join: cost is Σ_shingle df², bounded by
+   the df cap. Fully SQL-expressible → oracle-checked.
+3. **MinHash + LSH** — signature banding for approximate Jaccard at
+   scale; candidates from band-bucket joins. Hash functions are
+   Spark-side (xxhash64), so this is checked rows-only + by a pytest
+   that validates banded candidates against exact Jaccard.
+4. **SimHash** — 64-bit locality-sensitive fingerprint; near-dup if
+   hamming distance <= k on any rotated block join.
+
+All operate on the driver's ``documents`` table (doc_id, text, ...).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stream_processing_test_spark.registry import register
+from stream_processing_test_spark.tables import load
+
+SHINGLE_N = 5
+DF_MAX = 50  # rare-shingle blocking cap (see module docstring)
+JACCARD_THRESHOLD = 0.8
+
+_EXACT_ORACLE = """
+SELECT md5(text) AS fingerprint,
+       CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_copies
+FROM documents
+GROUP BY md5(text)
+"""
+
+
+@register("dedup_exact", oracle=_EXACT_ORACLE, survey_ops="§7-dedup,A5,A8")
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group by content hash, keep the smallest doc_id.
+    Deterministic canonical-representative choice (min id) rather than
+    Spark's arbitrary-first. Single shuffle on the 128-bit fingerprint;
+    no skew (hashes are uniform)."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5("text").alias("fingerprint"))
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+def shingles(doc: DataFrame, text_col: str = "text", n: int = SHINGLE_N) -> DataFrame:
+    """(doc_id, shingle) — distinct n-token shingles per document.
+
+    Token split on single space (matches the oracle's string_split
+    exactly); shingle = n consecutive tokens joined by space. All
+    JVM-side array expressions — no Python in the loop.
+    """
+    w = F.split(F.col(text_col), " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(w) - (n - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(w, i + j) for j in range(n)]
+        ),
+    )
+    return (
+        doc.filter(F.size(w) >= n)
+        .select("doc_id", F.explode(grams).alias("shingle"))
+        .distinct()
+    )
+
+
+_NGRAM_ORACLE = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh0 AS (
+    SELECT doc_id,
+           unnest(list_transform(range(len(w) - {SHINGLE_N - 1}),
+                  i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] || ' ' || w[i+5])) AS shingle
+    FROM toks WHERE len(w) >= {SHINGLE_N}
+),
+sh AS (SELECT DISTINCT doc_id, shingle FROM sh0),
+rare_shingles AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= {DF_MAX}),
+rare AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare_shingles USING (shingle)),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM rare GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS isect
+    FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+)
+SELECT CAST(doc_a AS BIGINT) AS doc_a,
+       CAST(doc_b AS BIGINT) AS doc_b,
+       ROUND(CAST(isect AS DOUBLE) / (sa.sz + sb.sz - isect), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON inter.doc_a = sa.doc_id
+JOIN sizes sb ON inter.doc_b = sb.doc_id
+WHERE CAST(isect AS DOUBLE) / (sa.sz + sb.sz - isect) >= {JACCARD_THRESHOLD}
+"""
+
+
+@register("dedup_ngram_jaccard", oracle=_NGRAM_ORACLE, survey_ops="§7-dedup,J1,A1")
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by exact Jaccard over rare 5-gram shingles.
+
+    Scale design: the naive form is a cross join (n² pairs). Instead we
+    build an inverted index (shingle → docs), drop shingles with
+    document frequency > DF_MAX (a hot-key guard: a shingle appearing
+    in k docs contributes k² join rows — the df cap bounds the whole
+    join by |shingles| * DF_MAX²), and count shared shingles per
+    candidate pair. Sizes and intersections both use the df-filtered
+    shingle set, so the measure is well-defined and matches the oracle
+    bit-for-bit. At 100 TB this is the standard suffix-array-free
+    near-dup join; DF_MAX trades recall on boilerplate-heavy pairs for
+    a hard cost bound (boilerplate-only similarity is exactly what
+    corpus dedup wants to ignore).
+    """
+    docs = load(spark, sf_dir, "documents")
+    sh = shingles(docs)
+
+    rare_shingles = (
+        sh.groupBy("shingle").agg(F.count("*").alias("df")).filter(
+            F.col("df") <= DF_MAX
+        ).select("shingle")
+    )
+    rare = sh.join(rare_shingles, "shingle")
+    sizes = rare.groupBy("doc_id").agg(F.count("*").alias("sz"))
+
+    a = rare.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = rare.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("isect"))
+    )
+    jaccard = F.col("isect").cast("double") / (
+        F.col("sa") + F.col("sb") - F.col("isect")
+    )
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sa")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sb")), "doc_b")
+        .filter(jaccard >= JACCARD_THRESHOLD)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(jaccard, 4).alias("jaccard"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH (approximate, scale path) — Spark-side hashes, rows-only check
+# ---------------------------------------------------------------------------
+
+NUM_HASHES = 32
+NUM_BANDS = 8  # 8 bands × 4 rows ≈ s-curve threshold ~0.72
+
+
+@register("dedup_minhash_lsh", oracle=None, survey_ops="§7-dedup,LSH")
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures + banded LSH candidate pairs.
+
+    minhash_j(doc) = min over shingles of xxhash64(shingle, seed=j).
+    Banding: signature split into NUM_BANDS bands of 4; docs sharing
+    any band bucket become a candidate pair, with estimated Jaccard =
+    fraction of agreeing signature positions. No pairwise work outside
+    bucket groups — this is the 100 TB-scale near-dup path (the exact
+    `dedup_ngram_jaccard` join verifies its quality in tests).
+
+    Not SQL-oracle-checkable (xxhash64 is Spark-specific); the driver
+    records a rows-only check and pytest validates candidates against
+    exact Jaccard.
+    """
+    docs = load(spark, sf_dir, "documents")
+    sh = shingles(docs)
+
+    sig = sh.groupBy("doc_id").agg(
+        F.array(
+            *[F.min(F.xxhash64("shingle", F.lit(j))) for j in range(NUM_HASHES)]
+        ).alias("sig")
+    )
+
+    rows_per_band = NUM_HASHES // NUM_BANDS
+    bands = sig.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.element_at("sig", b * rows_per_band + r + 1)
+                                for r in range(rows_per_band)
+                            ]
+                        ).alias("bucket"),
+                    )
+                    for b in range(NUM_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"), "band", "bucket"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"), "band", "bucket"
+    )
+    pairs = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v
+        )
+    )
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        F.round(agree / F.lit(NUM_HASHES), 4).alias("est_jaccard"),
+    ).filter(F.col("est_jaccard") >= 0.5)
+
+
+@register("dedup_simhash", oracle=None, survey_ops="§7-dedup,SimHash")
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash near-dup pairs (hamming distance <= 3).
+
+    simhash = sign-aggregated bit vector of token hashes: bit k is 1
+    iff Σ_tokens (bit k of xxhash64(token) ? +1 : -1) > 0. Candidate
+    generation: split the 64-bit fingerprint into 4 16-bit blocks —
+    by pigeonhole, any pair at distance <= 3 agrees on >= 1 block —
+    join per block, then verify exact hamming distance. This is the
+    classic Manku et al. (WWW'07) sharding, a bounded equi-join
+    instead of an all-pairs scan.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    h = F.xxhash64("tok")
+
+    def bit_mask(k: int) -> int:
+        # bit 63 must be expressed as the signed two's-complement value
+        # (Java longs have no unsigned literal for 1 << 63)
+        return (1 << k) if k < 63 else -(1 << 63)
+
+    # per (doc, bit): sum of +1/-1 votes, then pack bits driver-free
+    votes = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(h.bitwiseAND(F.lit(bit_mask(k))) != 0, 1).otherwise(-1)
+            ).alias(f"b{k}")
+            for k in range(64)
+        ]
+    )
+    simhash = votes.select(
+        "doc_id",
+        sum(
+            [
+                F.when(F.col(f"b{k}") > 0, F.lit(bit_mask(k))).otherwise(F.lit(0))
+                for k in range(64)
+            ],
+            F.lit(0),
+        ).cast("long").alias("simhash"),
+    )
+
+    blocks = simhash.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("block_id"),
+                        F.shiftrightunsigned("simhash", 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("block"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "simhash", "bb.block_id", "bb.block")
+
+    a = blocks.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("h_a"), "block_id", "block"
+    )
+    b = blocks.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("h_b"), "block_id", "block"
+    )
+    hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return (
+        a.join(b, ["block_id", "block"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= 3)
+    )

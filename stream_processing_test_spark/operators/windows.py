@@ -1,0 +1,98 @@
+"""Window functions: report pagination (W1+W2) and the top-k-per-group
+shape the reference lacks (§2.5 ⊘).
+
+The reference sorts its rollup by ``target_matching_id`` — a *string*
+column, so "10" < "9" lexicographically (W1, StreamTest.cpp:940-944) —
+then chunks rows into fixed-size report batches (30/30/2, W2,
+StreamTest.cpp:516-518, 1239-1243, 572-574) for paced webhook posts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from stream_processing_test_spark.registry import register
+from stream_processing_test_spark.tables import load
+
+REPORT_BATCH_SIZE = 30
+
+_BATCHES_ORACLE = f"""
+WITH rollup_rows AS (
+    SELECT CAST(user_id AS VARCHAR) AS source_id,
+           CAST(COUNT(*) AS BIGINT) AS n_detection,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
+    FROM events GROUP BY user_id
+), numbered AS (
+    SELECT *, ROW_NUMBER() OVER (ORDER BY source_id) AS rn
+    FROM rollup_rows
+)
+SELECT source_id, n_detection, n_error,
+       CAST(rn AS BIGINT) AS rn,
+       CAST(floor((rn - 1) / {REPORT_BATCH_SIZE}) AS BIGINT) AS batch_id
+FROM numbered
+"""
+
+
+@register("report_batches", oracle=_BATCHES_ORACLE, survey_ops="W1,W2,S10,F5")
+def report_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Report pagination (W1+W2): rollup → lexicographic sort on the
+    string-typed source id (reference parity: ids sort as strings) →
+    row_number → fixed-size batch ids.
+
+    Scale note: a global ROW_NUMBER needs a total order — Spark plans
+    an exchange to a single partition for the window. That is correct
+    for *report* output (the reference pages at most thousands of rows
+    into 30-row webhook posts); it is never used in the data plane.
+    For large sorted outputs use repartitionByRange + per-partition
+    numbering instead (see sinks.reports)."""
+    ev = load(spark, sf_dir, "events")
+    rollup = ev.groupBy(F.col("user_id").cast("string").alias("source_id")).agg(
+        F.count("*").alias("n_detection"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias("n_error"),
+    )
+    w = Window.orderBy("source_id")
+    return (
+        rollup.withColumn("rn", F.row_number().over(w).cast("long"))
+        .withColumn(
+            "batch_id", F.floor((F.col("rn") - 1) / REPORT_BATCH_SIZE).cast("long")
+        )
+    )
+
+
+_TOPK_ORACLE = """
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(event_id AS BIGINT) AS event_id,
+       event_type,
+       ROUND(value, 6) AS value,
+       CAST(rk AS BIGINT) AS rk
+FROM (
+    SELECT user_id, event_id, event_type, value,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS rk
+    FROM events
+) t
+WHERE rk <= 3
+"""
+
+
+@register("top_events_per_user", oracle=_TOPK_ORACLE, survey_ops="⊘rank(§2.5),W2")
+def top_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group (absent in the reference, §2.5 ⊘): partitioned
+    window + row_number <= k. Deterministic tie-break on event_id.
+    Scales linearly: the window partitions by user_id so the sort is
+    per-group within hash partitions — no global ordering."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("value").desc(), F.col("event_id").asc()
+    )
+    return (
+        ev.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.round("value", 6).alias("value"),
+            "rk",
+        )
+    )

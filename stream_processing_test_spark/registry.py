@@ -1,0 +1,68 @@
+"""Query registry: the bridge between operator modules and the driver
+contract (``__spark_entry__.py``).
+
+Every implemented operator registers a named query — a pure
+``(spark, sf_dir) -> DataFrame`` callable — and, when the semantics are
+ANSI-SQL-expressible, a DuckDB oracle SQL string computing the same
+result over the same parquet tables. The driver compares the two
+(row count + schema + order-insensitive value hash), so:
+
+- every computed column is aliased identically in both;
+- float aggregates are rounded to a fixed precision in both;
+- timestamps crossing the boundary are formatted as strings in both
+  (parquet ns-timestamps read differently in Spark vs DuckDB).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    fn: QueryFn
+    oracle: str | None  # DuckDB SQL, or None for non-SQL-expressible ops
+    survey_ops: str  # SURVEY.md §2 operator ids this query exercises
+
+
+_REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None = None, survey_ops: str = ""):
+    """Decorator: register ``fn`` as a named query with optional oracle."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in _REGISTRY:
+            raise ValueError(f"duplicate query name {name!r}")
+        _REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle, survey_ops=survey_ops)
+        return fn
+
+    return deco
+
+
+def all_queries() -> dict[str, QuerySpec]:
+    """Import every operator module (triggering registration) and return
+    the full registry."""
+    # Imports are deferred so `import stream_processing_test_spark` stays
+    # cheap and circular imports are impossible.
+    from stream_processing_test_spark.operators import (  # noqa: F401
+        programs,
+        relational,
+        rollup,
+        vendor,
+        windows,
+    )
+    from stream_processing_test_spark.llm import (  # noqa: F401
+        dedup,
+        multimodal,
+        similarity,
+        text,
+    )
+
+    return dict(_REGISTRY)

@@ -1,0 +1,203 @@
+"""Edge-case unit tests for reference-parity semantics (SURVEY.md §5.3)
+on tiny in-memory reference-domain fixtures — the cases a bulk oracle
+comparison may not hit.
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import pandas as pd
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F
+
+from stream_processing_test_spark.functions.scalars import (
+    blank_to_null,
+    classify_resolution,
+    parse_bitrate_kbps,
+    truncate_message,
+)
+from stream_processing_test_spark.schemas import (
+    RESOLUTION_CUSTOM,
+    RESOLUTION_FHD_THRESHOLD,
+    RESOLUTION_MAP,
+    RESOLUTION_UNKNOWN,
+)
+
+
+def _df(spark, rows, schema):
+    return spark.createDataFrame(pd.DataFrame(rows), schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# F7 — resolution classification (getResolutionType, StreamTest.h:181-194)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "raw,expected",
+    [
+        ("", RESOLUTION_UNKNOWN),
+        ("0x0", RESOLUTION_UNKNOWN),
+        ("1920x1080", 17),
+        ("1280x720", 15),
+        ("3840x2160", 21),
+        ("1111x999", RESOLUTION_CUSTOM),  # non-standard -> CUSTOM
+        ("15360x8640", 26),
+    ],
+)
+def test_classify_resolution(spark, raw, expected):
+    df = _df(spark, {"r": [raw]}, "r STRING")
+    out = df.select(classify_resolution(F.col("r")).alias("t")).head()
+    assert out["t"] == expected
+
+
+def test_fhd_threshold_matches_reference_enum(spark):
+    # ordinal >= 17 iff the resolution is 1080p or better
+    # (StreamTest.cpp:1001-1002)
+    assert RESOLUTION_MAP["1920x1080"] == RESOLUTION_FHD_THRESHOLD
+    assert RESOLUTION_MAP["1366x768"] < RESOLUTION_FHD_THRESHOLD
+    assert RESOLUTION_MAP["2048x1080"] > RESOLUTION_FHD_THRESHOLD
+
+
+# ---------------------------------------------------------------------------
+# §1.3 — empty-string / NULL sentinel round-trip
+# ---------------------------------------------------------------------------
+
+
+def test_blank_to_null_roundtrip(spark):
+    df = _df(spark, {"s": ["", "x", None]}, "s STRING")
+    out = df.select(blank_to_null(F.col("s")).alias("n")).collect()
+    assert [r["n"] for r in out] == [None, "x", None]
+
+
+# ---------------------------------------------------------------------------
+# String-typed numerics — bitrate "1234 kb/s" (StreamTest.cpp:1465-1473)
+# ---------------------------------------------------------------------------
+
+
+def test_parse_bitrate(spark):
+    df = _df(
+        spark, {"b": ["1234 kb/s", "N/A", "", "900kb/s", "12 kb/s extra"]}, "b STRING"
+    )
+    out = [r["k"] for r in df.select(parse_bitrate_kbps(F.col("b")).alias("k")).collect()]
+    assert out == [1234, None, None, 900, None]
+
+
+# ---------------------------------------------------------------------------
+# F11 — webhook 18 000-char truncation (HttpServer.cpp:126-129)
+# ---------------------------------------------------------------------------
+
+
+def test_truncate_message(spark):
+    long = "a" * 18001
+    short = "b" * 18000
+    df = _df(spark, {"m": [long, short]}, "m STRING")
+    out = [r["t"] for r in df.select(truncate_message(F.col("m")).alias("t")).collect()]
+    assert len(out[0]) == 17901 and out[0].endswith("…")
+    assert out[1] == short  # exactly at the limit -> untouched
+
+
+# ---------------------------------------------------------------------------
+# A6 — score formula edges (StreamTest.cpp:985-996)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "detections,errors,expected",
+    [(10, 0, 100), (10, 10, 0), (3, 1, 66), (0, 0, 0), (7, 2, 71)],
+)
+def test_score_formula(spark, detections, errors, expected):
+    df = _df(spark, {"d": [detections], "e": [errors]}, "d INT, e INT")
+    score = (
+        F.when(
+            F.col("d") > 0,
+            F.greatest(
+                F.floor((F.col("d") - F.col("e")).cast("double") / F.col("d") * 100),
+                F.lit(0),
+            ),
+        )
+        .otherwise(0)
+        .cast("int")
+    )
+    assert df.select(score.alias("s")).head()["s"] == expected
+
+
+# ---------------------------------------------------------------------------
+# P7/A1 — bucket edges exactly at 60 / 80 / 100, and >100 in no bucket
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "score,bucket",
+    [
+        (59, "lt60"),
+        (60, "b60_80"),
+        (80, "b60_80"),
+        (81, "b80_100"),
+        (100, "b80_100"),
+        (101, None),  # counts in total, no bucket (StreamTest.cpp:441-464)
+        (110, None),
+    ],
+)
+def test_bucket_edges(spark, score, bucket):
+    df = _df(spark, {"s": [score]}, "s INT")
+    out = df.select(
+        F.when(F.col("s") < 60, "lt60")
+        .when(F.col("s").between(60, 80), "b60_80")
+        .when((F.col("s") > 80) & (F.col("s") <= 100), "b80_100")
+        .alias("b")
+    ).head()
+    assert out["b"] == bucket
+
+
+# ---------------------------------------------------------------------------
+# A4 — first-non-empty with "0x0"-replacement rule (StreamTest.cpp:847-910)
+# ---------------------------------------------------------------------------
+
+
+def test_first_non_empty_resolution_replacement(spark):
+    # source 1: first observation "0x0", later a real resolution — the
+    # real one must win; source 2: only "0x0" — stays "0x0";
+    # source 3: empty then value.
+    rows = pd.DataFrame(
+        {
+            "url_id": ["1", "1", "2", "3", "3"],
+            "event_id": [1, 2, 3, 4, 5],
+            "video_resolution": ["0x0", "1920x1080", "0x0", "", "640x480"],
+        }
+    )
+    df = spark.createDataFrame(rows, "url_id STRING, event_id LONG, video_resolution STRING")
+    out = (
+        df.groupBy("url_id")
+        .agg(
+            F.coalesce(
+                F.expr(
+                    "min_by(video_resolution, event_id) "
+                    "FILTER (WHERE video_resolution NOT IN ('', '0x0'))"
+                ),
+                F.expr(
+                    "min_by(video_resolution, event_id) "
+                    "FILTER (WHERE video_resolution <> '')"
+                ),
+            ).alias("res")
+        )
+        .collect()
+    )
+    got = {r["url_id"]: r["res"] for r in out}
+    assert got == {"1": "1920x1080", "2": "0x0", "3": "640x480"}
+
+
+# ---------------------------------------------------------------------------
+# W1 — lexicographic id sort parity ("10" < "9")
+# ---------------------------------------------------------------------------
+
+
+def test_string_id_sort(spark):
+    df = _df(spark, {"id": ["9", "10", "100", "2"]}, "id STRING")
+    out = [r["id"] for r in df.orderBy("id").collect()]
+    assert out == ["10", "100", "2", "9"]
