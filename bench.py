@@ -53,6 +53,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = specs[name].fn
+        spark.catalog.clearCache()  # each query pays for (only) its own caches
         t0 = time.time()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)

@@ -149,11 +149,13 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         return pd.Series(list(buckets))
 
     bucketed = emb.withColumn("buckets", buckets_of("v"))
+    # persisted: the query side and the corpus side of the bucket join
+    # both consume this — without it the pandas_udf hashing runs twice.
     tables = bucketed.select(
         "vec_id",
         "v",
         F.posexplode("buckets").alias("table_id", "bucket"),
-    )
+    ).persist()
     q = tables.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),

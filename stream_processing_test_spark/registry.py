@@ -64,5 +64,6 @@ def all_queries() -> dict[str, QuerySpec]:
         similarity,
         text,
     )
+    from stream_processing_test_spark.streaming import pipeline  # noqa: F401
 
     return dict(_REGISTRY)

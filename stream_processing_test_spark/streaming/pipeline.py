@@ -1,0 +1,212 @@
+"""Structured Streaming layer — the reference's probe/report loops
+(EP1/EP2, SURVEY.md §2.8 T1-T8) as a streaming DAG.
+
+Reference behavior → streaming mapping:
+- T1 micro-batch ingestion (25 probes / 10 s round, StreamTest.cpp:
+  827-828, 1083-1176) → file/Kafka source micro-batches; tests use
+  ``maxFilesPerTrigger`` for deterministic batch boundaries.
+- T2 tumbling daily window (UTC-day scan bounds, StreamTest.cpp:
+  837-839) → ``F.window(ts, "1 day")`` + watermark.
+- T3 periodic full recompute every 120 min (StreamTest.cpp:832,
+  1049-1052) → ``outputMode("complete")``/``update`` on the windowed
+  aggregation — Spark incrementalizes what the reference recomputes.
+- T4 keyed rollup state (std::map rebuilt per cycle, :840-937) →
+  the same ``groupBy(window, key)`` aggregation state, managed by the
+  engine with checkpointing instead of rebuilt by hand.
+- T5 watermark: the reference stamps events server-side so late data
+  cannot exist (:296); we default to a 0-second watermark and make it
+  configurable for sources with real event-time lag.
+- T8 idempotent day-end write-back (:982-1029) → ``foreachBatch`` +
+  keyed upsert (sinks.upsert).
+
+The streaming aggregation is definitionally the SAME query as the
+batch ``daily_scores`` (operators/rollup.py) — stream/batch parity is
+asserted in tests and by the driver oracle, because Structured
+Streaming treats a stream as an incrementally-executed batch query.
+
+Scale: state is keyed by (window, source) — bounded by active sources
+× retained windows; the watermark lets Spark drop closed-window state.
+A 100 TB/day deployment shards this state across executors by the
+group key hash exactly like the batch shuffle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from stream_processing_test_spark.registry import register
+
+# Schema of the driver's events table with ``ts`` as raw nanos (the
+# parquet files carry TIMESTAMP(NANOS), which the vectorized reader
+# only accepts as long via spark.sql.legacy.parquet.nanosAsLong).
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("ts", T.LongType(), True),  # nanos since epoch
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+
+def events_stream(
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """T1: file-source event stream with the events schema.
+
+    ``path`` may be a single parquet file or a directory accumulating
+    event files (the production shape: the probe connector appends
+    one file per micro-batch). Spark's file stream source requires a
+    directory; a bare file is wrapped via a symlink in a temp dir."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if os.path.isfile(path):
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="events_stream_")
+        os.symlink(os.path.abspath(path), os.path.join(d, os.path.basename(path)))
+        path = d
+    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA).format("parquet")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.load(path)
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def daily_rollup(events: DataFrame, watermark: str = "0 seconds") -> DataFrame:
+    """T2+T3+T4: watermarked 1-day tumbling window rollup per source —
+    the streaming twin of ``operators.rollup.daily_scores``."""
+    errors = F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+    detections = F.count("*")
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 day").alias("win"), "user_id")
+        .agg(
+            detections.alias("n_detection"),
+            errors.alias("n_error"),
+            F.greatest(
+                F.floor((detections - errors).cast("double") / detections * 100),
+                F.lit(0),
+            )
+            .cast("int")
+            .alias("flow_score"),
+        )
+        .select(
+            "user_id",
+            F.date_format(F.col("win.start"), "yyyy-MM-dd").alias("day"),
+            "n_detection",
+            "n_error",
+            "flow_score",
+        )
+    )
+
+
+def run_to_memory(
+    result: DataFrame, name: str, output_mode: str = "complete"
+) -> DataFrame:
+    """Execute a streaming aggregation over all currently-available
+    input (Trigger.AvailableNow) into a memory sink; return the final
+    table as a batch DataFrame. Complete mode = the reference's T3
+    full-recompute semantics, emitted incrementally by Spark."""
+    q = (
+        result.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return result.sparkSession.table(name)
+
+
+# The streaming rollup is oracle-checked with the SAME SQL as the batch
+# daily_scores — stream/batch parity is the correctness claim (T2/T3).
+_STREAM_SCORES_ORACLE = """
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       CAST(COUNT(*) AS BIGINT) AS n_detection,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+       CAST(GREATEST(floor(CAST(COUNT(*) - SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS DOUBLE)
+                           / COUNT(*) * 100), 0) AS INT) AS flow_score
+FROM events
+GROUP BY user_id, date_trunc('day', ts)
+"""
+
+
+@register(
+    "streaming_daily_scores",
+    oracle=_STREAM_SCORES_ORACLE,
+    survey_ops="T1,T2,T3,T4,T5,A6",
+)
+def streaming_daily_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming daily availability scores: the events parquet replayed
+    through a file-source stream, windowed-aggregated, and proven equal
+    to the batch query by the shared DuckDB oracle."""
+    ev = events_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    name = f"stream_scores_{abs(hash(sf_dir)) % 10_000}"
+    return run_to_memory(daily_rollup(ev), name)
+
+
+def finalize_to_dimension(
+    spark: SparkSession,
+    events_path: str,
+    dim_path: str,
+    checkpoint_dir: str,
+    watermark: str = "0 seconds",
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """T8: end-to-end day-close pipeline — stream events, window-score
+    per source, upsert scores into the source dimension parquet via
+    foreachBatch (the reference's once-daily WriteSqlDbData loop,
+    StreamTest.cpp:982-1029).
+
+    Update output mode: each micro-batch emits only changed
+    (window, source) rows — possibly SEVERAL windows per source — so
+    the batch is first reduced to the newest day per source
+    (``max_by`` on day; the upsert key is the source id and must be
+    unique per batch). Re-emission of the same rows is idempotent;
+    checkpointing makes restarts exactly-once."""
+    from stream_processing_test_spark.sinks.upsert import upsert_parquet
+
+    ev = events_stream(spark, events_path, max_files_per_trigger)
+    scores = daily_rollup(ev, watermark).select(
+        F.col("user_id").cast("long").alias("id"),
+        "day",
+        "flow_score",
+        "n_detection",
+        "n_error",
+    )
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        latest = (
+            batch_df.groupBy("id")
+            .agg(
+                F.max_by(
+                    F.struct("day", "flow_score", "n_detection", "n_error"), "day"
+                ).alias("s")
+            )
+            .select("id", "s.*")
+        )
+        upsert_parquet(
+            batch_df.sparkSession,
+            latest,
+            dim_path,
+            "id",
+            always_set=("flow_score", "day"),
+        )
+
+    q = (
+        scores.writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(apply)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

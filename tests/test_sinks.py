@@ -1,0 +1,131 @@
+"""Sink tests: markdown/batching/truncation (S9/S10/F11), CSV (S7),
+keyed upsert merge semantics (S6)."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import pandas as pd
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F
+
+from stream_processing_test_spark.sinks.reports import (
+    RecordingSink,
+    rows_to_markdown,
+    send_report_batches,
+    truncate_message,
+    write_csv,
+)
+from stream_processing_test_spark.sinks.upsert import merge_upsert, upsert_parquet
+
+
+def test_markdown_table():
+    md = rows_to_markdown(["a", "b"], [(1, "x"), (2, None)])
+    lines = md.split("\n")
+    assert lines[0] == "| a | b |"
+    assert lines[1] == "| --- | --- |"
+    assert lines[2] == "| 1 | x |"
+    assert lines[3] == "| 2 |  |"  # None renders empty (MySQL-'' parity)
+
+
+def test_truncation_cap():
+    # 18 000-char cap: first 17 900 + suffix (HttpServer.cpp:126-129)
+    assert truncate_message("a" * 18_000) == "a" * 18_000
+    out = truncate_message("a" * 18_001)
+    assert len(out) == 17_901 and out.endswith("…")
+
+
+def test_report_batches_sizes_and_header_repetition(spark):
+    df = spark.range(65).select(
+        F.col("id").cast("string").alias("source_id"), (F.col("id") * 2).alias("v")
+    )
+    sink = RecordingSink()
+    n = send_report_batches(df, sink, batch_size=30)
+    # 65 rows -> 30 + 30 + 5 (reference batches of 30, StreamTest.cpp:516-518)
+    assert n == 3 and len(sink.messages) == 3
+    for msg in sink.messages:
+        assert msg.startswith("| source_id | v |")  # header repeated per batch
+    assert len(sink.messages[0].split("\n")) == 2 + 30
+    assert len(sink.messages[2].split("\n")) == 2 + 5
+
+
+def test_write_csv_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame(
+        pd.DataFrame({"id": [1, 2], "name": ["a", "b"]}), "id LONG, name STRING"
+    )
+    out = str(tmp_path / "report_csv")
+    write_csv(df, out)
+    back = spark.read.option("header", True).csv(out)
+    assert back.count() == 2
+    assert back.columns == ["id", "name"]
+
+
+# ---------------------------------------------------------------------------
+# S6 — upsert merge semantics (WriteSqlDbData, StreamTest.cpp:134-204)
+# ---------------------------------------------------------------------------
+
+
+def _dim(spark):
+    return spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "id": [1, 2, 3],
+                "url": ["u1", "u2", "u3"],
+                "video_format": ["h264", "hevc", None],
+                "flow_score": [50, 60, 70],
+            }
+        ),
+        "id LONG, url STRING, video_format STRING, flow_score INT",
+    )
+
+
+def test_merge_skip_empty_and_always_set(spark):
+    dim = _dim(spark)
+    updates = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "id": [1, 3],
+                "video_format": ["av1", None],  # None -> keep old (skip-empty)
+                "flow_score": [95, None],  # always_set -> overwrite even w/ NULL
+            }
+        ),
+        "id LONG, video_format STRING, flow_score INT",
+    )
+    out = merge_upsert(dim, updates, "id", always_set=("flow_score",))
+    got = {r["id"]: r for r in out.collect()}
+    assert got[1]["video_format"] == "av1" and got[1]["flow_score"] == 95
+    assert got[2]["video_format"] == "hevc" and got[2]["flow_score"] == 60  # untouched
+    # skip-empty keeps NULL-on-NULL; always_set writes the NULL through
+    assert got[3]["video_format"] is None and got[3]["flow_score"] is None
+    # url never in updates -> passes through everywhere
+    assert [got[i]["url"] for i in (1, 2, 3)] == ["u1", "u2", "u3"]
+
+
+def test_merge_appends_unknown_keys(spark):
+    dim = _dim(spark)
+    updates = spark.createDataFrame(
+        pd.DataFrame({"id": [9], "video_format": ["vp9"], "flow_score": [88]}),
+        "id LONG, video_format STRING, flow_score INT",
+    )
+    out = merge_upsert(dim, updates, "id")
+    got = {r["id"]: r for r in out.collect()}
+    assert set(got) == {1, 2, 3, 9}
+    assert got[9]["video_format"] == "vp9" and got[9]["url"] is None
+
+
+def test_upsert_parquet_idempotent(spark, tmp_path):
+    path = str(tmp_path / "dim")
+    _dim(spark).write.parquet(path)
+    updates = spark.createDataFrame(
+        pd.DataFrame({"id": [2], "flow_score": [99]}), "id LONG, flow_score INT"
+    )
+    upsert_parquet(spark, updates, path, "id", always_set=("flow_score",))
+    first = sorted(map(tuple, spark.read.parquet(path).collect()))
+    upsert_parquet(spark, updates, path, "id", always_set=("flow_score",))
+    second = sorted(map(tuple, spark.read.parquet(path).collect()))
+    assert first == second  # T8: day-end finalization is idempotent
+    got = {r["id"]: r["flow_score"] for r in spark.read.parquet(path).collect()}
+    assert got == {1: 50, 2: 99, 3: 70}

@@ -1,0 +1,127 @@
+"""Structured Streaming tests: stream/batch parity (T2/T3), micro-batch
+ingestion (T1), and the day-close upsert pipeline (T8)."""
+
+from __future__ import annotations
+
+import shutil
+import sys
+from pathlib import Path
+
+import pandas as pd
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F
+
+from stream_processing_test_spark.streaming.pipeline import (
+    daily_rollup,
+    events_stream,
+    finalize_to_dimension,
+    run_to_memory,
+)
+from tests.conftest import SF_SMALL
+
+
+def test_stream_batch_parity(spark):
+    """The streaming windowed rollup over the full events file must
+    equal the batch daily_scores on the same data — Structured
+    Streaming is an incrementally-executed batch query."""
+    from stream_processing_test_spark.operators.rollup import daily_scores
+
+    stream_result = run_to_memory(
+        daily_rollup(events_stream(spark, f"{SF_SMALL}/events.parquet")),
+        "parity_stream",
+    )
+    batch_result = daily_scores(spark, SF_SMALL)
+    got = sorted(map(tuple, stream_result.collect()))
+    want = sorted(map(tuple, batch_result.collect()))
+    assert got == want
+
+
+def test_incremental_micro_batches_converge(spark, tmp_path):
+    """T1: feeding the same events in multiple micro-batches
+    (maxFilesPerTrigger=1) converges to the same final table."""
+    src = tmp_path / "events_incoming"
+    src.mkdir()
+    # split sf0.001 events into 3 file-chunks = 3 micro-batches
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    parts = ev.randomSplit([1.0, 1.0, 1.0], seed=7)
+    for i, p in enumerate(parts):
+        p.coalesce(1).write.parquet(str(src / f"chunk{i}"))
+    stream_result = run_to_memory(
+        daily_rollup(
+            events_stream(spark, f"{src}/chunk*/", max_files_per_trigger=1)
+        ),
+        "incremental_stream",
+    )
+    from stream_processing_test_spark.operators.rollup import daily_scores
+
+    want = sorted(map(tuple, daily_scores(spark, SF_SMALL).collect()))
+    got = sorted(map(tuple, stream_result.collect()))
+    assert got == want
+
+
+def test_finalize_to_dimension_upserts_scores(spark, tmp_path):
+    """T8 end-to-end: events stream -> daily scores -> foreachBatch
+    upsert into the source-dimension parquet, idempotent on re-run."""
+    dim_path = str(tmp_path / "dim")
+    ckpt = str(tmp_path / "ckpt")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    user_ids = [
+        r["user_id"]
+        for r in spark.read.parquet(f"{SF_SMALL}/events.parquet")
+        .select("user_id")
+        .distinct()
+        .collect()
+    ]
+    pd.DataFrame(
+        {
+            "id": sorted(user_ids),
+            "url": [f"http://src/{u}" for u in sorted(user_ids)],
+            "day": [None] * len(user_ids),
+            "flow_score": [None] * len(user_ids),
+            "n_detection": [None] * len(user_ids),
+            "n_error": [None] * len(user_ids),
+        }
+    ).pipe(
+        lambda pdf: spark.createDataFrame(
+            pdf,
+            "id LONG, url STRING, day STRING, flow_score INT, "
+            "n_detection LONG, n_error LONG",
+        )
+    ).write.parquet(dim_path)
+
+    finalize_to_dimension(
+        spark, f"{SF_SMALL}/events.parquet", dim_path, ckpt
+    )
+    dim = spark.read.parquet(dim_path)
+    scored = dim.filter(F.col("flow_score").isNotNull())
+    assert scored.count() > 0
+    assert dim.filter(F.col("url").isNull()).count() == 0  # urls preserved
+    # scores in the dimension match the batch rollup's LAST day per source
+    # (update-mode emits every window; the upsert keeps the final write —
+    # here we only assert consistency for single-window sources)
+    from stream_processing_test_spark.operators.rollup import daily_scores
+
+    batch = daily_scores(spark, SF_SMALL)
+    one_window = (
+        batch.groupBy("user_id").count().filter(F.col("count") == 1).select("user_id")
+    )
+    want = {
+        r["user_id"]: r["flow_score"]
+        for r in batch.join(one_window, "user_id").collect()
+    }
+    got = {r["id"]: r["flow_score"] for r in scored.collect()}
+    for uid, score in want.items():
+        assert got.get(uid) == score
+
+    # idempotence: re-running the whole stream from a fresh checkpoint
+    # over the same input leaves the dimension unchanged
+    before = sorted(map(tuple, spark.read.parquet(dim_path).collect()))
+    shutil.rmtree(ckpt)
+    finalize_to_dimension(
+        spark, f"{SF_SMALL}/events.parquet", dim_path, ckpt
+    )
+    after = sorted(map(tuple, spark.read.parquet(dim_path).collect()))
+    assert before == after
