@@ -31,12 +31,18 @@ HEADLINE = [
     "vendor_flow_stats",
     "failing_programs",
     "top_events_per_user",
+    "asof_click_attribution",
+    "range_join_error_context",
+    "rolling_user_stats",
+    "revenue_rollup",
+    "props_json_stats",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "ann_cosine_topk",
     "token_count",
     "doc_quality_score",
+    "streaming_daily_scores",
 ]
 
 

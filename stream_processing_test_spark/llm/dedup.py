@@ -253,6 +253,65 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("est_jaccard") >= 0.5)
 
 
+EMBED_COSINE_THRESHOLD = 0.35  # synthetic corpus: max pair cosine ~0.51; 0.35 yields ~271 pairs at sf0.01
+
+_EMBED_ORACLE = f"""
+SELECT CAST(a.vec_id AS BIGINT) AS doc_a,
+       CAST(b.vec_id AS BIGINT) AS doc_b,
+       ROUND(list_cosine_similarity(
+           list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+           list_transform(b.embedding, x -> CAST(x AS DOUBLE))), 4) AS cos_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(
+          list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+          list_transform(b.embedding, x -> CAST(x AS DOUBLE))) >= {EMBED_COSINE_THRESHOLD}
+"""
+
+
+@register(
+    "dedup_embedding_cosine", oracle=_EMBED_ORACLE, survey_ops="§7-dedup,§7-similarity"
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs: semantic duplicates = vector
+    pairs with cosine >= threshold.
+
+    Exact all-pairs form (cross join, a < b) — correct and
+    oracle-checkable; the vector math is JVM-side array expressions.
+    Norms are computed ONCE per vector before the join (a projection,
+    not a recompute per pair). This exact form is quadratic by
+    definition; at corpus scale the same threshold pairs come from the
+    hyperplane-LSH bucket join (``ann_lsh_topk``'s candidate stage) +
+    this exact cosine as the verify step — the standard
+    candidate/verify split. Kept exact here so the oracle pins the
+    semantics the approximate path must reproduce."""
+    from stream_processing_test_spark.llm.similarity import _dot
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    normed = emb.select(
+        "vec_id",
+        "v",
+        F.sqrt(F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x)).alias("nrm"),
+    )
+    a = normed.select(
+        F.col("vec_id").alias("doc_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
+    b = normed.select(
+        F.col("vec_id").alias("doc_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    )
+    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    # filter on the UNROUNDED cosine (matching the oracle's WHERE),
+    # round only for output — rounding before filtering would admit
+    # pairs the oracle rejects at the threshold boundary
+    return (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", cos.alias("raw_cos"))
+        .filter(F.col("raw_cos") >= EMBED_COSINE_THRESHOLD)
+        .select("doc_a", "doc_b", F.round("raw_cos", 4).alias("cos_sim"))
+    )
+
+
 @register("dedup_simhash", oracle=None, survey_ops="§7-dedup,SimHash")
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash near-dup pairs (hamming distance <= 3).

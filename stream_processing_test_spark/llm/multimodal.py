@@ -61,6 +61,9 @@ def extract_features(media: DataFrame) -> DataFrame:
     spark.sql.execution.arrow.maxRecordsPerBatch regardless of
     partition size — the required property when payloads are MBs each.
     """
+    from stream_processing_test_spark.session import ensure_package_shipped
+
+    ensure_package_shipped(media.sparkSession)
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -52,12 +52,14 @@ def all_queries() -> dict[str, QuerySpec]:
     # Imports are deferred so `import stream_processing_test_spark` stays
     # cheap and circular imports are impossible.
     from stream_processing_test_spark.operators import (  # noqa: F401
+        extended,
         programs,
         relational,
         rollup,
         vendor,
         windows,
     )
+    from stream_processing_test_spark.sources import probe  # noqa: F401
     from stream_processing_test_spark.llm import (  # noqa: F401
         dedup,
         multimodal,

@@ -50,3 +50,32 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+_SHIPPED: set[int] = set()
+
+
+def ensure_package_shipped(spark: SparkSession) -> None:
+    """Make this package importable on executor Python workers.
+
+    Closures passed to ``mapInPandas``/``pandas_udf`` that reference
+    module-level functions are pickled BY REFERENCE (cloudpickle), so
+    workers must be able to ``import stream_processing_test_spark`` —
+    which fails when the driver process imported it via a sys.path
+    hack from another cwd. Shipping a zip via ``addPyFile`` works
+    after session start and reaches every worker. Idempotent per
+    SparkContext."""
+    key = id(spark.sparkContext)
+    if key in _SHIPPED:
+        return
+    import tempfile
+    import zipfile
+    from pathlib import Path
+
+    pkg_root = Path(__file__).resolve().parent
+    zpath = Path(tempfile.gettempdir()) / "stream_processing_test_spark_pkg.zip"
+    with zipfile.ZipFile(zpath, "w") as z:
+        for p in sorted(pkg_root.rglob("*.py")):
+            z.write(p, p.relative_to(pkg_root.parent))
+    spark.sparkContext.addPyFile(str(zpath))
+    _SHIPPED.add(key)

@@ -1,0 +1,84 @@
+"""Probe-source connector tests (S4): schema conformance, determinism,
+one-event-per-source, pluggable prober."""
+
+from __future__ import annotations
+
+import sys
+from datetime import datetime
+from pathlib import Path
+
+import pandas as pd
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from stream_processing_test_spark.schemas import ERROR_CODES
+from stream_processing_test_spark.sources.probe import (
+    ffprobe_prober,
+    probe_sources,
+    synthetic_prober,
+)
+
+STAMP = datetime(2024, 1, 15, 12, 0, 0)
+
+
+def _sources(spark, n=40):
+    return spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "id": [str(i) for i in range(n)],
+                "url": [f"http://stream/{i}" for i in range(n)],
+                "target_matching": [f"prog {i % 5}" for i in range(n)],
+                "target_matching_id": [str(i % 5) for i in range(n)],
+            }
+        ),
+        "id STRING, url STRING, target_matching STRING, target_matching_id STRING",
+    )
+
+
+def test_one_event_per_source_and_schema(spark):
+    src = _sources(spark)
+    ev = probe_sources(src, created_time=STAMP)
+    rows = ev.collect()
+    assert len(rows) == 40  # exactly one outcome event per source
+    assert ev.columns[:3] == ["url_id", "flow_address", "item"]
+    for r in rows:
+        assert r["item"] == 0 or r["item"] in ERROR_CODES
+        assert r["created_time"] == STAMP
+        if r["item"] != 0:
+            assert r["video_format"] == ""  # errors carry no metadata
+
+
+def test_probe_deterministic_across_runs(spark):
+    src = _sources(spark)
+    a = sorted(map(tuple, probe_sources(src, created_time=STAMP).collect()))
+    b = sorted(map(tuple, probe_sources(src, created_time=STAMP).collect()))
+    assert a == b
+
+
+def test_custom_prober_injection(spark):
+    def always_timeout(url_id: str, url: str) -> dict:
+        return {
+            "item": 1012,
+            "return_value": "-110",
+            "streaming_protocol": "",
+            "bitrate": "",
+            "stream_length": "",
+            "video_format": "",
+            "video_resolution": "",
+            "audio_format": "",
+            "audio_sampling_rate": "",
+        }
+
+    out = probe_sources(_sources(spark, 5), prober=always_timeout, created_time=STAMP)
+    assert [r["item"] for r in out.collect()] == [1012] * 5
+
+
+def test_ffprobe_stub_raises():
+    with pytest.raises(NotImplementedError):
+        ffprobe_prober("1", "http://x")
+
+
+def test_synthetic_prober_mixes_outcomes():
+    outcomes = {synthetic_prober(str(i), f"u{i}")["item"] for i in range(200)}
+    assert 0 in outcomes and any(c != 0 for c in outcomes)
