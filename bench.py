@@ -36,6 +36,11 @@ HEADLINE = [
     "rolling_user_stats",
     "revenue_rollup",
     "props_json_stats",
+    "q6_forecast_revenue",
+    "q18_large_orders",
+    "users_without_big_purchase",
+    "suppliers_with_bulk_items",
+    "user_cardinality",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
@@ -43,6 +48,7 @@ HEADLINE = [
     "token_count",
     "doc_quality_score",
     "streaming_daily_scores",
+    "streaming_failure_streaks",
 ]
 
 

@@ -190,3 +190,177 @@ def engaged_users_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id"
     )
     return purchasers.intersect(clickers).subtract(bad)
+
+
+_Q6_ORACLE = """
+SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+@register("q6_forecast_revenue", oracle=_Q6_ORACLE, survey_ops="P2,P5,A1,F6")
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-filter-aggregate, the pushdown
+    benchmark — every predicate reaches the parquet scan
+    (PushedFilters), the read schema is 3 columns, and the plan is a
+    single partial/final aggregate with no join and no wide shuffle."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+_Q18_ORACLE = """
+SELECT c_name, CAST(c_custkey AS BIGINT) AS c_custkey,
+       CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       ROUND(o_totalprice, 2) AS o_totalprice,
+       ROUND(SUM(l_quantity), 2) AS total_qty
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (
+    SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 250
+)
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 100
+"""
+
+
+@register("q18_large_orders", oracle=_Q18_ORACLE, survey_ops="J1,J2,A2,W1,⊘limit")
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING-subquery semi-join + 3-way join + top-k.
+    The big-order key set is aggregated once and semi-joined
+    (broadcast — it is tiny after HAVING); lineitem shuffles once on
+    orderkey for the final quantity rollup."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 250)
+        .select("l_orderkey")
+    )
+    return (
+        li.join(F.broadcast(big), "l_orderkey")
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "total_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )
+
+
+_ANTI_ORACLE = """
+SELECT CAST(DISTINCT_USERS.user_id AS BIGINT) AS user_id
+FROM (SELECT DISTINCT user_id FROM events) DISTINCT_USERS
+WHERE DISTINCT_USERS.user_id NOT IN (
+    SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 200
+)
+"""
+
+
+@register("users_without_big_purchase", oracle=_ANTI_ORACLE, survey_ops="⊘anti(§2.3)")
+def users_without_big_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join (absent in the reference): active users with no
+    purchase above 200. ``left_anti`` — Catalyst's NOT IN rewrite —
+    probes the (pre-filtered, broadcastable) build side once; no row
+    multiplication, output bounded by the left side."""
+    ev = load(spark, sf_dir, "events")
+    users = ev.select("user_id").distinct()
+    big_buyers = ev.filter(
+        (F.col("event_type") == "purchase") & (F.col("value") > 200)
+    ).select("user_id")
+    return users.join(big_buyers, "user_id", "left_anti")
+
+
+_EXISTS_ORACLE = """
+SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name
+FROM supplier s
+WHERE EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity > 49
+)
+"""
+
+
+@register("suppliers_with_bulk_items", oracle=_EXISTS_ORACLE, survey_ops="⊘exists(§2.3)")
+def suppliers_with_bulk_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS correlated subquery → left-semi join. The fact side is
+    pre-filtered (quantity > 49) before the semi-join so the probe set
+    is small; at scale this is a broadcast semi-join."""
+    supplier = load(spark, sf_dir, "supplier")
+    bulk = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") > 49)
+        .select(F.col("l_suppkey").alias("s_suppkey"))
+    )
+    return supplier.join(bulk, "s_suppkey", "left_semi").select(
+        "s_suppkey", "s_name"
+    )
+
+
+_CARD_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events GROUP BY event_type
+"""
+
+
+@register("user_cardinality", oracle=_CARD_ORACLE, survey_ops="⊘distinct-agg(§2.4)")
+def user_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregation (absent in the reference): exact distinct
+    users per event type. Planned as a two-phase aggregate (expand on
+    the distinct key, then count) — still one logical pass.
+
+    The approximate path for 100 TB — ``approx_count_distinct`` (HLL,
+    fixed memory per group, no expand) — is exercised in
+    ``user_cardinality_approx`` (rows-only: HLL estimates are
+    engine-specific by construction)."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@register("user_cardinality_approx", oracle=None, survey_ops="⊘approx-distinct(§2.4)")
+def user_cardinality_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct estimate (rsd=2%) next to the exact count —
+    the sketch every 100 TB cardinality rollup actually uses (fixed
+    ~1.5 KB of state per group vs an expand shuffle). Rows-only check:
+    HLL estimates differ across engines by design; the pytest asserts
+    the estimate is within 3x rsd of exact."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )

@@ -66,6 +66,9 @@ def all_queries() -> dict[str, QuerySpec]:
         similarity,
         text,
     )
-    from stream_processing_test_spark.streaming import pipeline  # noqa: F401
+    from stream_processing_test_spark.streaming import (  # noqa: F401
+        pipeline,
+        stateful,
+    )
 
     return dict(_REGISTRY)

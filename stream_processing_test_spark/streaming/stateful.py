@@ -1,0 +1,191 @@
+"""Custom stateful streaming operator: consecutive-failure streak
+detection via ``applyInPandasWithState``.
+
+The reference's closest analog is the "all sources of this program are
+failing" report (StreamTest.cpp:626-638) — a batch re-scan. The
+streaming-native form tracks, per source, the running streak of error
+events and emits a record the moment a streak ENDS (a success arrives),
+without rescanning history: state per key is three integers, not the
+day's events.
+
+This is the one operator class where Spark's built-in windowed
+aggregation genuinely cannot express the semantics (streak boundaries
+depend on event ORDER, not time buckets), hence
+``applyInPandasWithState`` (SURVEY.md §2.9): Arrow-batched, grouped
+state, user-defined per-group transition function.
+
+Scale: state is O(1) per source (three longs); keys shard across
+executors by hash. The transition function walks each group's batch
+rows once in sequence order — no cross-key coordination.
+
+Ordering contract: within a micro-batch, rows for a key are sorted by
+``event_id`` before the walk; ACROSS micro-batches the source must
+deliver in order (true for the probe connector's append log and for
+Kafka per-partition order; the tests feed ordered file chunks).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from stream_processing_test_spark.registry import register
+
+MIN_STREAK = 3
+
+STREAK_SCHEMA = (
+    "user_id BIGINT, streak_len BIGINT, start_event_id BIGINT, end_event_id BIGINT"
+)
+STATE_SCHEMA = "streak_len BIGINT, start_event_id BIGINT, last_event_id BIGINT"
+
+
+def _streak_fn(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Transition function: walk this key's new rows in event order,
+    maintaining (streak_len, start_event_id, last_event_id); emit one
+    output row per closed streak of length >= MIN_STREAK."""
+    (user_id,) = key
+    if state.exists:
+        streak_len, start_id, last_id = state.get
+    else:
+        streak_len, start_id, last_id = 0, 0, 0
+
+    out: list[dict[str, Any]] = []
+    for pdf in pdfs:
+        pdf = pdf.sort_values("event_id")
+        for eid, etype in zip(pdf["event_id"], pdf["event_type"]):
+            if etype == "error":
+                if streak_len == 0:
+                    start_id = int(eid)
+                streak_len += 1
+                last_id = int(eid)
+            else:
+                if streak_len >= MIN_STREAK:
+                    out.append(
+                        {
+                            "user_id": int(user_id),
+                            "streak_len": streak_len,
+                            "start_event_id": start_id,
+                            "end_event_id": last_id,
+                        }
+                    )
+                streak_len, start_id, last_id = 0, 0, 0
+    state.update((streak_len, start_id, last_id))
+    if out:
+        yield pd.DataFrame(out)
+
+
+def failure_streaks(events: DataFrame) -> DataFrame:
+    """Streaming DataFrame of closed error streaks (length >=
+    MIN_STREAK) per source. ``events`` must be a streaming DataFrame
+    with (user_id, event_id, event_type)."""
+    from stream_processing_test_spark.session import ensure_package_shipped
+
+    ensure_package_shipped(events.sparkSession)
+    return (
+        events.select("user_id", "event_id", "event_type")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _streak_fn,
+            outputStructType=STREAK_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def batch_failure_streaks(events: DataFrame) -> DataFrame:
+    """Batch twin for parity tests: the same closed streaks computed
+    with the islands trick (rn - rn_within_errors identifies runs of
+    consecutive errors), keeping only streaks followed by a later
+    non-error event (i.e. CLOSED — matching what the stateful stream
+    has emitted by end of input)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    we = Window.partitionBy("user_id", "is_error").orderBy("event_id")
+    islands = (
+        events.select("user_id", "event_id", "event_type")
+        .withColumn("is_error", (F.col("event_type") == "error").cast("int"))
+        .withColumn("grp", F.row_number().over(w) - F.row_number().over(we))
+    )
+    closes = events.filter(F.col("event_type") != "error").groupBy("user_id").agg(
+        F.max("event_id").alias("last_success_id")
+    )
+    streaks = (
+        islands.filter(F.col("is_error") == 1)
+        .groupBy("user_id", "grp")
+        .agg(
+            F.count("*").alias("streak_len"),
+            F.min("event_id").alias("start_event_id"),
+            F.max("event_id").alias("end_event_id"),
+        )
+        .filter(F.col("streak_len") >= MIN_STREAK)
+    )
+    return (
+        streaks.join(closes, "user_id")
+        .filter(F.col("end_event_id") < F.col("last_success_id"))
+        .select("user_id", "streak_len", "start_event_id", "end_event_id")
+    )
+
+
+_STREAK_ORACLE = f"""
+WITH seq AS (
+    SELECT user_id, event_id, event_type,
+           CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_error,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id)
+         - ROW_NUMBER() OVER (PARTITION BY user_id, event_type = 'error' ORDER BY event_id) AS grp
+    FROM events
+), streaks AS (
+    SELECT user_id, grp,
+           COUNT(*) AS streak_len,
+           MIN(event_id) AS start_event_id,
+           MAX(event_id) AS end_event_id
+    FROM seq WHERE is_error = 1
+    GROUP BY user_id, grp
+    HAVING COUNT(*) >= {MIN_STREAK}
+), closes AS (
+    SELECT user_id, MAX(event_id) AS last_success_id
+    FROM events WHERE event_type <> 'error' GROUP BY user_id
+)
+SELECT CAST(s.user_id AS BIGINT) AS user_id,
+       CAST(streak_len AS BIGINT) AS streak_len,
+       CAST(start_event_id AS BIGINT) AS start_event_id,
+       CAST(end_event_id AS BIGINT) AS end_event_id
+FROM streaks s JOIN closes c ON s.user_id = c.user_id
+WHERE s.end_event_id < c.last_success_id
+"""
+
+
+@register(
+    "streaming_failure_streaks", oracle=_STREAK_ORACLE, survey_ops="§2.9,T4,T6"
+)
+def streaming_failure_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streak detection run over the events file replayed as
+    a stream (availableNow), oracle-checked against the SQL islands
+    formulation — custom stateful operator + batch parity in one."""
+    from stream_processing_test_spark.streaming.pipeline import events_stream
+
+    ev = events_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    name = f"streaks_{abs(hash(sf_dir)) % 10_000}"
+    q = (
+        failure_streaks(ev)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

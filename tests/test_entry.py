@@ -20,11 +20,12 @@ def test_entry_returns_rows(spark):
 def test_queries_and_oracles_consistent(spark):
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
-    assert len(qs) >= 20
+    assert len(qs) >= 30
     # every oracle key must have a query
     assert set(oracles) <= set(qs)
-    # the large majority of queries must be oracle-checked
-    assert len(oracles) >= len(qs) - 5
+    # >= 80% of queries must be oracle-checked (rows-only is reserved
+    # for genuinely non-SQL ops: LSH hashes, stateful python, stubs)
+    assert len(oracles) >= 0.8 * len(qs)
 
 
 def test_every_query_runs_on_smallest_sf(spark):

@@ -125,3 +125,63 @@ def test_finalize_to_dimension_upserts_scores(spark, tmp_path):
     )
     after = sorted(map(tuple, spark.read.parquet(dim_path).collect()))
     assert before == after
+
+
+def test_stateful_streaks_carry_across_micro_batches(spark, tmp_path):
+    """A streak spanning micro-batch boundaries must be detected —
+    state carries between batches (the whole point of
+    applyInPandasWithState vs per-batch aggregation)."""
+    import pandas as pd
+
+    from stream_processing_test_spark.streaming.stateful import failure_streaks
+
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    # batch 1: two errors (streak open at boundary); batch 2: one more
+    # error then a success closing a 3-streak
+    chunks = [
+        pd.DataFrame(
+            {
+                "event_id": [1, 2],
+                "ts": [1_700_000_000_000_000_000, 1_700_000_001_000_000_000],
+                "user_id": [7, 7],
+                "event_type": ["error", "error"],
+                "value": [1.0, 1.0],
+                "props": ["{}", "{}"],
+            }
+        ),
+        pd.DataFrame(
+            {
+                "event_id": [3, 4],
+                "ts": [1_700_000_002_000_000_000, 1_700_000_003_000_000_000],
+                "user_id": [7, 7],
+                "event_type": ["error", "click"],
+                "value": [1.0, 1.0],
+                "props": ["{}", "{}"],
+            }
+        ),
+    ]
+    for i, pdf in enumerate(chunks):
+        pdf.to_parquet(src / f"{i:02d}.parquet", index=False)
+
+    from stream_processing_test_spark.streaming.pipeline import events_stream
+
+    ev = events_stream(spark, str(src), max_files_per_trigger=1)
+    q = (
+        failure_streaks(ev)
+        .writeStream.format("memory")
+        .queryName("streak_carry")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.table("streak_carry").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["user_id"], r["streak_len"], r["start_event_id"], r["end_event_id"]) == (
+        7,
+        3,
+        1,
+        3,
+    )
