@@ -109,21 +109,38 @@ def daily_rollup(events: DataFrame, watermark: str = "0 seconds") -> DataFrame:
 
 
 def run_to_memory(
-    result: DataFrame, name: str, output_mode: str = "complete"
+    result: DataFrame,
+    name: str,
+    output_mode: str = "complete",
+    state_partitions: int | None = 8,
 ) -> DataFrame:
     """Execute a streaming aggregation over all currently-available
     input (Trigger.AvailableNow) into a memory sink; return the final
     table as a batch DataFrame. Complete mode = the reference's T3
-    full-recompute semantics, emitted incrementally by Spark."""
-    q = (
-        result.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return result.sparkSession.table(name)
+    full-recompute semantics, emitted incrementally by Spark.
+
+    ``state_partitions`` bounds the stateful operator's partition
+    count for the run (stateful plans pin it for the checkpoint's
+    lifetime; each partition carries state-store + task overhead every
+    micro-batch, so a count sized for relational shuffles wastes
+    fixed cost when keys are few). None keeps the session setting —
+    what a large-keyspace deployment would do."""
+    spark = result.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            result.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name)
 
 
 # The streaming rollup is oracle-checked with the SAME SQL as the batch

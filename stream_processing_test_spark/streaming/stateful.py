@@ -179,13 +179,22 @@ def streaming_failure_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = events_stream(spark, os.path.join(sf_dir, "events.parquet"))
     name = f"streaks_{abs(hash(sf_dir)) % 10_000}"
-    q = (
-        failure_streaks(ev)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # Each state partition spawns a Python worker per micro-batch; with
+    # O(thousands) of keys the spawn cost dominates (32 -> 8 partitions
+    # measured 4x faster at sf0.01). A real deployment sizes this to
+    # keys/executor-memory, not to the relational shuffle width.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            failure_streaks(ev)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)

@@ -1,0 +1,172 @@
+"""End-to-end reference-lifecycle test (SURVEY.md §3): the full
+EP1 → EP2 → EP3 pipeline on reference-shaped data.
+
+EP1  probe the source dimension (one outcome event per source),
+EP2  aggregate the day's events into per-source rollups, score,
+     classify resolution, match program names, upsert the dimension,
+     and emit paginated markdown reports,
+EP3  events carry the probe's JSON-envelope fields.
+
+Everything runs through the engine's public modules — this is the
+"could the reference's operator switch to this repo" check.
+"""
+
+from __future__ import annotations
+
+import sys
+from datetime import datetime
+from pathlib import Path
+
+import pandas as pd
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F
+
+from stream_processing_test_spark.functions.scalars import (
+    blank_to_null,
+    classify_resolution,
+)
+from stream_processing_test_spark.schemas import (
+    RESOLUTION_FHD_THRESHOLD,
+    RESOLUTION_UNKNOWN,
+)
+from stream_processing_test_spark.sinks.reports import (
+    RecordingSink,
+    send_report_batches,
+)
+from stream_processing_test_spark.sinks.upsert import merge_upsert
+from stream_processing_test_spark.sources.probe import probe_sources
+
+STAMP = datetime(2024, 1, 15, 8, 0, 0)
+N_SOURCES = 120
+
+
+def _dimension(spark):
+    """Reference-shaped live_stream_sources dimension."""
+    ids = list(range(N_SOURCES))
+    return spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "id": [str(i) for i in ids],
+                "url": [f"http://cdn{i % 3}/stream/{i}" for i in ids],
+                "target_matching": [f"Channel {i % 10}" for i in ids],
+                "target_matching_id": [str(i % 10) for i in ids],
+                "video_resolution": [""] * N_SOURCES,
+                "resolution_type": [RESOLUTION_UNKNOWN] * N_SOURCES,
+                "flow_score": [0] * N_SOURCES,
+            }
+        ),
+        "id STRING, url STRING, target_matching STRING, target_matching_id STRING, "
+        "video_resolution STRING, resolution_type INT, flow_score INT",
+    )
+
+
+def _programs(spark):
+    """live_broadcast_details: program names with FHD/HD variants."""
+    rows = []
+    for i in range(10):
+        rows.append((str(100 + i), f"Channel {i} FHD"))
+        rows.append((str(200 + i), f"Channel {i} HD"))
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["id", "stream_name"]),
+        "id STRING, stream_name STRING",
+    )
+
+
+def test_full_lifecycle(spark):
+    dim = _dimension(spark)
+
+    # ---- EP1/EP3: probe fan-out -> one event per source -------------
+    events = probe_sources(dim, created_time=STAMP)
+    assert events.count() == N_SOURCES
+
+    # ---- EP2 step 1: per-source rollup (A3 pivoted counters + A4
+    # first-non-empty with the '' -> NULL normalization) ---------------
+    ev = events.withColumn(
+        "video_resolution_n", blank_to_null(F.col("video_resolution"))
+    )
+    rollup = ev.groupBy("url_id").agg(
+        F.count("*").alias("n_detection"),
+        F.sum(F.when(F.col("item") != 0, 1).otherwise(0)).alias("n_error"),
+        F.expr(
+            "min_by(video_resolution_n, url_id) FILTER (WHERE video_resolution_n IS NOT NULL)"
+        ).alias("video_resolution"),
+        F.first("target_matching", ignorenulls=True).alias("target_matching"),
+    )
+
+    # ---- EP2 step 2: score (A6) + resolution classify (F7) ----------
+    scored = rollup.select(
+        "url_id",
+        "target_matching",
+        F.coalesce(F.col("video_resolution"), F.lit("")).alias("video_resolution"),
+        classify_resolution(F.col("video_resolution")).alias("resolution_type"),
+        F.when(
+            F.col("n_detection") > 0,
+            F.greatest(
+                F.floor(
+                    (F.col("n_detection") - F.col("n_error")).cast("double")
+                    / F.col("n_detection")
+                    * 100
+                ),
+                F.lit(0),
+            ),
+        )
+        .otherwise(0)
+        .cast("int")
+        .alias("flow_score"),
+    )
+
+    # ---- EP2 step 3: program suffix-match join (J3) ------------------
+    programs = _programs(spark)
+    want_name = F.concat(
+        F.col("target_matching"),
+        F.when(
+            F.col("resolution_type") >= RESOLUTION_FHD_THRESHOLD, F.lit(" FHD")
+        ).otherwise(F.lit(" HD")),
+    )
+    matched = (
+        scored.withColumn("want_name", want_name)
+        .join(
+            F.broadcast(programs),
+            F.col("want_name") == programs.stream_name,
+            "left",
+        )
+        .select(
+            F.col("url_id").alias("id"),
+            "video_resolution",
+            "resolution_type",
+            "flow_score",
+            F.col("id").alias("matched_program_id"),
+        )
+    )
+    out = matched.collect()
+    assert len(out) == N_SOURCES
+    # every probed source got a score in [0, 100]
+    assert all(0 <= r["flow_score"] <= 100 for r in out)
+    # FHD-or-better sources matched an " FHD" program id (100-109)
+    for r in out:
+        if r["matched_program_id"] is not None:
+            prefix = 100 if r["resolution_type"] >= RESOLUTION_FHD_THRESHOLD else 200
+            assert prefix <= int(r["matched_program_id"]) < prefix + 10
+
+    # ---- EP2 step 4: upsert write-back (S6/T8) -----------------------
+    updated = merge_upsert(
+        dim,
+        matched.select("id", "video_resolution", "resolution_type", "flow_score"),
+        "id",
+        always_set=("flow_score", "resolution_type"),
+    )
+    urows = {r["id"]: r for r in updated.collect()}
+    assert len(urows) == N_SOURCES
+    mrows = {r["id"]: r for r in out}
+    for i, r in urows.items():
+        assert r["flow_score"] == mrows[i]["flow_score"]
+        assert r["url"].startswith("http://cdn")  # untouched column survives
+
+    # ---- EP2 step 5: paginated markdown report (S9/S10/W2) -----------
+    report = updated.select("id", "flow_score").orderBy("id")
+    sink = RecordingSink()
+    n_batches = send_report_batches(report, sink, batch_size=30)
+    assert n_batches == 4  # 120 rows / 30
+    assert all(m.startswith("| id | flow_score |") for m in sink.messages)

@@ -82,3 +82,52 @@ def test_multimodal_features_deterministic(spark):
     b = _q("multimodal_features").fn(spark, SF).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
     assert {r["media_type"] for r in a} == {"image", "audio", "video"}
+
+
+def test_resize_geometry_invariants(spark):
+    from pyspark.sql import functions as F
+
+    from stream_processing_test_spark.llm.multimodal import resize_images
+    from stream_processing_test_spark.tables import load
+
+    docs = load(spark, SF, "documents").limit(50)
+    media = docs.select(
+        "doc_id", F.lit("image").alias("media_type"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    out = resize_images(media, target=224).collect()
+    assert len(out) == 50
+    for r in out:
+        # shorter side <= 224, aspect ratio preserved within rounding
+        assert min(r["resized_width"], r["resized_height"]) <= 224
+        if min(r["width"], r["height"]) > 224:
+            ar_in = r["width"] / r["height"]
+            ar_out = r["resized_width"] / r["resized_height"]
+            assert abs(ar_in - ar_out) / ar_in < 0.1
+        else:  # small images pass through
+            assert (r["resized_width"], r["resized_height"]) == (
+                r["width"], r["height"],
+            )
+
+
+def test_frame_sampling_explodes_rows(spark):
+    from pyspark.sql import functions as F
+
+    from stream_processing_test_spark.llm.multimodal import sample_frames
+    from stream_processing_test_spark.tables import load
+
+    docs = load(spark, SF, "documents").limit(30)
+    media = docs.select(
+        "doc_id", F.lit("video").alias("media_type"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    out = sample_frames(media, n_frames=4)
+    rows = out.collect()
+    assert len(rows) == 30 * 4
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r["doc_id"], []).append(r)
+    for frames in per_doc.values():
+        ts = [f["frame_ts_ms"] for f in sorted(frames, key=lambda f: f["frame_index"])]
+        assert ts == sorted(ts)  # evenly-spaced, monotonically increasing
+        assert all(len(f["frame_payload"]) > 0 for f in frames)
