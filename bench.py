@@ -41,6 +41,7 @@ HEADLINE = [
     "users_without_big_purchase",
     "suppliers_with_bulk_items",
     "user_cardinality",
+    "session_windows",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",

@@ -283,3 +283,61 @@ def props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k").alias("max_k"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Session windows (gap-based sessionization — ⊘ in the reference, core
+# Structured Streaming capability surfaced in batch form too)
+# ---------------------------------------------------------------------------
+
+SESSION_GAP_MIN = 30
+
+_SESSION_ORACLE = f"""
+WITH seq AS (
+    SELECT user_id, ts, value,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w >= INTERVAL {SESSION_GAP_MIN} MINUTE
+                THEN 1 ELSE 0 END AS new_sess
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sess AS (
+    SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS sess_seq
+    FROM seq
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 4) AS total_value
+FROM sess
+GROUP BY user_id, sess_seq
+"""
+
+
+@register("session_windows", oracle=_SESSION_ORACLE, survey_ops="⊘session,T2")
+def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization: events closer than SESSION_GAP_MIN
+    minutes merge into one session per user. Uses Spark's native
+    ``session_window`` (merging-interval state logic in the engine, no
+    self-join); the oracle is the classic gaps-and-islands SQL, so the
+    check also proves the two formulations agree. Works identically
+    over a stream (same expression + watermark)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "user_id",
+            F.session_window("ts", f"{SESSION_GAP_MIN} minutes").alias("sw"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format(F.col("sw.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            "n_events",
+            "total_value",
+        )
+    )

@@ -85,3 +85,90 @@ def test_semi_and_anti_joins_planned(spark):
     anti = _plan(users_without_big_purchase(spark, SF_SMALL))
     assert "LeftSemi" in semi
     assert "LeftAnti" in anti
+
+
+def test_bucketed_join_avoids_shuffle(spark, tmp_path):
+    """Pre-bucketing both join sides on the key removes the Exchange
+    from the join plan — the co-located join that makes repeated
+    fact-to-fact joins affordable at 100 TB."""
+    import uuid
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet").withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+    db = f"bkt_{uuid.uuid4().hex[:8]}"
+    spark.sql(f"CREATE DATABASE {db} LOCATION '{tmp_path}/warehouse'")
+    try:
+        for name, flt in [("errs", "error"), ("clicks", "click")]:
+            (
+                ev.filter(F.col("event_type") == flt)
+                .write.bucketBy(8, "user_id")
+                .sortBy("user_id")
+                .option("path", f"{tmp_path}/{name}")
+                .saveAsTable(f"{db}.{name}")
+            )
+        errs = spark.table(f"{db}.errs").select("user_id", "event_id")
+        clicks = spark.table(f"{db}.clicks").select(
+            F.col("user_id"), F.col("event_id").alias("click_id")
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = errs.join(clicks, "user_id")
+            plan = _plan(joined)
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        # bucketed co-located join: no shuffle exchange on either side
+        assert "Exchange hashpartitioning" not in plan
+        assert joined.count() > 0
+    finally:
+        spark.sql(f"DROP DATABASE {db} CASCADE")
+
+
+def test_salted_aggregate_matches_plain(spark):
+    """Salted two-phase aggregation must be value-identical to the
+    plain groupBy — the salt only changes the physical distribution."""
+    from stream_processing_test_spark.functions.skew import salted_aggregate
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    plain = {
+        (r["user_id"],): (r["n"], round(r["total"], 6))
+        for r in ev.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    salted = {
+        (r["user_id"],): (r["n"], round(r["total"], 6))
+        for r in salted_aggregate(
+            ev,
+            ["user_id"],
+            partial_aggs=[F.count("*").alias("c"), F.sum("value").alias("s")],
+            final_aggs=[F.sum("c").alias("n"), F.sum("s").alias("total")],
+        ).collect()
+    }
+    assert plain == salted
+
+
+def test_salted_broadcast_left_matches_plain_join(spark):
+    from stream_processing_test_spark.functions.skew import salted_broadcast_left
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet").select(
+        "user_id", "event_id"
+    )
+    dim = (
+        ev.select("user_id").distinct().withColumn("tag", F.col("user_id") % 7)
+    )
+    plain = sorted(
+        map(tuple, ev.join(dim, "user_id").select("user_id", "event_id", "tag").collect())
+    )
+    salted = sorted(
+        map(
+            tuple,
+            salted_broadcast_left(ev, dim, "user_id", n_salts=4)
+            .select("user_id", "event_id", "tag")
+            .collect(),
+        )
+    )
+    assert plain == salted
