@@ -37,6 +37,11 @@ HEADLINE = [
     "revenue_rollup",
     "props_json_stats",
     "q6_forecast_revenue",
+    "q7_nation_trade_volume",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q13_order_count_distribution",
     "q18_large_orders",
     "users_without_big_purchase",
     "suppliers_with_bulk_items",
