@@ -42,6 +42,12 @@ HEADLINE = [
     "q9_product_profit",
     "q10_returned_items",
     "q13_order_count_distribution",
+    "q2_min_cost_supplier",
+    "q16_part_supplier_variety",
+    "q21_blocking_suppliers",
+    "stats_moments",
+    "price_percentiles",
+    "revenue_cube",
     "q18_large_orders",
     "users_without_big_purchase",
     "suppliers_with_bulk_items",

@@ -25,7 +25,9 @@ from pyspark.sql import functions as F
 from stream_processing_test_spark.registry import register
 from stream_processing_test_spark.tables import load
 
-_REVENUE = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+def _revenue():
+    """Lazy so importing this module needs no active SparkContext."""
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
 
 
 # ---------------------------------------------------------------------------
@@ -134,7 +136,7 @@ def q7_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             "supp_nation", "cust_nation",
             F.year("l_shipdate").alias("l_year"),
         )
-        .agg(F.round(F.sum(_REVENUE), 2).alias("revenue"))
+        .agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
     )
 
 
@@ -201,7 +203,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     li = load(spark, sf_dir, "lineitem")
-    vol = _REVENUE.alias("volume")
+    vol = _revenue().alias("volume")
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
@@ -262,7 +264,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
     li = load(spark, sf_dir, "lineitem")
     amount = (
-        _REVENUE - 0.5 * F.col("p_retailprice") * F.col("l_quantity")
+        _revenue() - 0.5 * F.col("p_retailprice") * F.col("l_quantity")
     ).alias("amount")
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
@@ -318,7 +320,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(F.round(F.sum(_REVENUE), 2).alias("revenue"))
+        .agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
         .select(
             "c_custkey", "c_name", "revenue",
             F.round("c_acctbal", 2).alias("c_acctbal"), "n_name",
@@ -431,8 +433,8 @@ def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(
                 100.0
-                * F.sum(F.when(F.col("p_type") == "PROMO", _REVENUE).otherwise(0.0))
-                / F.sum(_REVENUE),
+                * F.sum(F.when(F.col("p_type") == "PROMO", _revenue()).otherwise(0.0))
+                / F.sum(_revenue()),
                 4,
             ).alias("promo_revenue_pct")
         )
@@ -470,7 +472,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rev = (
         li.groupBy(F.col("l_suppkey").alias("s_suppkey"))
-        .agg(F.round(F.sum(_REVENUE), 2).alias("total_revenue"))
+        .agg(F.round(F.sum(_revenue()), 2).alias("total_revenue"))
     )
     max_rev = rev.agg(F.max("total_revenue").alias("max_revenue"))
     top = rev.join(
@@ -572,7 +574,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .filter(branch)
         .agg(
-            F.round(F.sum(_REVENUE), 2).alias("revenue"),
+            F.round(F.sum(_revenue()), 2).alias("revenue"),
             F.count("*").alias("n_items"),
         )
     )
@@ -627,4 +629,277 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("numcust"),
             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q2 — minimum-cost supplier (argmin per group; adapted: supply cost is
+# the cheapest observed unit price per (part, supplier) in lineitem,
+# since the synthetic schema has no partsupp table)
+# ---------------------------------------------------------------------------
+
+_Q2_ORACLE = """
+WITH cost AS (
+    SELECT l_partkey, l_suppkey,
+           ROUND(MIN(l_extendedprice / l_quantity), 4) AS supply_cost
+    FROM lineitem
+    GROUP BY l_partkey, l_suppkey
+), best AS (
+    SELECT l_partkey, l_suppkey, supply_cost,
+           ROW_NUMBER() OVER (
+               PARTITION BY l_partkey ORDER BY supply_cost, l_suppkey
+           ) AS rn
+    FROM cost
+)
+SELECT CAST(p_partkey AS BIGINT) AS p_partkey, p_name, s_name, supply_cost
+FROM best
+JOIN part ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+WHERE rn = 1 AND p_size < 10
+"""
+
+
+@register("q2_min_cost_supplier", oracle=_Q2_ORACLE, survey_ops="⊘argmin,A2,J1")
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: argmin-per-group (cheapest supplier per part).
+    Spark-first: a single `min(struct(cost, suppkey))` aggregate picks
+    the winner with a deterministic tie-break — no self-join against a
+    per-group MIN and no window over the full fact table. The unit
+    price is rounded before the argmin so Spark and the oracle order
+    identical values."""
+    li = load(spark, sf_dir, "lineitem")
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.round(F.min(F.col("l_extendedprice") / F.col("l_quantity")), 4).alias(
+            "supply_cost"
+        )
+    )
+    best = (
+        cost.groupBy("l_partkey")
+        .agg(F.min(F.struct("supply_cost", "l_suppkey")).alias("b"))
+        .select(
+            "l_partkey",
+            F.col("b.supply_cost").alias("supply_cost"),
+            F.col("b.l_suppkey").alias("l_suppkey"),
+        )
+    )
+    part = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_size") < 10)
+        .select("p_partkey", "p_name")
+    )
+    supplier = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        best.join(F.broadcast(part), best.l_partkey == part.p_partkey)
+        .join(F.broadcast(supplier), best.l_suppkey == supplier.s_suppkey)
+        .select("p_partkey", "p_name", "s_name", "supply_cost")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q11 — important parts (group aggregate vs a global-share threshold)
+# ---------------------------------------------------------------------------
+
+_Q11_ORACLE = """
+WITH pv AS (
+    SELECT l_partkey, SUM(l_extendedprice * (1 - l_discount)) AS v
+    FROM lineitem
+    GROUP BY l_partkey
+)
+SELECT CAST(l_partkey AS BIGINT) AS l_partkey,
+       ROUND(v, 2) AS part_value
+FROM pv
+WHERE v > (SELECT AVG(v) * 1.5 FROM pv)
+"""
+
+
+@register("q11_important_parts", oracle=_Q11_ORACLE, survey_ops="⊘scalar-subquery,A1,A2")
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: keep groups whose aggregate exceeds a global
+    statistic of the groups (1.5x the mean per-part value — scale
+    invariant, unlike a fixed fraction of the total). The statistic is
+    re-aggregated from the per-part frame (not a second fact scan) and
+    broadcast as one row."""
+    li = load(spark, sf_dir, "lineitem")
+    pv = li.groupBy("l_partkey").agg(F.sum(_revenue()).alias("v"))
+    total = pv.agg((F.avg("v") * 1.5).alias("threshold"))
+    return (
+        pv.crossJoin(F.broadcast(total))
+        .filter(F.col("v") > F.col("threshold"))
+        .select("l_partkey", F.round("v", 2).alias("part_value"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q16 — supplier variety per part group (count-distinct + NOT IN)
+# ---------------------------------------------------------------------------
+
+_Q16_ORACLE = """
+SELECT p_brand, p_type, p_size,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#1'
+  AND p_size < 30
+  AND l_suppkey NOT IN (
+      SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+  )
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+@register("q16_part_supplier_variety", oracle=_Q16_ORACLE, survey_ops="⊘distinct-agg,⊘anti,J1")
+def q16_part_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: NOT IN (rewritten as a broadcast anti-join on
+    the excluded-supplier set) + COUNT(DISTINCT) grouped by part
+    attributes. The anti-join runs before the part join so excluded
+    rows never reach the wider plan."""
+    bad_supp = (
+        load(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    part = (
+        load(spark, sf_dir, "part")
+        .filter((F.col("p_brand") != "Brand#1") & (F.col("p_size") < 30))
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(bad_supp), li.l_suppkey == bad_supp.s_suppkey, "left_anti")
+        .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q20 — excess suppliers (nested IN-subqueries + scalar threshold)
+# ---------------------------------------------------------------------------
+
+_Q20_ORACLE = """
+WITH sq AS (
+    SELECT l_suppkey, SUM(l_quantity) AS qty
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_type = 'PROMO'
+      AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_suppkey
+)
+SELECT s_name, ROUND(s_acctbal, 2) AS s_acctbal
+FROM supplier
+WHERE s_suppkey IN (
+        SELECT l_suppkey FROM sq WHERE qty > (SELECT 0.5 * AVG(qty) FROM sq)
+      )
+  AND s_nationkey IN (
+        SELECT n_nationkey FROM nation
+        WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+      )
+"""
+
+
+@register("q20_excess_suppliers", oracle=_Q20_ORACLE, survey_ops="⊘semi,⊘scalar-subquery,J2")
+def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: two nested IN-subqueries (qualifying shipment
+    volume; nation membership) → two left-semi joins, with the volume
+    threshold as a 1-row broadcast against the already-aggregated
+    per-supplier frame."""
+    part = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "PROMO")
+        .select("p_partkey")
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    sq = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    thr = sq.agg((0.5 * F.avg("qty")).alias("thr"))
+    qualifying = (
+        sq.crossJoin(F.broadcast(thr)).filter(F.col("qty") > F.col("thr")).select("l_suppkey")
+    )
+    nations = (
+        load(spark, sf_dir, "nation")
+        .filter(F.col("n_name").isin("NATION_1", "NATION_2", "NATION_3"))
+        .select("n_nationkey")
+    )
+    supplier = load(spark, sf_dir, "supplier")
+    return (
+        supplier.join(
+            F.broadcast(qualifying),
+            supplier.s_suppkey == qualifying.l_suppkey,
+            "left_semi",
+        )
+        .join(
+            F.broadcast(nations),
+            supplier.s_nationkey == nations.n_nationkey,
+            "left_semi",
+        )
+        .select("s_name", F.round("s_acctbal", 2).alias("s_acctbal"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q21 — suppliers who kept waiting orders (EXISTS + NOT EXISTS; adapted:
+# "late" = shipped more than 30 days after the order date)
+# ---------------------------------------------------------------------------
+
+_Q21_ORACLE = """
+SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+WHERE l1.l_shipdate > o_orderdate + INTERVAL 30 DAY
+  AND EXISTS (
+      SELECT 1 FROM lineitem l2
+      WHERE l2.l_orderkey = l1.l_orderkey
+        AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+      SELECT 1 FROM lineitem l3
+      WHERE l3.l_orderkey = l1.l_orderkey
+        AND l3.l_suppkey <> l1.l_suppkey
+        AND l3.l_shipdate > o_orderdate + INTERVAL 30 DAY
+  )
+GROUP BY s_name
+"""
+
+
+@register("q21_blocking_suppliers", oracle=_Q21_ORACLE, survey_ops="⊘exists,⊘not-exists,A3")
+def q21_blocking_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: correlated EXISTS + NOT EXISTS over the same
+    fact table. Spark-first: both existence tests collapse into one
+    window pass over the order's lineitems — `collect_set(suppkey)`
+    counts suppliers and late suppliers per order, so the fact table is
+    shuffled once on orderkey instead of self-joined twice."""
+    from pyspark.sql.window import Window
+
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    w = Window.partitionBy("l_orderkey")
+    flagged = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .withColumn("late", F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 30))
+        .withColumn("n_supp", F.size(F.collect_set("l_suppkey").over(w)))
+        .withColumn(
+            "n_late_supp",
+            F.size(
+                F.collect_set(
+                    F.when(F.col("late"), F.col("l_suppkey"))
+                ).over(w)
+            ),
+        )
+    )
+    supplier = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        flagged.filter(F.col("late") & (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == supplier.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
     )

@@ -56,6 +56,7 @@ def all_queries() -> dict[str, QuerySpec]:
         programs,
         relational,
         rollup,
+        stats,
         tpch,
         vendor,
         windows,
