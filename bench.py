@@ -70,9 +70,13 @@ def main() -> None:
     spark = get_spark("bench")
     specs = all_queries()
 
-    # Warm the JVM/session (parquet footer cache, codegen infra) with a
-    # trivial action so per-query numbers measure the queries.
+    # Warm the JVM/session so per-query numbers measure the queries,
+    # not one-time class loading: a real parquet scan + noop write JITs
+    # the reader, codegen, and committer paths (region is ~5 rows).
     spark.range(1000).count()
+    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).write.format(
+        "noop"
+    ).mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

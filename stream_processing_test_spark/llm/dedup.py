@@ -239,7 +239,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, ["band", "bucket"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b", "sig_a", "sig_b")
-        .distinct()
+        # dedupe on the pair key only: signatures are functionally
+        # dependent on the ids, and hashing 16 bytes beats hashing the
+        # two 32-long signature arrays carried alongside
+        .dropDuplicates(["doc_a", "doc_b"])
     )
     agree = F.size(
         F.filter(
