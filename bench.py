@@ -48,6 +48,7 @@ HEADLINE = [
     "stats_moments",
     "price_percentiles",
     "revenue_cube",
+    "sql_daily_event_summary",
     "q18_large_orders",
     "users_without_big_purchase",
     "suppliers_with_bulk_items",

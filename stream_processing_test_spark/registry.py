@@ -56,6 +56,7 @@ def all_queries() -> dict[str, QuerySpec]:
         programs,
         relational,
         rollup,
+        sqltext,
         stats,
         tpch,
         vendor,
@@ -69,6 +70,7 @@ def all_queries() -> dict[str, QuerySpec]:
         text,
     )
     from stream_processing_test_spark.streaming import (  # noqa: F401
+        joins,
         pipeline,
         stateful,
     )
