@@ -172,3 +172,46 @@ def test_salted_broadcast_left_matches_plain_join(spark):
         )
     )
     assert plain == salted
+
+
+def test_tpch_star_joins_broadcast_dims(spark):
+    """q8 (8-way star) and q7: every dimension side broadcasts; the
+    only shuffle joins allowed are fact-to-fact (lineitem⋈orders).
+    At 100 TB a dimension that silently falls back to SortMergeJoin
+    re-shuffles the whole fact table."""
+    from stream_processing_test_spark.operators.tpch import (
+        q7_nation_trade_volume,
+        q8_market_share,
+    )
+
+    for q in (q7_nation_trade_volume, q8_market_share):
+        plan = _plan(q(spark, SF_SMALL))
+        assert "BroadcastHashJoin" in plan
+        # lineitem⋈orders is the one legitimate shuffle join
+        assert plan.count("SortMergeJoin") <= 1
+
+
+def test_scalar_subqueries_are_broadcast_not_collected(spark):
+    """q11/q15/q22 shape: the scalar threshold must appear as a
+    broadcast join (BroadcastExchange/BroadcastNestedLoopJoin), never
+    as a driver-side collect baked into a literal."""
+    from stream_processing_test_spark.operators.tpch import (
+        q11_important_parts,
+        q15_top_supplier,
+    )
+
+    for q in (q11_important_parts, q15_top_supplier):
+        plan = _plan(q(spark, SF_SMALL))
+        assert "BroadcastExchange" in plan
+
+
+def test_q21_single_fact_shuffle(spark):
+    """The EXISTS + NOT EXISTS rewrite must not self-join lineitem:
+    exactly one Window node (one orderkey shuffle) and no lineitem
+    self-join in the plan."""
+    from stream_processing_test_spark.operators.tpch import q21_blocking_suppliers
+
+    plan = _plan(q21_blocking_suppliers(spark, SF_SMALL))
+    assert plan.count("Window") >= 1
+    # a self-join plan would need >=2 scans of lineitem
+    assert plan.count("lineitem") <= 1
