@@ -131,3 +131,41 @@ def test_frame_sampling_explodes_rows(spark):
         ts = [f["frame_ts_ms"] for f in sorted(frames, key=lambda f: f["frame_index"])]
         assert ts == sorted(ts)  # evenly-spaced, monotonically increasing
         assert all(len(f["frame_payload"]) > 0 for f in frames)
+
+
+def test_ann_ivf_recall_at_k(spark):
+    """The synthetic embeddings are near-orthogonal random vectors and
+    ``label`` is not a geometric cluster, so IVF routing cannot beat
+    the fraction of corpus searched on THIS corpus (see llm/similarity
+    docstring). The testable invariants: (a) recall is at least the
+    statistical floor nprobe/n_lists (no candidates silently dropped),
+    (b) every pair IVF returns carries the exact brute-force cosine —
+    search within probed lists is exact, misses come only from
+    routing, (c) full top-k cardinality."""
+    from stream_processing_test_spark.llm.similarity import (
+        N_PROBE,
+        N_QUERIES,
+        TOP_K,
+    )
+    from stream_processing_test_spark.tables import load
+
+    brute = _q("ann_cosine_topk").fn(spark, SF).collect()
+    ivf = _q("ann_ivf_topk").fn(spark, SF).collect()
+    n_lists = load(spark, SF, "embeddings").select("label").distinct().count()
+    assert n_lists > N_PROBE  # otherwise IVF degenerates to brute force
+
+    top3 = {(r["query_id"], r["neighbor_id"]) for r in brute if r["rk"] <= 3}
+    got = {(r["query_id"], r["neighbor_id"]) for r in ivf}
+    recall = len(top3 & got) / len(top3)
+    floor = 0.5 * N_PROBE / n_lists
+    assert recall >= floor, f"IVF recall@3 {recall:.2f} < floor {floor:.2f}"
+
+    brute_sim = {
+        (r["query_id"], r["neighbor_id"]): r["cos_sim"] for r in brute
+    }
+    for r in ivf:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in brute_sim:
+            assert r["cos_sim"] == brute_sim[key]
+
+    assert len(ivf) == N_QUERIES * TOP_K
