@@ -235,3 +235,39 @@ def balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(cents) / 100.0, 2).alias("total_balance"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# GROUPING SETS (arbitrary set list — not the full cube lattice)
+# ---------------------------------------------------------------------------
+
+_GSETS_ORACLE = """
+SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+       COALESCE(l_linestatus, 'ALL') AS linestatus,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       ROUND(SUM(CAST(ROUND(l_quantity, 0) AS BIGINT)), 0) AS total_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+"""
+
+
+@register("quantity_grouping_sets", oracle=_GSETS_ORACLE, survey_ops="⊘grouping-sets(§2.4)")
+def quantity_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS with an explicit set list — the (flag, status),
+    (flag), () rollup lattice WITHOUT the (status)-only member a CUBE
+    would add. Expressed as SQL text (the DataFrame API has no
+    grouping-sets builder; rollup/cube are its only lattice sugar).
+    Quantities are integral doubles, summed as longs for exactness."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    return spark.sql(
+        """
+        SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+               COALESCE(l_linestatus, 'ALL') AS linestatus,
+               COUNT(*) AS n_rows,
+               CAST(SUM(CAST(ROUND(l_quantity, 0) AS BIGINT)) AS DOUBLE)
+                   AS total_qty
+        FROM lineitem_v
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_returnflag), ())
+        """
+    )
