@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from stream_processing_test_spark.registry import register
+from stream_processing_test_spark.session import finish_with
 from stream_processing_test_spark.tables import load
 
 SHINGLE_N = 5
@@ -40,7 +41,9 @@ GROUP BY md5(text)
 """
 
 
-@register("dedup_exact", oracle=_EXACT_ORACLE, survey_ops="§7-dedup,A5,A8")
+@register(
+    "dedup_exact", oracle=_EXACT_ORACLE, survey_ops="§7-dedup,A5,A8", tier=0
+)
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: group by content hash, keep the smallest doc_id.
     Deterministic canonical-representative choice (min id) rather than
@@ -106,7 +109,9 @@ WHERE CAST(isect AS DOUBLE) / (sa.sz + sb.sz - isect) >= {JACCARD_THRESHOLD}
 """
 
 
-@register("dedup_ngram_jaccard", oracle=_NGRAM_ORACLE, survey_ops="§7-dedup,J1,A1")
+@register(
+    "dedup_ngram_jaccard", oracle=_NGRAM_ORACLE, survey_ops="§7-dedup,J1,A1", tier=0
+)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by exact Jaccard over rare 5-gram shingles.
 
@@ -150,7 +155,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     jaccard = F.col("isect").cast("double") / (
         F.col("sa") + F.col("sb") - F.col("isect")
     )
-    return (
+    result = (
         inter.join(
             F.broadcast(
                 sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sa"))
@@ -170,6 +175,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(jaccard, 4).alias("jaccard"),
         )
     )
+    return finish_with(result, sh, rare)
 
 
 # ---------------------------------------------------------------------------
@@ -180,7 +186,9 @@ NUM_HASHES = 32
 NUM_BANDS = 8  # 8 bands × 4 rows ≈ s-curve threshold ~0.72
 
 
-@register("dedup_minhash_lsh", oracle=None, survey_ops="§7-dedup,LSH")
+@register(
+    "dedup_minhash_lsh", oracle=None, survey_ops="§7-dedup,LSH", tier=0
+)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures + banded LSH candidate pairs.
 
@@ -249,11 +257,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v
         )
     )
-    return pairs.select(
+    result = pairs.select(
         "doc_a",
         "doc_b",
         F.round(agree / F.lit(NUM_HASHES), 4).alias("est_jaccard"),
     ).filter(F.col("est_jaccard") >= 0.5)
+    return finish_with(result, sig)
 
 
 EMBED_COSINE_THRESHOLD = 0.35  # synthetic corpus: max pair cosine ~0.51; 0.35 yields ~271 pairs at sf0.01
@@ -272,7 +281,7 @@ WHERE list_cosine_similarity(
 
 
 @register(
-    "dedup_embedding_cosine", oracle=_EMBED_ORACLE, survey_ops="§7-dedup,§7-similarity"
+    "dedup_embedding_cosine", oracle=_EMBED_ORACLE, survey_ops="§7-dedup,§7-similarity", tier=0
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs: semantic duplicates = vector
@@ -315,7 +324,9 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_simhash", oracle=None, survey_ops="§7-dedup,SimHash")
+@register(
+    "dedup_simhash", oracle=None, survey_ops="§7-dedup,SimHash", tier=0
+)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash near-dup pairs (hamming distance <= 3).
 
@@ -386,10 +397,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("doc_b"), F.col("simhash").alias("h_b"), "block_id", "block"
     )
     hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
-    return (
+    result = (
         a.join(b, ["block_id", "block"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b", hamming.alias("hamming"))
         .distinct()
         .filter(F.col("hamming") <= 3)
     )
+    return finish_with(result, simhash)

@@ -82,7 +82,9 @@ def extract_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(op, schema=FEATURE_SCHEMA)
 
 
-@register("multimodal_features", oracle=None, survey_ops="§7-multimodal,mapInPandas")
+@register(
+    "multimodal_features", oracle=None, survey_ops="§7-multimodal,mapInPandas", tier=0
+)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end multimodal pipeline on synthetic payloads: documents'
     text bytes stand in for media blobs (UTF-8 encode → binary column
@@ -205,7 +207,9 @@ def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
     return media.mapInPandas(op, schema=FRAME_SCHEMA)
 
 
-@register("multimodal_preprocess", oracle=None, survey_ops="§7-multimodal,mapInPandas")
+@register(
+    "multimodal_preprocess", oracle=None, survey_ops="§7-multimodal,mapInPandas", tier=0
+)
 def multimodal_preprocess(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resize + frame-sample composed: images through the resize stage,
     videos exploded into sampled frames, then a relational summary —

@@ -25,6 +25,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from stream_processing_test_spark.registry import register
+from stream_processing_test_spark.session import finish_with
 from stream_processing_test_spark.tables import load
 
 TOP_K = 10
@@ -71,7 +72,9 @@ FROM ranked WHERE rk <= {TOP_K}
 """
 
 
-@register("ann_cosine_topk", oracle=_BRUTE_ORACLE, survey_ops="§7-similarity,⊘rank")
+@register(
+    "ann_cosine_topk", oracle=_BRUTE_ORACLE, survey_ops="§7-similarity,⊘rank", tier=0
+)
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k for a small query set.
 
@@ -109,7 +112,9 @@ N_TABLES = 16  # independent LSH tables (OR-amplification: recall)
 N_PLANES = 4  # hyperplanes per table (AND-amplification: precision)
 
 
-@register("ann_lsh_topk", oracle=None, survey_ops="§7-similarity,LSH,pandas_udf")
+@register(
+    "ann_lsh_topk", oracle=None, survey_ops="§7-similarity,LSH,pandas_udf", tier=0
+)
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH ANN: N_TABLES independent sign-signature
     tables (N_PLANES planes → 2^N_PLANES buckets each); a pair is a
@@ -183,10 +188,11 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
     )
-    return (
+    result = (
         cand.withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= TOP_K)
     )
+    return finish_with(result, tables)
 
 
 # ---------------------------------------------------------------------------
@@ -196,7 +202,9 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 N_PROBE = 2  # coarse lists searched per query
 
 
-@register("ann_ivf_topk", oracle=None, survey_ops="§7-similarity,IVF")
+@register(
+    "ann_ivf_topk", oracle=None, survey_ops="§7-similarity,IVF", tier=0
+)
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: the corpus is pre-partitioned into inverted lists (the
     ``label`` column is the coarse assignment — in a from-scratch build

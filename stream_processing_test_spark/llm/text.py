@@ -22,7 +22,9 @@ WHERE length(trim(text)) > 0
 """
 
 
-@register("token_count", oracle=_TOKEN_ORACLE, survey_ops="§7-text,F5,F6")
+@register(
+    "token_count", oracle=_TOKEN_ORACLE, survey_ops="§7-text,F5,F6", tier=0
+)
 def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace token counting (the cheap proxy for BPE token
     budgeting in corpus triage). Identical split semantics both sides:
@@ -85,7 +87,9 @@ FROM scored
 """
 
 
-@register("lang_id_ngram", oracle=_LANG_ORACLE, survey_ops="§7-text,F12")
+@register(
+    "lang_id_ngram", oracle=_LANG_ORACLE, survey_ops="§7-text,F12", tier=0
+)
 def lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language ID: count marker-n-gram occurrences per
     language, argmax with fixed precedence (en > es > de > fr on
@@ -133,7 +137,9 @@ FROM feats
 """
 
 
-@register("doc_quality_score", oracle=_QUALITY_ORACLE, survey_ops="§7-text,A7,F12")
+@register(
+    "doc_quality_score", oracle=_QUALITY_ORACLE, survey_ops="§7-text,A7,F12", tier=0
+)
 def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style quality gates: token-count band, punctuation
     ratio, stopword ratio → boolean pass. The exact thresholds are
@@ -172,7 +178,9 @@ FROM documents
 """
 
 
-@register("doc_fingerprint", oracle=_FP_ORACLE, survey_ops="§7-text,F10")
+@register(
+    "doc_fingerprint", oracle=_FP_ORACLE, survey_ops="§7-text,F10", tier=0
+)
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Normalized content fingerprint (md5 of lower/trimmed text) plus
     a shard key prefix — the join/partition key for cross-corpus exact

@@ -42,7 +42,9 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
-@register("q1_pricing_summary", oracle=_Q1_ORACLE, survey_ops="P2,P5,A1,A8,F5,F6")
+@register(
+    "q1_pricing_summary", oracle=_Q1_ORACLE, survey_ops="P2,P5,A1,A8,F5,F6", tier=3
+)
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: scan-filter-aggregate with 8 aggregates."""
     li = load(spark, sf_dir, "lineitem")
@@ -79,7 +81,9 @@ LIMIT 10
 """
 
 
-@register("q3_shipping_priority", oracle=_Q3_ORACLE, survey_ops="J1,P1,P2,A1,W1,⊘limit")
+@register(
+    "q3_shipping_priority", oracle=_Q3_ORACLE, survey_ops="J1,P1,P2,A1,W1,⊘limit", tier=3
+)
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: broadcast dim join + fact join + top-k.
 
@@ -130,7 +134,9 @@ GROUP BY n_name
 """
 
 
-@register("q5_region_revenue", oracle=_Q5_ORACLE, survey_ops="J1,P1,P2,A1,F12")
+@register(
+    "q5_region_revenue", oracle=_Q5_ORACLE, survey_ops="J1,P1,P2,A1,F12", tier=3
+)
 def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: star join — every dimension broadcast, one fact
     pass, single aggregate shuffle on a low-cardinality key."""
@@ -203,7 +209,9 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
 """
 
 
-@register("q6_forecast_revenue", oracle=_Q6_ORACLE, survey_ops="P2,P5,A1,F6")
+@register(
+    "q6_forecast_revenue", oracle=_Q6_ORACLE, survey_ops="P2,P5,A1,F6", tier=3
+)
 def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6 shape: pure scan-filter-aggregate, the pushdown
     benchmark — every predicate reaches the parquet scan
@@ -243,7 +251,9 @@ LIMIT 100
 """
 
 
-@register("q18_large_orders", oracle=_Q18_ORACLE, survey_ops="J1,J2,A2,W1,⊘limit")
+@register(
+    "q18_large_orders", oracle=_Q18_ORACLE, survey_ops="J1,J2,A2,W1,⊘limit", tier=3
+)
 def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 shape: HAVING-subquery semi-join + 3-way join + top-k.
     The big-order key set is aggregated once and semi-joined
@@ -343,8 +353,8 @@ def user_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The approximate path for 100 TB — ``approx_count_distinct`` (HLL,
     fixed memory per group, no expand) — is exercised in
-    ``user_cardinality_approx`` (rows-only: HLL estimates are
-    engine-specific by construction)."""
+    ``user_cardinality_approx`` (oracle-checked via a bounded-error
+    claim, since raw HLL estimates are engine-specific)."""
     ev = load(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("exact_users"),
@@ -352,15 +362,40 @@ def user_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("user_cardinality_approx", oracle=None, survey_ops="⊘approx-distinct(§2.4)")
+_CARD_APPROX_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS approx_within_5pct
+FROM events GROUP BY event_type
+"""
+
+
+@register(
+    "user_cardinality_approx",
+    oracle=_CARD_APPROX_ORACLE,
+    survey_ops="⊘approx-distinct(§2.4)", tier=0
+)
 def user_cardinality_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog distinct estimate (rsd=2%) next to the exact count —
     the sketch every 100 TB cardinality rollup actually uses (fixed
-    ~1.5 KB of state per group vs an expand shuffle). Rows-only check:
-    HLL estimates differ across engines by design; the pytest asserts
-    the estimate is within 3x rsd of exact."""
+    ~1.5 KB of state per group vs an expand shuffle).
+
+    HLL estimates are engine-specific by construction, so the raw
+    estimate cannot hash-match a DuckDB twin. The query instead emits
+    the deterministic CLAIM the sketch makes — "the estimate is within
+    ±5% of the exact count" (2.5x the configured rsd) — as a boolean
+    per group alongside the exact count; the oracle computes the exact
+    count and literal TRUE. A wildly-off HLL therefore fails the hash
+    compare rather than hiding behind a rows-only check."""
     ev = load(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
         F.countDistinct("user_id").alias("exact_users"),
+        (
+            F.approx_count_distinct("user_id", rsd=0.02)
+            .cast("double")
+            .between(
+                F.countDistinct("user_id") * 0.95,
+                F.countDistinct("user_id") * 1.05,
+            )
+        ).alias("approx_within_5pct"),
     )

@@ -49,7 +49,9 @@ GROUP BY o_orderpriority
 """
 
 
-@register("q4_order_priority", oracle=_Q4_ORACLE, survey_ops="⊘exists,A8,P2")
+@register(
+    "q4_order_priority", oracle=_Q4_ORACLE, survey_ops="⊘exists,A8,P2", tier=0
+)
 def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q4 shape: EXISTS with a correlated inequality → left-semi
     join with a post-join predicate. Orders is filtered to one half-year
@@ -63,7 +65,7 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     late = orders.join(
         li,
         (li.l_orderkey == orders.o_orderkey)
-        & (li.l_shipdate > F.date_add(orders.o_orderdate, 60)),
+        & (li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 60 DAYS")),
         "left_semi",
     )
     return late.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
@@ -95,7 +97,9 @@ GROUP BY supp_nation, cust_nation, l_year
 """
 
 
-@register("q7_nation_trade_volume", oracle=_Q7_ORACLE, survey_ops="J1,P2,A1,F12")
+@register(
+    "q7_nation_trade_volume", oracle=_Q7_ORACLE, survey_ops="J1,P2,A1,F12", tier=3
+)
 def q7_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape: 6-way join with a symmetric nation-pair filter.
     Both nation joins broadcast; the nation filter is applied on the
@@ -168,7 +172,9 @@ GROUP BY o_year
 """
 
 
-@register("q8_market_share", oracle=_Q8_ORACLE, survey_ops="J1,P1,A1,A7,F12")
+@register(
+    "q8_market_share", oracle=_Q8_ORACLE, survey_ops="J1,P1,A1,A7,F12", tier=3
+)
 def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8 shape: 8-way star join + conditional-aggregate ratio
     (one nation's share of regional volume per year). All dims
@@ -243,7 +249,9 @@ GROUP BY nation, o_year
 """
 
 
-@register("q9_product_profit", oracle=_Q9_ORACLE, survey_ops="J1,A1,F6,F12")
+@register(
+    "q9_product_profit", oracle=_Q9_ORACLE, survey_ops="J1,A1,F6,F12", tier=3
+)
 def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9 shape: profit rollup by supplier nation x order year.
     partsupp doesn't exist in this schema, so unit cost is proxied as
@@ -297,7 +305,9 @@ LIMIT 20
 """
 
 
-@register("q10_returned_items", oracle=_Q10_ORACLE, survey_ops="J1,P2,A1,W1,⊘limit")
+@register(
+    "q10_returned_items", oracle=_Q10_ORACLE, survey_ops="J1,P2,A1,W1,⊘limit", tier=3
+)
 def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10 shape: who returned the most revenue last quarter.
     Returnflag filter reaches the lineitem scan (PushedFilters); the
@@ -348,7 +358,9 @@ GROUP BY l_linestatus
 """
 
 
-@register("q12_priority_shipping", oracle=_Q12_ORACLE, survey_ops="J1,P6,A1,F12")
+@register(
+    "q12_priority_shipping", oracle=_Q12_ORACLE, survey_ops="J1,P6,A1,F12", tier=3
+)
 def q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q12 shape: join + CASE-WHEN bucket counts (the same
     conditional-aggregation primitive as the reference's vendor
@@ -385,7 +397,9 @@ GROUP BY c_count
 """
 
 
-@register("q13_order_count_distribution", oracle=_Q13_ORACLE, survey_ops="⊘outer-join,A8")
+@register(
+    "q13_order_count_distribution", oracle=_Q13_ORACLE, survey_ops="⊘outer-join,A8", tier=3
+)
 def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q13 shape: LEFT OUTER join preserving order-less customers
     (c_count = 0), then a histogram of the counts — double aggregation.
@@ -419,7 +433,9 @@ WHERE l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
 """
 
 
-@register("q14_promo_revenue_share", oracle=_Q14_ORACLE, survey_ops="J1,A1,A7,F12")
+@register(
+    "q14_promo_revenue_share", oracle=_Q14_ORACLE, survey_ops="J1,A1,A7,F12", tier=3
+)
 def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 shape: percentage-of-total via conditional aggregation
     in a single pass (no second scan for the denominator)."""
@@ -460,7 +476,9 @@ WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
 """
 
 
-@register("q15_top_supplier", oracle=_Q15_ORACLE, survey_ops="A2,J1,⊘scalar-subquery")
+@register(
+    "q15_top_supplier", oracle=_Q15_ORACLE, survey_ops="A2,J1,⊘scalar-subquery", tier=3
+)
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 shape: aggregate view + scalar-subquery max, returning
     every tied supplier. The scalar subquery becomes a 1-row broadcast
@@ -499,7 +517,9 @@ WHERE p_brand = 'Brand#2'
 """
 
 
-@register("q17_small_quantity_revenue", oracle=_Q17_ORACLE, survey_ops="⊘correlated-subquery,A1,J1")
+@register(
+    "q17_small_quantity_revenue", oracle=_Q17_ORACLE, survey_ops="⊘correlated-subquery,A1,J1", tier=3
+)
 def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 shape: correlated per-part average. De-correlated into
     aggregate-then-join: one pass computes avg quantity per part, then a
@@ -545,7 +565,9 @@ WHERE (p_brand = 'Brand#2'  AND p_size BETWEEN 1 AND 15
 """
 
 
-@register("q19_disjunctive_revenue", oracle=_Q19_ORACLE, survey_ops="P6,J1,A1,F12")
+@register(
+    "q19_disjunctive_revenue", oracle=_Q19_ORACLE, survey_ops="P6,J1,A1,F12", tier=3
+)
 def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q19 shape: OR-of-ANDs spanning both join sides. Catalyst
     extracts the single-side envelopes (quantity 1-30 on lineitem,
@@ -605,7 +627,9 @@ GROUP BY c_nationkey
 """
 
 
-@register("q22_idle_customers", oracle=_Q22_ORACLE, survey_ops="⊘anti,⊘scalar-subquery,A1")
+@register(
+    "q22_idle_customers", oracle=_Q22_ORACLE, survey_ops="⊘anti,⊘scalar-subquery,A1", tier=3
+)
 def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 shape: scalar subquery (global average balance) +
     NOT EXISTS anti-join. The scalar is a 1-row broadcast cross join —
@@ -659,7 +683,9 @@ WHERE rn = 1 AND p_size < 10
 """
 
 
-@register("q2_min_cost_supplier", oracle=_Q2_ORACLE, survey_ops="⊘argmin,A2,J1")
+@register(
+    "q2_min_cost_supplier", oracle=_Q2_ORACLE, survey_ops="⊘argmin,A2,J1", tier=3
+)
 def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2 shape: argmin-per-group (cheapest supplier per part).
     Spark-first: a single `min(struct(cost, suppkey))` aggregate picks
@@ -712,7 +738,9 @@ WHERE v > (SELECT AVG(v) * 1.5 FROM pv)
 """
 
 
-@register("q11_important_parts", oracle=_Q11_ORACLE, survey_ops="⊘scalar-subquery,A1,A2")
+@register(
+    "q11_important_parts", oracle=_Q11_ORACLE, survey_ops="⊘scalar-subquery,A1,A2", tier=3
+)
 def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape: keep groups whose aggregate exceeds a global
     statistic of the groups (1.5x the mean per-part value — scale
@@ -747,7 +775,9 @@ GROUP BY p_brand, p_type, p_size
 """
 
 
-@register("q16_part_supplier_variety", oracle=_Q16_ORACLE, survey_ops="⊘distinct-agg,⊘anti,J1")
+@register(
+    "q16_part_supplier_variety", oracle=_Q16_ORACLE, survey_ops="⊘distinct-agg,⊘anti,J1", tier=3
+)
 def q16_part_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q16 shape: NOT IN (rewritten as a broadcast anti-join on
     the excluded-supplier set) + COUNT(DISTINCT) grouped by part
@@ -798,7 +828,9 @@ WHERE s_suppkey IN (
 """
 
 
-@register("q20_excess_suppliers", oracle=_Q20_ORACLE, survey_ops="⊘semi,⊘scalar-subquery,J2")
+@register(
+    "q20_excess_suppliers", oracle=_Q20_ORACLE, survey_ops="⊘semi,⊘scalar-subquery,J2", tier=3
+)
 def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q20 shape: two nested IN-subqueries (qualifying shipment
     volume; nation membership) → two left-semi joins, with the volume
@@ -869,7 +901,9 @@ GROUP BY s_name
 """
 
 
-@register("q21_blocking_suppliers", oracle=_Q21_ORACLE, survey_ops="⊘exists,⊘not-exists,A3")
+@register(
+    "q21_blocking_suppliers", oracle=_Q21_ORACLE, survey_ops="⊘exists,⊘not-exists,A3", tier=0
+)
 def q21_blocking_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 shape: correlated EXISTS + NOT EXISTS over the same
     fact table. Spark-first: both existence tests collapse into one
@@ -885,7 +919,10 @@ def q21_blocking_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("l_orderkey")
     flagged = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .withColumn("late", F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 30))
+        .withColumn(
+            "late",
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"),
+        )
         .withColumn("n_supp", F.size(F.collect_set("l_suppkey").over(w)))
         .withColumn(
             "n_late_supp",

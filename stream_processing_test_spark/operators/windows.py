@@ -34,7 +34,9 @@ FROM numbered
 """
 
 
-@register("report_batches", oracle=_BATCHES_ORACLE, survey_ops="W1,W2,S10,F5")
+@register(
+    "report_batches", oracle=_BATCHES_ORACLE, survey_ops="W1,W2,S10,F5", tier=0
+)
 def report_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Report pagination (W1+W2): rollup → lexicographic sort on the
     string-typed source id (reference parity: ids sort as strings) →
@@ -75,7 +77,9 @@ WHERE rk <= 3
 """
 
 
-@register("top_events_per_user", oracle=_TOPK_ORACLE, survey_ops="⊘rank(§2.5),W2")
+@register(
+    "top_events_per_user", oracle=_TOPK_ORACLE, survey_ops="⊘rank(§2.5),W2", tier=0
+)
 def top_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k per group (absent in the reference, §2.5 ⊘): partitioned
     window + row_number <= k. Deterministic tie-break on event_id.

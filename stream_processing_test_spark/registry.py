@@ -29,18 +29,34 @@ class QuerySpec:
     fn: QueryFn
     oracle: str | None  # DuckDB SQL, or None for non-SQL-expressible ops
     survey_ops: str  # SURVEY.md §2 operator ids this query exercises
+    tier: int = 1  # driver-check priority: lower enumerates first
 
 
 _REGISTRY: dict[str, QuerySpec] = {}
 
 
-def register(name: str, oracle: str | None = None, survey_ops: str = ""):
-    """Decorator: register ``fn`` as a named query with optional oracle."""
+def register(
+    name: str,
+    oracle: str | None = None,
+    survey_ops: str = "",
+    tier: int = 1,
+):
+    """Decorator: register ``fn`` as a named query with optional oracle.
+
+    ``tier`` orders driver-side enumeration (``all_queries`` sorts by
+    it, stable within a tier). The round-1 driver correctness gate
+    checked only a prefix of the registry, silently skipping the
+    LLM/streaming surface that happened to enumerate last — so queries
+    whose driver row matters most (new/changed this round, previously
+    skipped) register with tier=0, and long-stable well-proven shapes
+    (the TPC-H suite) with tier=2."""
 
     def deco(fn: QueryFn) -> QueryFn:
         if name in _REGISTRY:
             raise ValueError(f"duplicate query name {name!r}")
-        _REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle, survey_ops=survey_ops)
+        _REGISTRY[name] = QuerySpec(
+            name=name, fn=fn, oracle=oracle, survey_ops=survey_ops, tier=tier
+        )
         return fn
 
     return deco
@@ -75,4 +91,9 @@ def all_queries() -> dict[str, QuerySpec]:
         stateful,
     )
 
-    return dict(_REGISTRY)
+    return {
+        spec.name: spec
+        for spec in sorted(
+            _REGISTRY.values(), key=lambda s: s.tier
+        )  # stable: insertion order within a tier
+    }

@@ -42,6 +42,9 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # events.ts is parquet TIMESTAMP(NANOS); set once at session
+        # build so per-query conf mutation never races a concurrent read.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
@@ -50,6 +53,27 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def finish_with(result, *cached):
+    """Eagerly materialize ``result`` (localCheckpoint), then release the
+    persisted intermediates that fed it.
+
+    Queries that persist() fan-out intermediates (dedup shingles, LSH
+    signatures) must not leak those cache entries into a long-lived
+    session running many queries: a 71-query driver run would
+    accumulate them until executor storage memory is exhausted. A plain
+    unpersist() before returning is wrong — the action runs after
+    return, so the cache would be dropped exactly when it is needed.
+    Instead: localCheckpoint(eager=True) computes the (small) result
+    once and truncates lineage, after which the intermediates are
+    safely released; the checkpoint blocks themselves are reclaimed by
+    the ContextCleaner when the returned DataFrame is GC'd.
+    """
+    out = result.localCheckpoint(eager=True)
+    for df in cached:
+        df.unpersist()
+    return out
 
 
 _SHIPPED: set[int] = set()

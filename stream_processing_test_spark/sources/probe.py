@@ -144,7 +144,9 @@ from stream_processing_test_spark.registry import register  # noqa: E402
 from stream_processing_test_spark.tables import load  # noqa: E402
 
 
-@register("probe_source_events", oracle=None, survey_ops="S4,S5,T1,F13")
+@register(
+    "probe_source_events", oracle=None, survey_ops="S4,S5,T1,F13", tier=0
+)
 def probe_source_events(spark, sf_dir: str) -> DataFrame:
     """S4 end-to-end: customer rows stand in for the source dimension
     (FIXTURES.md mapping), the synthetic prober emits one

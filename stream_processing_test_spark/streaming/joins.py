@@ -54,7 +54,7 @@ JOIN events c
 @register(
     "streaming_click_purchase_join",
     oracle=_SS_JOIN_ORACLE,
-    survey_ops="⊘stream-stream-join,T1,T5",
+    survey_ops="⊘stream-stream-join,T1,T5", tier=0
 )
 def streaming_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream interval join: every (purchase, click) pair by the
@@ -103,7 +103,7 @@ GROUP BY event_type
 @register(
     "streaming_dedup",
     oracle=_SDEDUP_ORACLE,
-    survey_ops="⊘streaming-dedup,T1,T5,§7-dedup",
+    survey_ops="⊘streaming-dedup,T1,T5,§7-dedup", tier=0
 )
 def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exactly-once per-event counts from an at-least-once stream: the

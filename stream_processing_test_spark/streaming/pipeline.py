@@ -160,7 +160,7 @@ GROUP BY user_id, date_trunc('day', ts)
 @register(
     "streaming_daily_scores",
     oracle=_STREAM_SCORES_ORACLE,
-    survey_ops="T1,T2,T3,T4,T5,A6",
+    survey_ops="T1,T2,T3,T4,T5,A6", tier=0
 )
 def streaming_daily_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming daily availability scores: the events parquet replayed

@@ -61,9 +61,15 @@ def _streak_fn(
         streak_len, start_id, last_id = 0, 0, 0
 
     out: list[dict[str, Any]] = []
-    for pdf in pdfs:
-        pdf = pdf.sort_values("event_id")
-        for eid, etype in zip(pdf["event_id"], pdf["event_type"]):
+    # applyInPandasWithState may deliver one key's micro-batch as several
+    # unordered Arrow chunks (~10k rows each); sorting per-chunk would
+    # split streaks that span a chunk boundary. Materialize the whole
+    # key-batch first, then sort once. State stays O(1); the transient
+    # buffer is bounded by one key's rows in one micro-batch.
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if chunks:
+        batch = pd.concat(chunks, ignore_index=True).sort_values("event_id")
+        for eid, etype in zip(batch["event_id"], batch["event_type"]):
             if etype == "error":
                 if streak_len == 0:
                     start_id = int(eid)
@@ -169,8 +175,7 @@ WHERE s.end_event_id < c.last_success_id
 
 
 @register(
-    "streaming_failure_streaks", oracle=_STREAK_ORACLE, survey_ops="§2.9,T4,T6"
-)
+    "streaming_failure_streaks", oracle=_STREAK_ORACLE, survey_ops="§2.9,T4,T6", tier=0)
 def streaming_failure_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful streak detection run over the events file replayed as
     a stream (availableNow), oracle-checked against the SQL islands

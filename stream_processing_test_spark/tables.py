@@ -39,7 +39,9 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # reader rejects. Read it as a nanos-since-epoch long and convert
         # to a (microsecond) TimestampType column; `div 1000` floors
         # exactly like DuckDB's ns→display truncation, so oracle
-        # comparisons at second granularity agree.
+        # comparisons at second granularity agree. nanosAsLong is a
+        # session default in get_spark(); set here too only as a safety
+        # net for externally-built sessions (idempotent, same value).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
         from pyspark.sql import functions as F
