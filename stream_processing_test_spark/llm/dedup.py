@@ -59,8 +59,13 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def shingles(doc: DataFrame, text_col: str = "text", n: int = SHINGLE_N) -> DataFrame:
-    """(doc_id, shingle) — distinct n-token shingles per document.
+def shingles(
+    doc: DataFrame,
+    text_col: str = "text",
+    n: int = SHINGLE_N,
+    distinct: bool = True,
+) -> DataFrame:
+    """(doc_id, shingle) — n-token shingles per document.
 
     Token split on single space (matches the oracle's string_split
     exactly); shingle = n consecutive tokens joined by space. All
@@ -69,17 +74,22 @@ def shingles(doc: DataFrame, text_col: str = "text", n: int = SHINGLE_N) -> Data
     ``slice`` + ``array_join`` instead of per-position ``element_at``:
     one array access per shingle rather than n lookups each carrying a
     re-evaluated ``split`` (measured 4.4x faster at sf0.1).
+
+    ``distinct=True`` (a full shuffle) is required when downstream
+    counts shingles (Jaccard set semantics). Consumers whose aggregate
+    is duplicate-insensitive — MinHash's ``min`` — pass
+    ``distinct=False`` and skip that shuffle entirely: map-side partial
+    aggregation absorbs the duplicates for free.
     """
     w = F.split(F.col(text_col), " ")
     grams = F.transform(
         F.sequence(F.lit(1), F.size(w) - (n - 1)),
         lambda i: F.array_join(F.slice(w, i, n), " "),
     )
-    return (
-        doc.filter(F.size(w) >= n)
-        .select("doc_id", F.explode(grams).alias("shingle"))
-        .distinct()
+    out = doc.filter(F.size(w) >= n).select(
+        "doc_id", F.explode(grams).alias("shingle")
     )
+    return out.distinct() if distinct else out
 
 
 _NGRAM_ORACLE = f"""
@@ -204,7 +214,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact Jaccard.
     """
     docs = load(spark, sf_dir, "documents")
-    sh = shingles(docs)
+    # distinct=False: min() is duplicate-insensitive, so MinHash skips
+    # the shingle-dedup shuffle Jaccard needs — one shuffle (the groupBy
+    # below) instead of two, with map-side partial min doing the rest.
+    sh = shingles(docs, distinct=False)
 
     # |docs| rows x 32 longs — persisted because both sides of the
     # band-bucket self-join consume it (otherwise the whole shingle +
@@ -322,6 +335,64 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("raw_cos") >= EMBED_COSINE_THRESHOLD)
         .select("doc_a", "doc_b", F.round("raw_cos", 4).alias("cos_sim"))
     )
+
+
+@register(
+    "dedup_embedding_lsh",
+    oracle=None,
+    survey_ops="§7-dedup,§7-similarity,LSH,pandas_udf",
+    tier=0,
+)
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup via candidate/verify — the 100 TB path for
+    the semantics ``dedup_embedding_cosine`` pins exactly.
+
+    Stage 1 (candidates): random-hyperplane LSH bucket join
+    (``similarity.hyperplane_tables``) — a pair is a candidate iff it
+    collides in ANY of the 16 tables, so pairwise work is confined to
+    bucket groups instead of the n² cross join.
+    Stage 2 (verify): exact JVM-side cosine on the candidates only,
+    keeping pairs >= EMBED_COSINE_THRESHOLD.
+
+    Every emitted pair therefore satisfies the exact predicate
+    (precision 1.0 vs the quadratic twin by construction); recall is
+    the LSH collision curve — 1-(1-(1-θ/π)^planes)^tables ≈ 0.91 at
+    cos 0.35 with 16×4 — asserted as a pytest floor against the exact
+    pairs. Output schema matches ``dedup_embedding_cosine``
+    (doc_a, doc_b, cos_sim)."""
+    from stream_processing_test_spark.llm.similarity import (
+        cosine,
+        hyperplane_tables,
+    )
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    # both sides of the bucket self-join consume the hashed table —
+    # persist so the pandas_udf hashing pass runs once
+    tables = hyperplane_tables(emb).persist()
+    a = tables.select(
+        F.col("vec_id").alias("doc_a"), F.col("v").alias("va"), "table_id", "bucket"
+    )
+    b = tables.select(
+        F.col("vec_id").alias("doc_b"), F.col("v").alias("vb"), "table_id", "bucket"
+    )
+    cand = (
+        a.join(b, ["table_id", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        # a pair colliding in k tables appears k times; dedupe on the
+        # pair key before the (more expensive) exact-cosine verify
+        .select("doc_a", "doc_b", "va", "vb")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    result = (
+        cand.select(
+            "doc_a", "doc_b", cosine(F.col("va"), F.col("vb")).alias("raw_cos")
+        )
+        .filter(F.col("raw_cos") >= EMBED_COSINE_THRESHOLD)
+        .select("doc_a", "doc_b", F.round("raw_cos", 4).alias("cos_sim"))
+    )
+    return finish_with(result, tables)
 
 
 @register(

@@ -110,6 +110,44 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 N_TABLES = 16  # independent LSH tables (OR-amplification: recall)
 N_PLANES = 4  # hyperplanes per table (AND-amplification: precision)
+EMBED_DIM = 64  # embeddings table vector width (FIXTURES.md §2)
+
+
+def hyperplane_tables(
+    emb: DataFrame,
+    n_tables: int = N_TABLES,
+    n_planes: int = N_PLANES,
+    dim: int = EMBED_DIM,
+    seed: int = 42,
+) -> DataFrame:
+    """(vec_id, v, table_id, bucket): each vector hashed into one bucket
+    per LSH table via random-hyperplane sign signatures.
+
+    Shared candidate-generation stage for ANN search
+    (``ann_lsh_topk``) and embedding near-dup (``dedup_embedding_lsh``).
+    The hyperplanes come from a fixed-seed numpy RandomState inside an
+    Arrow-vectorized pandas_udf — deterministic across runs and
+    executors; the only Python in the pipeline runs over Arrow batches,
+    not rows. The udf is defined inside this function so it is pickled
+    by value (no executor-side package import needed)."""
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def buckets_of(vs: pd.Series) -> pd.Series:
+        planes = np.random.RandomState(seed).standard_normal(
+            (dim, n_tables * n_planes)
+        )
+        mat = np.stack(vs.to_numpy())  # (batch, dim)
+        signs = ((mat @ planes) > 0).reshape(len(vs), n_tables, n_planes)
+        weights = (1 << np.arange(n_planes)).astype(np.int64)
+        buckets = (signs @ weights).astype(np.int32)  # (batch, tables)
+        return pd.Series(list(buckets))
+
+    return emb.withColumn("buckets", buckets_of("v")).select(
+        "vec_id",
+        "v",
+        F.posexplode("buckets").alias("table_id", "bucket"),
+    )
 
 
 @register(
@@ -134,33 +172,12 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (e.g. 8×8) for 256× candidate pruning at the same recall.
     Rows-only driver check; pytest measures recall@k against
     ``ann_cosine_topk``."""
-    from pyspark.sql.types import ArrayType, IntegerType
-
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-
-    dim = 64  # embeddings table vector width (FIXTURES.md §2)
-
-    @F.pandas_udf(ArrayType(IntegerType()))
-    def buckets_of(vs: pd.Series) -> pd.Series:
-        planes = np.random.RandomState(42).standard_normal(
-            (dim, N_TABLES * N_PLANES)
-        )
-        mat = np.stack(vs.to_numpy())  # (batch, dim)
-        signs = ((mat @ planes) > 0).reshape(len(vs), N_TABLES, N_PLANES)
-        weights = (1 << np.arange(N_PLANES)).astype(np.int64)
-        buckets = (signs @ weights).astype(np.int32)  # (batch, tables)
-        return pd.Series(list(buckets))
-
-    bucketed = emb.withColumn("buckets", buckets_of("v"))
     # persisted: the query side and the corpus side of the bucket join
     # both consume this — without it the pandas_udf hashing runs twice.
-    tables = bucketed.select(
-        "vec_id",
-        "v",
-        F.posexplode("buckets").alias("table_id", "bucket"),
-    ).persist()
+    tables = hyperplane_tables(emb).persist()
     q = tables.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),

@@ -66,6 +66,28 @@ def test_simhash_finds_near_duplicates(spark):
     assert overlap / len(sim) >= 0.8
 
 
+def test_embedding_lsh_candidate_verify(spark):
+    """The candidate/verify composition must emit a SUBSET of the exact
+    quadratic pairs (the verify stage applies the identical predicate —
+    precision 1.0 by construction) with recall on the LSH collision
+    curve (≈0.91 at cos 0.35 for 16 tables × 4 planes; floor 0.75
+    leaves ~5 sigma of binomial slack on a few-hundred-pair fixture)."""
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["cos_sim"]
+        for r in _q("dedup_embedding_cosine").fn(spark, SF).collect()
+    }
+    approx = {
+        (r["doc_a"], r["doc_b"]): r["cos_sim"]
+        for r in _q("dedup_embedding_lsh").fn(spark, SF).collect()
+    }
+    assert exact, "fixture should contain above-threshold pairs"
+    assert set(approx) <= set(exact)  # precision 1.0
+    for p, c in approx.items():
+        assert c == exact[p]  # verify stage scores exactly
+    recall = len(approx) / len(exact)
+    assert recall >= 0.75, f"embedding-LSH recall {recall:.2f} over {len(exact)} pairs"
+
+
 def test_ann_lsh_recall_at_k(spark):
     brute = _q("ann_cosine_topk").fn(spark, SF).collect()
     lsh = _q("ann_lsh_topk").fn(spark, SF).collect()
