@@ -6,6 +6,8 @@ inside whole-stage codegen (no Python UDFs on the hot path).
 
 from __future__ import annotations
 
+from datetime import datetime, timedelta, timezone
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -54,6 +56,39 @@ def parse_bitrate_kbps(col: Column) -> Column:
     """
     extracted = F.regexp_extract(col, r"^(\d+)\s*kb/s$", 1)
     return F.when(extracted == "", None).otherwise(extracted.cast("int"))
+
+
+def crosses_next_utc_midnight(now: datetime, wait_minutes: int) -> bool:
+    """F3: does sleeping ``wait_minutes`` from ``now`` reach or cross
+    the next UTC midnight?
+
+    Mirrors the reference's day-close trigger ``isLastLoop``
+    (StreamTest.cpp:47-70): compute tomorrow 00:00:00 UTC from the
+    current UTC calendar day and test ``now + wait >= midnight``
+    (inclusive — landing exactly ON midnight counts as the last loop of
+    the day, per the reference's ``>=``). The reference polls this
+    between 120-minute report cycles to decide when to run the
+    final day-end upsert; the streaming pipeline gets the same effect
+    from watermark-driven window finalization, and batch/driver loops
+    use this predicate directly."""
+    if now.tzinfo is None:
+        now = now.replace(tzinfo=timezone.utc)
+    else:
+        now = now.astimezone(timezone.utc)
+    next_midnight = (now + timedelta(days=1)).replace(
+        hour=0, minute=0, second=0, microsecond=0
+    )
+    return now + timedelta(minutes=wait_minutes) >= next_midnight
+
+
+def crosses_next_utc_midnight_col(ts: Column, wait_minutes: int) -> Column:
+    """Column form of :func:`crosses_next_utc_midnight` for batch use —
+    ``ts + wait >= date_trunc(day, ts) + 1 day``, whole-stage codegen
+    (no Python). Session timezone is UTC (session.py), so
+    ``date_trunc('DAY', ...)`` is the UTC midnight the reference
+    computes with gmtime/timegm."""
+    next_midnight = F.date_trunc("DAY", ts) + F.expr("INTERVAL 1 DAY")
+    return ts + F.expr(f"INTERVAL {int(wait_minutes)} MINUTES") >= next_midnight
 
 
 def truncate_message(col: Column, limit: int = 18000, keep: int = 17900) -> Column:

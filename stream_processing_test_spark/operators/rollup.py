@@ -28,6 +28,40 @@ from stream_processing_test_spark.tables import load
 
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
+_DAY_CLOSE_ORACLE = """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN ts + INTERVAL 120 MINUTE
+                     >= date_trunc('day', ts) + INTERVAL 1 DAY
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_last_loop
+FROM events GROUP BY date_trunc('day', ts)
+"""
+
+
+@register("day_close_trigger", oracle=_DAY_CLOSE_ORACLE, survey_ops="F3,F1,A8", tier=0)
+def day_close_trigger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3: the reference's day-close predicate ``isLastLoop``
+    (StreamTest.cpp:47-70) — "does the next 120-minute sleep reach or
+    cross UTC midnight" — evaluated per event timestamp and rolled up
+    per day: how many of the day's events fall in the final report
+    cycle. The predicate itself is
+    ``functions.scalars.crosses_next_utc_midnight_col`` (whole-stage
+    codegen); the Python twin drives batch day-close loops."""
+    from stream_processing_test_spark.functions.scalars import (
+        crosses_next_utc_midnight_col,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_format(F.date_trunc("DAY", "ts"), "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(
+            crosses_next_utc_midnight_col(F.col("ts"), 120).cast("long")
+        ).alias("n_last_loop"),
+    )
+
+
 _WINDOW_ORACLE = """
 SELECT CAST(event_id AS BIGINT) AS event_id,
        strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,

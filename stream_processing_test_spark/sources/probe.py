@@ -15,12 +15,13 @@ each Arrow batch probes its URLs (bounded per-task concurrency = the
 reference's 25-per-round fan-out, but scheduled by Spark) and yields
 one event row per source conforming to ``PROBE_EVENT_SCHEMA``.
 
-ffmpeg/ffprobe is NOT in this container, so the default prober is a
-clearly-marked deterministic synthetic (seeded per url_id — stable
-across runs and executors). A real deployment passes
-``prober=ffprobe_prober`` (stub raising NotImplementedError here)
-keeping every Spark-side contract — schema, fan-out, batch shape,
-one-event-per-source — identical.
+The default prober is a deterministic synthetic (seeded per url_id —
+stable across runs and executors) because ffmpeg is absent from the
+test container. ``ffprobe_prober`` is a real subprocess-backed
+implementation with the reference's 5 s open / 10 s interrupt
+timeouts, used when ``ffprobe_available()``; every Spark-side
+contract — schema, fan-out, batch shape, one-event-per-source — is
+identical between the two.
 """
 
 from __future__ import annotations
@@ -81,15 +82,118 @@ def synthetic_prober(url_id: str, url: str) -> dict:
     }
 
 
-def ffprobe_prober(url_id: str, url: str) -> dict:  # pragma: no cover - stub
-    """STUB for the real ffprobe-backed prober — ffmpeg is not
-    installed in this environment. A production impl shells out to
-    ffprobe with the reference's timeouts (5 s open / 10 s interrupt,
-    StreamTest.cpp:1386-1392) and maps failures onto the error
-    taxonomy."""
-    raise NotImplementedError(
-        "ffprobe not available here; inject synthetic_prober or a real prober"
-    )
+def ffprobe_available() -> bool:
+    """Capability check: is an ffprobe binary on PATH?"""
+    import shutil
+
+    return shutil.which("ffprobe") is not None
+
+
+_EMPTY_META = {
+    "streaming_protocol": "",
+    "bitrate": "",
+    "stream_length": "",
+    "video_format": "",
+    "video_resolution": "",
+    "audio_format": "",
+    "audio_sampling_rate": "",
+}
+
+
+def ffprobe_prober(
+    url_id: str,
+    url: str,
+    open_timeout_s: int = 5,
+    total_timeout_s: int = 10,
+) -> dict:
+    """Real ffprobe-backed prober, mirroring the reference's
+    ``OperationStream`` (StreamTest.cpp:1377-1675):
+
+    - open timeout 5 s (``stimeout`` 5 000 000 µs, StreamTest.cpp:1386)
+      passed as ffprobe ``-timeout``; hard 10 s interrupt budget
+      (:1390-1391) enforced as the subprocess timeout;
+    - metadata extraction (:1419-1474): container name as the protocol
+      field, ``bit_rate/1000 + " kb/s"`` with the same
+      format→video-stream→"N/A" fallback chain, integer-second
+      duration or "N/A", first video/audio stream codec + "WxH"
+      resolution + sample rate;
+    - failures mapped onto the error taxonomy: timeout → 1012,
+      open failure → 1001, unparseable stream info → 1002, no video
+      stream → 1003, no audio stream → 1004 (partial metadata kept,
+      exactly like the reference which only fills what it extracted
+      before the failure).
+
+    Degrades gracefully: raises RuntimeError at call time when no
+    ffprobe binary is on PATH (use ``ffprobe_available()`` to gate, or
+    inject ``synthetic_prober``). Kept per-URL so ``probe_sources``
+    can fan it out via mapInPandas unchanged."""
+    import json
+    import subprocess
+
+    if not ffprobe_available():
+        raise RuntimeError(
+            "ffprobe binary not found on PATH; inject synthetic_prober "
+            "or install ffmpeg"
+        )
+    cmd = [
+        "ffprobe",
+        "-v", "error",
+        "-print_format", "json",
+        "-show_format",
+        "-show_streams",
+        "-timeout", str(open_timeout_s * 1_000_000),
+        url,
+    ]
+    try:
+        proc = subprocess.run(
+            cmd, capture_output=True, timeout=total_timeout_s
+        )
+    except subprocess.TimeoutExpired:
+        return {"item": 1012, "return_value": "", **_EMPTY_META}
+    if proc.returncode != 0:
+        return {
+            "item": 1001,
+            "return_value": str(proc.returncode),
+            **_EMPTY_META,
+        }
+    try:
+        info = json.loads(proc.stdout or b"{}")
+        fmt = info.get("format", {})
+        streams = info.get("streams", [])
+    except json.JSONDecodeError:
+        return {"item": 1002, "return_value": "", **_EMPTY_META}
+
+    video = next((s for s in streams if s.get("codec_type") == "video"), None)
+    audio = next((s for s in streams if s.get("codec_type") == "audio"), None)
+
+    # bitrate fallback chain (StreamTest.cpp:1463-1474)
+    if fmt.get("bit_rate"):
+        bitrate = f"{int(fmt['bit_rate']) // 1000} kb/s"
+    elif video is not None and video.get("bit_rate"):
+        bitrate = f"{int(video['bit_rate']) // 1000} kb/s"
+    else:
+        bitrate = "N/A"
+
+    meta = {
+        "streaming_protocol": fmt.get("format_name", ""),
+        "bitrate": bitrate,
+        "stream_length": (
+            str(int(float(fmt["duration"]))) if fmt.get("duration") else "N/A"
+        ),
+        "video_format": video.get("codec_name", "") if video else "",
+        "video_resolution": (
+            f"{video['width']}x{video['height']}"
+            if video and "width" in video and "height" in video
+            else ""
+        ),
+        "audio_format": audio.get("codec_name", "") if audio else "",
+        "audio_sampling_rate": audio.get("sample_rate", "") if audio else "",
+    }
+    if video is None:
+        return {"item": 1003, "return_value": "", **meta}
+    if audio is None:
+        return {"item": 1004, "return_value": "", **meta}
+    return {"item": 0, "return_value": "", **meta}
 
 
 PROBE_RESULT_SCHEMA = (

@@ -18,6 +18,8 @@ from pyspark.sql import functions as F
 from stream_processing_test_spark.functions.scalars import (
     blank_to_null,
     classify_resolution,
+    crosses_next_utc_midnight,
+    crosses_next_utc_midnight_col,
     parse_bitrate_kbps,
     truncate_message,
 )
@@ -201,3 +203,38 @@ def test_string_id_sort(spark):
     df = _df(spark, {"id": ["9", "10", "100", "2"]}, "id STRING")
     out = [r["id"] for r in df.orderBy("id").collect()]
     assert out == ["10", "100", "2", "9"]
+
+
+@pytest.mark.parametrize(
+    ("ts", "wait_min", "expected"),
+    [
+        # reference isLastLoop (StreamTest.cpp:47-70): now + wait >= next
+        # UTC midnight, inclusive
+        ("2024-03-05 23:59:00", 120, True),   # crosses midnight
+        ("2024-03-05 22:00:00", 120, True),   # lands exactly ON midnight (>=)
+        ("2024-03-05 21:59:59", 120, False),  # one second short
+        ("2024-03-05 00:01:00", 120, False),  # early in the day
+        ("2024-03-05 00:00:00", 1440, True),  # full-day wait from midnight
+        ("2024-03-05 12:00:00", 719, False),  # 11:59pm — not yet
+        ("2024-03-05 12:00:00", 720, True),   # exactly midnight
+    ],
+)
+def test_crosses_next_utc_midnight(spark, ts, wait_min, expected):
+    """F3 boundary semantics, Python and Column forms in lockstep."""
+    from datetime import datetime, timezone
+
+    now = datetime.strptime(ts, "%Y-%m-%d %H:%M:%S").replace(
+        tzinfo=timezone.utc
+    )
+    assert crosses_next_utc_midnight(now, wait_min) is expected
+
+    row = (
+        spark.createDataFrame(pd.DataFrame({"ts": [ts]}))
+        .select(
+            crosses_next_utc_midnight_col(
+                F.col("ts").cast("timestamp"), wait_min
+            ).alias("x")
+        )
+        .first()
+    )
+    assert row["x"] is expected

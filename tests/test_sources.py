@@ -74,9 +74,18 @@ def test_custom_prober_injection(spark):
     assert [r["item"] for r in out.collect()] == [1012] * 5
 
 
-def test_ffprobe_stub_raises():
-    with pytest.raises(NotImplementedError):
-        ffprobe_prober("1", "http://x")
+def test_ffprobe_gated_on_binary():
+    """Without an ffprobe binary the real prober refuses loudly at call
+    time (inject synthetic_prober instead); with one present it probes
+    a bogus URL and maps the failure onto the error taxonomy."""
+    from stream_processing_test_spark.sources.probe import ffprobe_available
+
+    if not ffprobe_available():
+        with pytest.raises(RuntimeError):
+            ffprobe_prober("1", "http://x")
+    else:
+        out = ffprobe_prober("1", "http://127.0.0.1:1/does-not-exist")
+        assert out["item"] in ERROR_CODES and out["item"] != 0
 
 
 def test_synthetic_prober_mixes_outcomes():
