@@ -79,13 +79,22 @@ def main() -> None:
         "noop"
     ).mode("overwrite").save()
 
+    # min-of-N (default 3): this host shows 5-50x wall-clock swings
+    # under CPU throttling, so a single sample is meaningless. Repeats
+    # run as full rounds over the query list (temporally separated, so
+    # one throttle window can't poison all samples of one query); the
+    # per-query minimum is the best available estimate of true cost.
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = specs[name].fn
-        spark.catalog.clearCache()  # each query pays for (only) its own caches
-        t0 = time.time()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+    for _ in range(repeats):
+        for name in HEADLINE:
+            fn = specs[name].fn
+            spark.catalog.clearCache()  # each query pays for (only) its own caches
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            dt = round(time.time() - t0, 3)
+            if name not in timings or dt < timings[name]:
+                timings[name] = dt
 
     total = round(sum(timings.values()), 3)
     print(
@@ -95,6 +104,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "repeats": repeats,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

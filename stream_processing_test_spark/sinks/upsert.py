@@ -82,11 +82,18 @@ def upsert_parquet(
 
     Plain-parquet stand-in for MERGE INTO: the merged result is
     written distributed to a staging directory (so we never overwrite
-    the file we are still reading from), then swapped in. Idempotent —
-    re-running the same batch yields the same target (T8 day-end
-    finalization). With a Delta/Iceberg target this whole function is
-    one MERGE INTO."""
-    import shutil
+    the file we are still reading from), then swapped in via the
+    Hadoop FileSystem of the target path — works on local fs and HDFS
+    alike (on object stores rename degrades to copy; use a table
+    format there). Idempotent — re-running the same batch yields the
+    same target (T8 day-end finalization).
+
+    The swap is two renames, NOT one atomic operation: a crash between
+    them leaves no target directory but DOES leave the ``__old_*``
+    sibling intact — recovery is renaming it back. Readers between the
+    renames can observe a missing directory. With a Delta/Iceberg
+    target this whole function is one MERGE INTO and the caveat
+    disappears."""
     import uuid
 
     target = spark.read.parquet(target_path)
@@ -94,9 +101,61 @@ def upsert_parquet(
     staging = f"{target_path.rstrip('/')}__staging_{uuid.uuid4().hex[:8]}"
     merged.write.mode("overwrite").parquet(staging)
     old = f"{target_path.rstrip('/')}__old_{uuid.uuid4().hex[:8]}"
-    shutil.move(target_path, old)
-    shutil.move(staging, target_path)
-    shutil.rmtree(old)
+
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    fs = hpath(target_path).getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.rename(hpath(target_path), hpath(old)):
+        raise IOError(f"rename {target_path} -> {old} failed")
+    if not fs.rename(hpath(staging), hpath(target_path)):
+        # put the previous target back before failing
+        fs.rename(hpath(old), hpath(target_path))
+        raise IOError(f"rename {staging} -> {target_path} failed")
+    fs.delete(hpath(old), True)
+
+
+def upsert_jdbc(
+    spark: SparkSession,
+    updates: DataFrame,
+    url: str,
+    table: str,
+    key: str,
+    always_set: tuple[str, ...] = (),
+    properties: dict[str, str] | None = None,
+) -> None:
+    """JDBC form of the S6 keyed upsert — the reference's actual sink
+    (``WriteSqlDbData``, StreamTest.cpp:134-204: skip-empty UPDATE
+    :151-171 with flow_score/resolution_type always set :165-168,
+    against a MySQL table).
+
+    Read the target table over JDBC, apply :func:`merge_upsert`
+    (identical skip-empty / always-set semantics), materialize the
+    merged result with ``localCheckpoint`` — cutting its lineage off
+    the very table we are about to overwrite — then truncate-overwrite
+    through the same connection options. Idempotent like the parquet
+    form.
+
+    On a dialect with native upsert (MySQL ``INSERT ... ON DUPLICATE
+    KEY UPDATE``) a production deployment can push the merge into the
+    DB via ``foreachPartition`` instead of rewriting the table; the
+    read-merge-write here is the portable form and keeps the merge
+    logic in one tested place."""
+    from stream_processing_test_spark.sources.jdbc import (
+        read_jdbc,
+        write_jdbc,
+    )
+
+    target = read_jdbc(spark, url, table, properties=properties)
+    merged = merge_upsert(target, updates, key, always_set)
+    snapshot = merged.localCheckpoint(eager=True)
+    write_jdbc(
+        snapshot,
+        url,
+        table,
+        mode="overwrite",
+        truncate=True,
+        properties=properties,
+    )
 
 
 def foreach_batch_upsert(
