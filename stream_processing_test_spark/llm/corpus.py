@@ -1,0 +1,153 @@
+"""Corpus preparation operators: sliding-window chunking and TF-IDF
+term scoring over the ``documents`` table.
+
+Chunking is the step between cleaning and tokenization in an LLM data
+pipeline — long documents become overlapping fixed-size token windows
+sized to the model's context. TF-IDF is the classic corpus-statistics
+pass (top term per document) and exercises the two-sided aggregation
+shape: per-(doc, term) counts joined against per-term document
+frequencies and a corpus-wide scalar.
+
+Everything is JVM-side array/window expressions — no Python in either
+plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from stream_processing_test_spark.registry import register
+from stream_processing_test_spark.tables import load
+
+CHUNK_TOKENS = 50   # window size (tokens per chunk)
+CHUNK_STRIDE = 40   # step between window starts (overlap = 10)
+
+_CHUNK_ORACLE = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+starts AS (
+    SELECT doc_id, w, unnest(range(0, len(w), {CHUNK_STRIDE})) AS s
+    FROM toks WHERE len(w) >= 1
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(s / {CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+       array_to_string(list_slice(w, s + 1, least(s + {CHUNK_TOKENS}, len(w))), ' ') AS chunk_text,
+       CAST(least({CHUNK_TOKENS}, len(w) - s) AS BIGINT) AS n_tokens
+FROM starts
+"""
+
+
+@register("doc_chunking", oracle=_CHUNK_ORACLE, survey_ops="§7-text,F4", tier=0)
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping sliding-window chunks: window {CHUNK_TOKENS} tokens,
+    stride {CHUNK_STRIDE} (trailing partial window kept — training
+    pipelines pad it, they don't drop text).
+
+    Plan: one projection with ``sequence``/``slice``/``array_join``
+    then ``explode`` — a pure map stage, no shuffle at any scale; the
+    output inherits the input's partitioning, so a downstream
+    tokenizer reads chunks co-located with their documents."""
+    docs = load(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    n = F.size(w)
+    exploded = (
+        docs.filter(n >= 1)
+        .select(
+            "doc_id",
+            w.alias("w"),
+            F.explode(
+                F.sequence(F.lit(0), n - 1, F.lit(CHUNK_STRIDE))
+            ).alias("s"),
+        )
+    )
+    nw = F.size(F.col("w"))
+    return exploded.select(
+        "doc_id",
+        (F.col("s") / CHUNK_STRIDE).cast("long").alias("chunk_id"),
+        F.array_join(
+            F.slice(F.col("w"), F.col("s") + 1, F.lit(CHUNK_TOKENS)), " "
+        ).alias("chunk_text"),
+        F.least(F.lit(CHUNK_TOKENS), nw - F.col("s"))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+
+
+_TFIDF_ORACLE = """
+WITH tok AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+    SELECT tf.doc_id, tf.term,
+           tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0) AS score
+    FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+),
+ranked AS (
+    SELECT doc_id, term, score,
+           ROW_NUMBER() OVER (PARTITION BY doc_id
+                              ORDER BY score DESC, term ASC) AS rk
+    FROM scored
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       term AS top_term,
+       ROUND(score, 4) AS tfidf
+FROM ranked WHERE rk = 1
+"""
+
+
+@register(
+    "tfidf_top_terms", oracle=_TFIDF_ORACLE, survey_ops="§7-text,A2,J1", tier=0
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top TF-IDF term per document (smoothed idf =
+    ln((N+1)/(df+1)) + 1; ties broken by term ascending, so the
+    answer is deterministic).
+
+    Plan shape at scale: tf is a partial-aggregated groupBy on
+    (doc_id, term); df is a groupBy on term over the same exploded
+    tokens — both map-side combined. The corpus size N is a 1-row
+    broadcast (never a driver-collected literal), the tf⋈df join
+    shuffles on term (df's grouping key, so one side is already
+    partitioned correctly), and the final top-1 is a window over
+    doc_id — the same key tf grouped on."""
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = tok.groupBy("term").agg(
+        F.count_distinct("doc_id").alias("df")
+    )
+    n = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(df, "term")
+        .join(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            (
+                F.col("tf")
+                * (
+                    F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0))
+                    + 1.0
+                )
+            ).alias("score"),
+        )
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy(
+            F.col("score").desc(), F.col("term").asc()
+        )
+    )
+    return (
+        scored.withColumn("rk", rk)
+        .filter(F.col("rk") == 1)
+        .select(
+            "doc_id",
+            F.col("term").alias("top_term"),
+            F.round("score", 4).alias("tfidf"),
+        )
+    )

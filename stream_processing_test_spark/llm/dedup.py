@@ -92,8 +92,11 @@ def shingles(
     return out.distinct() if distinct else out
 
 
-_NGRAM_ORACLE = f"""
-WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+# CTE chain producing the near-dup pair set (doc_a, doc_b, jac) —
+# shared verbatim by the jaccard oracle below and the
+# connected-components cluster oracle (llm/cluster.py), so the two can
+# never drift apart on what counts as a duplicate edge.
+NGRAM_PAIR_CTES = f"""toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
 sh0 AS (
     SELECT doc_id,
            unnest(list_transform(range(len(w) - {SHINGLE_N - 1}),
@@ -108,14 +111,20 @@ inter AS (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS isect
     FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
     GROUP BY a.doc_id, b.doc_id
-)
-SELECT CAST(doc_a AS BIGINT) AS doc_a,
-       CAST(doc_b AS BIGINT) AS doc_b,
-       ROUND(CAST(isect AS DOUBLE) / (sa.sz + sb.sz - isect), 4) AS jaccard
-FROM inter
-JOIN sizes sa ON inter.doc_a = sa.doc_id
-JOIN sizes sb ON inter.doc_b = sb.doc_id
-WHERE CAST(isect AS DOUBLE) / (sa.sz + sb.sz - isect) >= {JACCARD_THRESHOLD}
+),
+pairs AS (
+    SELECT CAST(doc_a AS BIGINT) AS doc_a,
+           CAST(doc_b AS BIGINT) AS doc_b,
+           CAST(isect AS DOUBLE) / (sa.sz + sb.sz - isect) AS jac
+    FROM inter
+    JOIN sizes sa ON inter.doc_a = sa.doc_id
+    JOIN sizes sb ON inter.doc_b = sb.doc_id
+    WHERE CAST(isect AS DOUBLE) / (sa.sz + sb.sz - isect) >= {JACCARD_THRESHOLD}
+)"""
+
+_NGRAM_ORACLE = f"""
+WITH {NGRAM_PAIR_CTES}
+SELECT doc_a, doc_b, ROUND(jac, 4) AS jaccard FROM pairs
 """
 
 

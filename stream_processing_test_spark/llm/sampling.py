@@ -1,0 +1,128 @@
+"""Deterministic corpus sampling and source mixing.
+
+A 100 TB training-data pipeline never samples with ``rand()`` — a
+resumable, auditable pipeline needs the SAME documents selected on
+every run, on every executor, after every retry. The standard trick is
+a hash gate: keep a row iff the first 16 bits of ``md5(key)`` fall
+under ``rate * 2^16``. md5 is identical everywhere (unlike engine
+hash() builtins), the decision is a pure per-row map (no shuffle, no
+state), and the threshold is a 4-hex-char string compare — cheap and
+whole-stage-codegen'd.
+
+``stratified_sample`` applies per-language rates (downsample dominant
+languages, keep the tail); ``source_mixing`` audits per-source target
+weights vs achieved rates — the report a mixing step emits before a
+training run.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stream_processing_test_spark.registry import register
+from stream_processing_test_spark.tables import load
+
+# language -> sampling rate; threshold = hex(floor(rate * 0x10000))
+LANG_RATES: dict[str, float] = {
+    "en": 0.5,   # dominant language downsampled
+    "zh": 0.2,
+    "es": 0.2,
+    "de": 0.2,
+    "fr": 0.2,
+}
+DEFAULT_RATE = 0.1  # unknown languages: keep a trickle, never drop to 0
+
+# source weights for the mixing audit (high-quality sources upweighted)
+HIGH_QUALITY_SOURCES = tuple(f"src{i}" for i in range(10))
+HQ_RATE, LQ_RATE = 0.75, 0.25
+
+
+def _hex_threshold(rate: float) -> str:
+    return format(int(rate * 0x10000), "04x")
+
+
+def hash_gate(key: Column) -> Column:
+    """First 4 hex chars of md5(key) — uniform in [0, 0x10000); a row
+    passes a rate by ``hash_gate(key) < _hex_threshold(rate)``
+    (lexicographic compare on lowercase hex == numeric compare)."""
+    return F.substring(F.md5(key.cast("string")), 1, 4)
+
+
+_SAMPLE_CASE_SQL = "CASE lang " + " ".join(
+    f"WHEN '{lang}' THEN '{_hex_threshold(rate)}'"
+    for lang, rate in LANG_RATES.items()
+) + f" ELSE '{_hex_threshold(DEFAULT_RATE)}' END"
+
+_SAMPLE_ORACLE = f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, source
+FROM documents
+WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < {_SAMPLE_CASE_SQL}
+"""
+
+
+@register(
+    "stratified_sample", oracle=_SAMPLE_ORACLE, survey_ops="§7-text,P6,F12", tier=0
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language deterministic sample of ``documents``: keep a doc
+    iff md5(doc_id)'s 16-bit prefix clears the language's rate. Pure
+    map pass — filters push to the scan, no shuffle, and the kept set
+    is bit-identical across runs/engines (the oracle recomputes it
+    independently in DuckDB)."""
+    docs = load(spark, sf_dir, "documents")
+    threshold = F.lit(_hex_threshold(DEFAULT_RATE))
+    for lang, rate in LANG_RATES.items():
+        threshold = F.when(
+            F.col("lang") == lang, F.lit(_hex_threshold(rate))
+        ).otherwise(threshold)
+    return docs.filter(hash_gate(F.col("doc_id")) < threshold).select(
+        "doc_id", "lang", "source"
+    )
+
+
+_MIX_ORACLE = f"""
+WITH gated AS (
+    SELECT source,
+           CASE WHEN source IN {HIGH_QUALITY_SOURCES} THEN {HQ_RATE} ELSE {LQ_RATE} END AS target_rate,
+           substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+             < CASE WHEN source IN {HIGH_QUALITY_SOURCES}
+                    THEN '{_hex_threshold(HQ_RATE)}'
+                    ELSE '{_hex_threshold(LQ_RATE)}' END AS kept
+    FROM documents
+)
+SELECT source,
+       ROUND(ANY_VALUE(target_rate), 2) AS target_rate,
+       CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       ROUND(SUM(CASE WHEN kept THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 4) AS achieved_rate
+FROM gated GROUP BY source
+"""
+
+
+@register(
+    "source_mixing", oracle=_MIX_ORACLE, survey_ops="§7-text,A1,A7", tier=0
+)
+def source_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-mixing audit: per source, the target weight, total docs,
+    docs the deterministic gate keeps, and the achieved rate. One
+    map pass + one partial-aggregated groupBy on source."""
+    docs = load(spark, sf_dir, "documents")
+    is_hq = F.col("source").isin(*HIGH_QUALITY_SOURCES)
+    target = F.when(is_hq, F.lit(HQ_RATE)).otherwise(F.lit(LQ_RATE))
+    gate = F.when(
+        is_hq,
+        hash_gate(F.col("doc_id")) < _hex_threshold(HQ_RATE),
+    ).otherwise(hash_gate(F.col("doc_id")) < _hex_threshold(LQ_RATE))
+    return (
+        docs.select("source", target.alias("target_rate"), gate.alias("kept"))
+        .groupBy("source")
+        .agg(
+            F.round(F.any_value("target_rate"), 2).alias("target_rate"),
+            F.count("*").alias("n_total"),
+            F.sum(F.col("kept").cast("long")).alias("n_kept"),
+            F.round(
+                F.sum(F.col("kept").cast("long")) / F.count("*"), 4
+            ).alias("achieved_rate"),
+        )
+    )

@@ -80,8 +80,12 @@ def all_queries() -> dict[str, QuerySpec]:
     )
     from stream_processing_test_spark.sources import probe  # noqa: F401
     from stream_processing_test_spark.llm import (  # noqa: F401
+        cluster,
+        corpus,
         dedup,
+        embeddings,
         multimodal,
+        sampling,
         similarity,
         text,
     )

@@ -8,6 +8,9 @@ from __future__ import annotations
 import sys
 from pathlib import Path
 
+import pandas as pd
+import pytest
+
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from stream_processing_test_spark.registry import all_queries
@@ -191,3 +194,118 @@ def test_ann_ivf_recall_at_k(spark):
             assert r["cos_sim"] == brute_sim[key]
 
     assert len(ivf) == N_QUERIES * TOP_K
+
+
+# ---------------------------------------------------------------------------
+# Connected-components clustering (llm/cluster.py)
+# ---------------------------------------------------------------------------
+
+
+def _union_find_components(pairs):
+    """Ground truth: classic union-find over the same edge list."""
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def test_connected_components_matches_union_find(spark):
+    """Chain + clique + isolated pair: the chain (0-1-2-3-4) has
+    diameter 4, forcing multiple propagation rounds — exactly the shape
+    a per-round bug would mislabel."""
+    from stream_processing_test_spark.llm.cluster import connected_components
+
+    edges = [(0, 1), (1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)]
+    df = spark.createDataFrame(pd.DataFrame(edges, columns=["src", "dst"]))
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(df).collect()
+    }
+    assert got == _union_find_components(edges)
+
+
+def test_connected_components_nonconvergence_is_loud(spark):
+    from stream_processing_test_spark.llm.cluster import connected_components
+
+    chain = [(i, i + 1) for i in range(6)]  # diameter 6 > max_iter
+    df = spark.createDataFrame(pd.DataFrame(chain, columns=["src", "dst"]))
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(df, max_iter=2)
+
+
+def test_dup_clusters_transitive(spark):
+    """Every pair's endpoints land in the same cluster, and every
+    cluster id is the min doc_id of its members (canonical keeper)."""
+    from stream_processing_test_spark.llm.cluster import dup_clusters
+    from stream_processing_test_spark.llm.dedup import dedup_ngram_jaccard
+
+    sf = "/root/testdata/sf0.001"
+    comp = {r["doc_id"]: r["component"] for r in dup_clusters(spark, sf).collect()}
+    pairs = [
+        (r["doc_a"], r["doc_b"])
+        for r in dedup_ngram_jaccard(spark, sf).collect()
+    ]
+    assert pairs, "fixture must produce dup pairs or the test is vacuous"
+    for a, b in pairs:
+        assert comp[a] == comp[b]
+    members: dict = {}
+    for node, c in comp.items():
+        members.setdefault(c, []).append(node)
+    for c, nodes in members.items():
+        assert c == min(nodes)
+
+
+# ---------------------------------------------------------------------------
+# Chunking edges (llm/corpus.py)
+# ---------------------------------------------------------------------------
+
+
+def test_chunking_reconstructs_text_and_bounds(spark, tmp_path):
+    """Short doc -> one partial chunk; exact-window doc -> one full
+    chunk; long doc -> overlapping chunks whose stride-prefix concat
+    reconstructs the original text (no token lost or duplicated)."""
+    from stream_processing_test_spark.llm.corpus import (
+        CHUNK_STRIDE,
+        CHUNK_TOKENS,
+        doc_chunking,
+    )
+
+    texts = {
+        1: "a b c",
+        2: " ".join(f"t{i}" for i in range(CHUNK_TOKENS)),
+        3: " ".join(f"w{i}" for i in range(137)),
+    }
+    pdf = pd.DataFrame(
+        {
+            "doc_id": list(texts),
+            "text": list(texts.values()),
+            "lang": ["en"] * 3,
+            "source": ["s"] * 3,
+            "n_chars": [len(t) for t in texts.values()],
+        }
+    )
+    sf = str(tmp_path)
+    spark.createDataFrame(pdf).write.parquet(f"{sf}/documents.parquet")
+    out = doc_chunking(spark, sf).collect()
+    by_doc: dict = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert [c["chunk_text"] for c in by_doc[1]] == ["a b c"]
+    assert len(by_doc[2]) == 2  # window 50 stride 40: starts 0 and 40
+    chunks3 = sorted(by_doc[3], key=lambda r: r["chunk_id"])
+    toks = []
+    for c in chunks3[:-1]:
+        toks.extend(c["chunk_text"].split(" ")[:CHUNK_STRIDE])
+    toks.extend(chunks3[-1]["chunk_text"].split(" "))
+    assert " ".join(toks) == texts[3]
+    assert all(c["n_tokens"] == len(c["chunk_text"].split(" ")) for c in out)
