@@ -62,6 +62,17 @@ HEADLINE = [
     "doc_quality_score",
     "streaming_daily_scores",
     "streaming_failure_streaks",
+    "dup_clusters",
+    "doc_chunking",
+    "tfidf_top_terms",
+    "stratified_sample",
+    "source_mixing",
+    "embedding_centroids",
+    "embedding_norm_stats",
+    "dedup_simhash",
+    "ann_lsh_topk",
+    "lang_id_ngram",
+    "day_close_trigger",
 ]
 
 

@@ -215,3 +215,56 @@ def test_q21_single_fact_shuffle(spark):
     assert plan.count("Window") >= 1
     # a self-join plan would need >=2 scans of lineitem
     assert plan.count("lineitem") <= 1
+
+
+def test_chunking_is_shuffle_free(spark):
+    """doc_chunking is a pure map stage: explode + projections, zero
+    Exchange nodes — at 100 TB the chunker must inherit the scan's
+    partitioning, not reshuffle the corpus."""
+    from stream_processing_test_spark.llm.corpus import doc_chunking
+
+    plan = _plan(doc_chunking(spark, SF_SMALL))
+    assert "Exchange" not in plan
+    assert "ReadSchema" in plan
+    read = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    # column pruning: chunking needs doc_id + text, not lang/source/n_chars
+    assert "lang" not in read and "source" not in read
+
+
+def test_sampling_is_shuffle_free_and_pruned(spark):
+    """The deterministic hash gate is a filter in the scan stage; the
+    projection prunes to the three output columns."""
+    from stream_processing_test_spark.llm.sampling import stratified_sample
+
+    plan = _plan(stratified_sample(spark, SF_SMALL))
+    assert "Exchange" not in plan
+    read = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "text" not in read and "n_chars" not in read
+
+
+def test_tfidf_partial_aggregates(spark):
+    """Both tf and df must partial-aggregate before their shuffles
+    (HashAggregate appears in partial and final modes), and the corpus
+    count must arrive via broadcast, not a collected literal."""
+    from stream_processing_test_spark.llm.corpus import tfidf_top_terms
+
+    plan = _plan(tfidf_top_terms(spark, SF_SMALL))
+    assert "BroadcastExchange" in plan
+    assert plan.count("HashAggregate") >= 4  # partial+final for tf and df
+
+
+def test_centroids_shuffle_partials_not_vectors(spark):
+    """embedding_centroids must shuffle aggregated (label, dim)
+    partials: the exchange comes after a partial HashAggregate, so
+    shuffle volume is |labels|*dims rows regardless of corpus size."""
+    from stream_processing_test_spark.llm.embeddings import embedding_centroids
+
+    plan = _plan(embedding_centroids(spark, SF_SMALL))
+    lines = plan.splitlines()
+    first_exchange = next(
+        i for i, l in enumerate(lines) if "Exchange" in l and "Broadcast" not in l
+    )
+    # formatted plans print operators leaf-last within a stage: the
+    # partial aggregate must appear below (after) the exchange line,
+    # i.e. upstream of it in dataflow order
+    assert any("HashAggregate" in l for l in lines[first_exchange:])
