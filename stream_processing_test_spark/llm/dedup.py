@@ -10,11 +10,13 @@ Four strategies, cheapest-first — the standard LLM-corpus dedup ladder:
    replaces the O(n²) cross join: cost is Σ_shingle df², bounded by
    the df cap. Fully SQL-expressible → oracle-checked.
 3. **MinHash + LSH** — signature banding for approximate Jaccard at
-   scale; candidates from band-bucket joins. Hash functions are
-   Spark-side (xxhash64), so this is checked rows-only + by a pytest
-   that validates banded candidates against exact Jaccard.
-4. **SimHash** — 64-bit locality-sensitive fingerprint; near-dup if
-   hamming distance <= k on any rotated block join.
+   scale; candidates from band-bucket joins. Hashes are the portable
+   md5-derived 60-bit family (``hashing.phash``), so the WHOLE pipeline
+   — signatures, banding, candidate join, estimate — is replayed by a
+   DuckDB oracle, not just rows-counted.
+4. **SimHash** — 60-bit locality-sensitive fingerprint; near-dup if
+   hamming distance <= k on any block equi-join. Same portable hash →
+   fully oracle-checked.
 
 All operate on the driver's ``documents`` table (doc_id, text, ...).
 """
@@ -24,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from stream_processing_test_spark.llm.hashing import phash, phash_sql
 from stream_processing_test_spark.registry import register
 from stream_processing_test_spark.session import finish_with
 from stream_processing_test_spark.tables import load
@@ -92,17 +95,21 @@ def shingles(
     return out.distinct() if distinct else out
 
 
-# CTE chain producing the near-dup pair set (doc_a, doc_b, jac) —
-# shared verbatim by the jaccard oracle below and the
-# connected-components cluster oracle (llm/cluster.py), so the two can
-# never drift apart on what counts as a duplicate edge.
-NGRAM_PAIR_CTES = f"""toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+# Shingle-expansion CTEs (doc_id, shingle) — shared by the jaccard and
+# minhash oracles so the two can never drift on tokenization.
+SHINGLE_CTES = f"""toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
 sh0 AS (
     SELECT doc_id,
            unnest(list_transform(range(len(w) - {SHINGLE_N - 1}),
                   i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] || ' ' || w[i+5])) AS shingle
     FROM toks WHERE len(w) >= {SHINGLE_N}
-),
+)"""
+
+# CTE chain producing the near-dup pair set (doc_a, doc_b, jac) —
+# shared verbatim by the jaccard oracle below and the
+# connected-components cluster oracle (llm/cluster.py), so the two can
+# never drift apart on what counts as a duplicate edge.
+NGRAM_PAIR_CTES = f"""{SHINGLE_CTES},
 sh AS (SELECT DISTINCT doc_id, shingle FROM sh0),
 rare_shingles AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= {DF_MAX}),
 rare AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare_shingles USING (shingle)),
@@ -198,29 +205,69 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# MinHash + LSH (approximate, scale path) — Spark-side hashes, rows-only check
+# MinHash + LSH (approximate, scale path) — portable hashes, fully
+# oracle-checked: the DuckDB oracle replays signatures, banding, the
+# candidate join and the estimate bit-for-bit.
 # ---------------------------------------------------------------------------
 
 NUM_HASHES = 32
 NUM_BANDS = 8  # 8 bands × 4 rows ≈ s-curve threshold ~0.72
+_ROWS_PER_BAND = NUM_HASHES // NUM_BANDS
+
+_MIN_EXPRS = ",\n           ".join(
+    f"min({phash_sql('shingle', seed=j)}) AS h{j}" for j in range(NUM_HASHES)
+)
+_SIG_LIST = "[" + ", ".join(f"h{j}" for j in range(NUM_HASHES)) + "]"
+
+_MINHASH_ORACLE = f"""
+WITH {SHINGLE_CTES},
+sig AS (
+    SELECT doc_id,
+           {_MIN_EXPRS}
+    FROM sh0 GROUP BY doc_id
+),
+sigl AS (SELECT doc_id, {_SIG_LIST} AS sig FROM sig),
+bands AS (
+    SELECT doc_id, sig, b,
+           sig[{_ROWS_PER_BAND}*b+1 : {_ROWS_PER_BAND}*b+{_ROWS_PER_BAND}] AS bh
+    FROM sigl, range({NUM_BANDS}) bb(b)
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+                    a.sig AS sa, b2.sig AS sb
+    FROM bands a JOIN bands b2
+      ON a.b = b2.b AND a.bh = b2.bh AND a.doc_id < b2.doc_id
+),
+est AS (
+    SELECT doc_a, doc_b,
+           ROUND(len(list_filter(range({NUM_HASHES}), i -> sa[i+1] = sb[i+1]))
+                 / {NUM_HASHES}.0, 4) AS est_jaccard
+    FROM cand
+)
+SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
+       est_jaccard
+FROM est WHERE est_jaccard >= 0.5
+"""
 
 
 @register(
-    "dedup_minhash_lsh", oracle=None, survey_ops="§7-dedup,LSH", tier=0
+    "dedup_minhash_lsh", oracle=_MINHASH_ORACLE, survey_ops="§7-dedup,LSH", tier=1
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures + banded LSH candidate pairs.
 
-    minhash_j(doc) = min over shingles of xxhash64(shingle, seed=j).
-    Banding: signature split into NUM_BANDS bands of 4; docs sharing
-    any band bucket become a candidate pair, with estimated Jaccard =
-    fraction of agreeing signature positions. No pairwise work outside
-    bucket groups — this is the 100 TB-scale near-dup path (the exact
-    `dedup_ngram_jaccard` join verifies its quality in tests).
-
-    Not SQL-oracle-checkable (xxhash64 is Spark-specific); the driver
-    records a rows-only check and pytest validates candidates against
-    exact Jaccard.
+    minhash_j(doc) = min over shingles of phash(shingle, seed=j) — the
+    portable md5-derived 60-bit hash (llm/hashing.py), identical in
+    Spark and DuckDB, which is what lets the oracle replay the whole
+    pipeline instead of a rows-only check. Banding: signature split
+    into NUM_BANDS bands of 4; docs sharing any band bucket become a
+    candidate pair, with estimated Jaccard = fraction of agreeing
+    signature positions. The band bucket join key is the raw 4-long
+    signature slice (array equality) — no second-level hash needed, so
+    nothing engine-specific leaks into the join. No pairwise work
+    outside bucket groups — this is the 100 TB-scale near-dup path
+    (the exact `dedup_ngram_jaccard` join verifies its quality in
+    tests).
     """
     docs = load(spark, sf_dir, "documents")
     # distinct=False: min() is duplicate-insensitive, so MinHash skips
@@ -233,11 +280,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 32-hash pipeline runs twice).
     sig = sh.groupBy("doc_id").agg(
         F.array(
-            *[F.min(F.xxhash64("shingle", F.lit(j))) for j in range(NUM_HASHES)]
+            *[F.min(phash("shingle", seed=j)) for j in range(NUM_HASHES)]
         ).alias("sig")
     ).persist()
 
-    rows_per_band = NUM_HASHES // NUM_BANDS
     bands = sig.select(
         "doc_id",
         "sig",
@@ -246,12 +292,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[
-                                F.element_at("sig", b * rows_per_band + r + 1)
-                                for r in range(rows_per_band)
-                            ]
-                        ).alias("bucket"),
+                        F.slice("sig", b * _ROWS_PER_BAND + 1, _ROWS_PER_BAND).alias(
+                            "bucket"
+                        ),
                     )
                     for b in range(NUM_BANDS)
                 ]
@@ -346,11 +389,33 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _embedding_lsh_oracle() -> str:
+    from stream_processing_test_spark.llm.similarity import bucket_ctes
+
+    return f"""
+WITH {bucket_ctes()},
+cand AS (
+    SELECT DISTINCT a.vec_id AS doc_a, b.vec_id AS doc_b
+    FROM buckets a JOIN buckets b
+      ON a.table_id = b.table_id AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+verified AS (
+    SELECT c.doc_a, c.doc_b, list_cosine_similarity(ea.v, eb.v) AS raw
+    FROM cand c
+    JOIN esig ea ON ea.vec_id = c.doc_a
+    JOIN esig eb ON eb.vec_id = c.doc_b
+)
+SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
+       ROUND(raw, 4) AS cos_sim
+FROM verified WHERE raw >= {EMBED_COSINE_THRESHOLD}
+"""
+
+
 @register(
     "dedup_embedding_lsh",
-    oracle=None,
-    survey_ops="§7-dedup,§7-similarity,LSH,pandas_udf",
-    tier=0,
+    oracle=_embedding_lsh_oracle(),
+    survey_ops="§7-dedup,§7-similarity,LSH",
+    tier=1,
 )
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup via candidate/verify — the 100 TB path for
@@ -404,49 +469,90 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return finish_with(result, tables)
 
 
+SIMHASH_BITS = 60  # phash width — see llm/hashing.py
+SIMHASH_BLOCKS = 4
+_BLOCK_BITS = SIMHASH_BITS // SIMHASH_BLOCKS  # 15
+_BLOCK_MASK = (1 << _BLOCK_BITS) - 1
+SIMHASH_MAX_HAMMING = 3
+
+_SIMHASH_ORACLE = f"""
+WITH tk AS (
+    SELECT doc_id, {phash_sql('tok')} AS h
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) t
+    WHERE tok <> ''
+),
+votes AS (
+    SELECT doc_id, k,
+           SUM(CASE WHEN ((h >> k) & 1) = 1 THEN 1 ELSE -1 END) AS v
+    FROM tk, range({SIMHASH_BITS}) kk(k)
+    GROUP BY doc_id, k
+),
+fp AS (
+    SELECT doc_id,
+           SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << k) ELSE 0 END) AS simhash
+    FROM votes GROUP BY doc_id
+),
+blocks AS (
+    SELECT doc_id, simhash, i,
+           (simhash >> ({_BLOCK_BITS} * i)) & {_BLOCK_MASK} AS block
+    FROM fp, range({SIMHASH_BLOCKS}) ii(i)
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                    bit_count(xor(a.simhash, b.simhash)) AS hd
+    FROM blocks a JOIN blocks b
+      ON a.i = b.i AND a.block = b.block AND a.doc_id < b.doc_id
+)
+SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
+       CAST(hd AS BIGINT) AS hamming
+FROM cand WHERE hd <= {SIMHASH_MAX_HAMMING}
+"""
+
+
 @register(
-    "dedup_simhash", oracle=None, survey_ops="§7-dedup,SimHash", tier=0
+    "dedup_simhash", oracle=_SIMHASH_ORACLE, survey_ops="§7-dedup,SimHash", tier=1
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash near-dup pairs (hamming distance <= 3).
+    """60-bit SimHash near-dup pairs (hamming distance <= 3).
 
     simhash = sign-aggregated bit vector of token hashes: bit k is 1
-    iff Σ_tokens (bit k of xxhash64(token) ? +1 : -1) > 0. Candidate
-    generation: split the 64-bit fingerprint into 4 16-bit blocks —
-    by pigeonhole, any pair at distance <= 3 agrees on >= 1 block —
-    join per block, then verify exact hamming distance. This is the
-    classic Manku et al. (WWW'07) sharding, a bounded equi-join
-    instead of an all-pairs scan.
+    iff Σ_tokens (bit k of phash(token) ? +1 : -1) > 0. The hash is
+    the portable md5-derived 60-bit family (llm/hashing.py) — 60 bits
+    instead of 64 keeps every value positive in a signed long in both
+    engines (no two's-complement special-casing) and lets the DuckDB
+    oracle replay the fingerprints exactly. Candidate generation:
+    split the fingerprint into 4 15-bit blocks — by pigeonhole, any
+    pair at distance <= 3 agrees on >= 1 block — join per block, then
+    verify exact hamming distance. This is the classic Manku et al.
+    (WWW'07) sharding, a bounded equi-join instead of an all-pairs
+    scan.
     """
     docs = load(spark, sf_dir, "documents")
     toks = (
         docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
         .filter(F.col("tok") != "")
     )
-    h = F.xxhash64("tok")
+    h = phash("tok")
 
-    def bit_mask(k: int) -> int:
-        # bit 63 must be expressed as the signed two's-complement value
-        # (Java longs have no unsigned literal for 1 << 63)
-        return (1 << k) if k < 63 else -(1 << 63)
-
-    # per (doc, bit): sum of +1/-1 votes, then pack bits driver-free
+    # per (doc, bit): sum of +1/-1 votes, then pack bits driver-free.
+    # One wide 60-counter aggregation (map-side combinable) beats a
+    # 60x explode: the shuffle carries |docs| rows, not |docs|*60.
     votes = toks.groupBy("doc_id").agg(
         *[
             F.sum(
-                F.when(h.bitwiseAND(F.lit(bit_mask(k))) != 0, 1).otherwise(-1)
+                F.when(h.bitwiseAND(F.lit(1 << k)) != 0, 1).otherwise(-1)
             ).alias(f"b{k}")
-            for k in range(64)
+            for k in range(SIMHASH_BITS)
         ]
     )
     # |docs| rows — persisted: both sides of the per-block self-join
-    # consume it (otherwise the 64-counter aggregation runs twice).
+    # consume it (otherwise the 60-counter aggregation runs twice).
     simhash = votes.select(
         "doc_id",
         sum(
             [
-                F.when(F.col(f"b{k}") > 0, F.lit(bit_mask(k))).otherwise(F.lit(0))
-                for k in range(64)
+                F.when(F.col(f"b{k}") > 0, F.lit(1 << k)).otherwise(F.lit(0))
+                for k in range(SIMHASH_BITS)
             ],
             F.lit(0),
         ).cast("long").alias("simhash"),
@@ -460,11 +566,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(i).alias("block_id"),
-                        F.shiftrightunsigned("simhash", 16 * i)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftrightunsigned("simhash", _BLOCK_BITS * i)
+                        .bitwiseAND(F.lit(_BLOCK_MASK))
                         .alias("block"),
                     )
-                    for i in range(4)
+                    for i in range(SIMHASH_BLOCKS)
                 ]
             )
         ).alias("bb"),
@@ -476,12 +582,12 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = blocks.select(
         F.col("doc_id").alias("doc_b"), F.col("simhash").alias("h_b"), "block_id", "block"
     )
-    hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))).cast("long")
     result = (
         a.join(b, ["block_id", "block"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b", hamming.alias("hamming"))
         .distinct()
-        .filter(F.col("hamming") <= 3)
+        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
     )
     return finish_with(result, simhash)

@@ -1,0 +1,104 @@
+"""Portable 60-bit hashing — the same value computable in Spark, in
+DuckDB, and in driver-side Python.
+
+Why it exists: the LSH family (MinHash banding, SimHash fingerprints,
+random-hyperplane bucketing) originally hashed with Spark's
+``xxhash64``, which DuckDB cannot evaluate — so those queries could
+only get rows-only driver checks. Deriving every hash from ``md5``
+instead makes the full candidate/verify output oracle-checkable:
+both engines compute md5 of the same string bit-identically, and both
+can turn its first 15 hex chars into the same BIGINT.
+
+15 hex chars = 60 bits, chosen because 2^60 - 1 fits a *signed* 64-bit
+integer in both engines (16 chars could overflow to null in Spark's
+string→long cast). All values are non-negative, so unsigned shifts and
+plain ``>>`` agree everywhere.
+
+The three twins (keep in lockstep):
+
+- :func:`phash` — Spark Column: ``conv(substring(md5(x),1,15),16,10)``
+  cast to long.
+- :func:`phash_sql` — DuckDB fragment:
+  ``CAST('0x' || substr(md5(x),1,15) AS BIGINT)``.
+- :func:`phash_py` — ``int(hashlib.md5(x).hexdigest()[:15], 16)``,
+  used to materialize literal hyperplane weights on the driver.
+
+Hyperplane weights: component (t, p, d) hashes ``"hp:t:p:d"`` and maps
+the 60-bit value to [-1, 1) via ``h / 2**59 - 1``. The division is by a
+power of two, so double rounding is an exact scaling in every engine —
+the three twins produce bit-identical doubles, and the sign of a
+(sequentially-folded) dot product agrees across engines up to genuine
+float noise at |dot| ~ 1e-15, negligible for random data.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from functools import lru_cache
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+PHASH_HEX = 15
+PHASH_BITS = 4 * PHASH_HEX  # 60
+
+
+def phash(col: Column | str, seed: int | None = None) -> Column:
+    """Spark twin: portable 60-bit hash of a string column.
+
+    ``seed`` prefixes the input with ``"{seed}:"`` — the cheap way to
+    get an independent hash family member per seed (MinHash needs 32).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    if seed is not None:
+        c = F.concat(F.lit(f"{seed}:"), c)
+    return F.conv(F.substring(F.md5(c), 1, PHASH_HEX), 16, 10).cast("long")
+
+
+def phash_sql(expr: str, seed: int | None = None) -> str:
+    """DuckDB twin of :func:`phash`. ``expr`` is a SQL string expression."""
+    if seed is not None:
+        expr = f"'{seed}:' || {expr}"
+    return f"CAST('0x' || substr(md5({expr}), 1, {PHASH_HEX}) AS BIGINT)"
+
+
+def phash_py(s: str, seed: int | None = None) -> int:
+    """Driver-Python twin of :func:`phash`."""
+    if seed is not None:
+        s = f"{seed}:{s}"
+    return int(hashlib.md5(s.encode()).hexdigest()[:PHASH_HEX], 16)
+
+
+def _plane_component(t: int, p: int, d: int) -> float:
+    # h / 2**59 - 1: uniform in [-1, 1). Power-of-two scaling keeps the
+    # int→double rounding identical to DuckDB's BIGINT/POWER(2,59).
+    return phash_py(f"hp:{t}:{p}:{d}") / (1 << (PHASH_BITS - 1)) - 1.0
+
+
+@lru_cache(maxsize=8)
+def plane_weights(
+    n_tables: int, n_planes: int, dim: int
+) -> tuple[tuple[tuple[float, ...], ...], ...]:
+    """Deterministic hyperplane matrix ``W[t][p][d]`` for sign-LSH.
+
+    Derived purely from :func:`phash_py`, so the DuckDB CTE from
+    :func:`plane_weights_cte` regenerates the identical doubles and an
+    oracle can replay the whole bucketing."""
+    return tuple(
+        tuple(
+            tuple(_plane_component(t, p, d) for d in range(dim))
+            for p in range(n_planes)
+        )
+        for t in range(n_tables)
+    )
+
+
+def plane_weights_cte(n_tables: int, n_planes: int, dim: int) -> str:
+    """DuckDB CTE body ``hp(t, p, w)`` regenerating :func:`plane_weights`."""
+    comp = phash_sql("'hp:' || t || ':' || p || ':' || d")
+    return f"""hp AS (
+    SELECT t, p,
+           list({comp} / POWER(2, {PHASH_BITS - 1}) - 1.0 ORDER BY d) AS w
+    FROM range({n_tables}) tt(t), range({n_planes}) pp(p), range({dim}) dd(d)
+    GROUP BY t, p
+)"""
