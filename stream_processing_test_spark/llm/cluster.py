@@ -44,10 +44,22 @@ def connected_components(
 
     Raises RuntimeError if not converged within ``max_iter`` rounds —
     silent truncation would mislabel components, and a dup graph whose
-    diameter exceeds ``max_iter`` deserves loud attention."""
+    diameter exceeds ``max_iter`` deserves loud attention.
+
+    Convergence is detected IN-JOB: the propagation step carries the
+    old label alongside the new one, so the per-round materialization
+    (``localCheckpoint``) is the only heavy action — the convergence
+    test is then an ``isEmpty`` limit-1 probe over the already-cached
+    blocks. The earlier form re-joined new labels against old labels
+    and ``count()``-ed the diff, i.e. one extra shuffle join + full
+    scan per round purely for bookkeeping. ``sym`` is hash-partitioned
+    on ``src`` once before the loop, so every round's edge⋈label join
+    reuses that exchange instead of re-shuffling the (static) edge set.
+    """
     sym = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .union(edges.select(F.col(dst).alias("src"), F.col(src).alias("dst")))
+        .repartition("src")
         .persist()
     )
     labels = (
@@ -64,10 +76,13 @@ def connected_components(
                 .groupBy("node")
                 .agg(F.min("component").alias("nbr_min"))
             )
-            new_labels = (
+            # new label = min(own, neighborhood min); new <= old always,
+            # so "changed" is exactly "new < old".
+            stepped = (
                 labels.join(nbr_min, "node", "left")
                 .select(
                     "node",
+                    F.col("component").alias("old_component"),
                     F.least(
                         F.col("component"),
                         F.coalesce(F.col("nbr_min"), F.col("component")),
@@ -75,14 +90,10 @@ def connected_components(
                 )
                 .localCheckpoint(eager=True)
             )
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "node")
-                .filter(F.col("n.component") != F.col("o.component"))
-                .count()
-            )
-            labels = new_labels
-            if changed == 0:
+            labels = stepped.select("node", "component")
+            if stepped.filter(
+                F.col("component") < F.col("old_component")
+            ).isEmpty():
                 return labels
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds"

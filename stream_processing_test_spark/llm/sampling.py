@@ -39,6 +39,13 @@ HQ_RATE, LQ_RATE = 0.75, 0.25
 
 
 def _hex_threshold(rate: float) -> str:
+    # rate >= 1.0 would format as the 5-char '10000', and the 4-char
+    # lexicographic compare would then keep only ~6% (hashes starting
+    # '0') — silently, and identically on Spark and oracle sides, so no
+    # cross-check would ever catch it. Fail loudly instead; a keep-all
+    # gate should skip the filter, not encode 100% as a threshold.
+    if not 0.0 <= rate < 1.0:
+        raise ValueError(f"sampling rate must be in [0, 1), got {rate}")
     return format(int(rate * 0x10000), "04x")
 
 

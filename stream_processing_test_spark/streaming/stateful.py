@@ -182,24 +182,29 @@ def streaming_failure_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     formulation — custom stateful operator + batch parity in one."""
     from stream_processing_test_spark.streaming.pipeline import events_stream
 
-    ev = events_stream(spark, os.path.join(sf_dir, "events.parquet"))
-    name = f"streaks_{abs(hash(sf_dir)) % 10_000}"
     # Each state partition spawns a Python worker per micro-batch; with
     # O(thousands) of keys the spawn cost dominates (32 -> 8 partitions
     # measured 4x faster at sf0.01). A real deployment sizes this to
     # keys/executor-memory, not to the relational shuffle width.
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        q = (
-            failure_streaks(ev)
-            .writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
-    return spark.table(name)
+    #
+    # The stateful operator REQUIRES HashPartitioning(key, shuffle
+    # partitions) — a manual repartition(8) upstream would just get a
+    # second exchange added back — so the knob must be the conf itself.
+    # It is scoped to a CLONED session (same SparkContext/executors,
+    # separate SQLConf): concurrent queries on the parent session never
+    # observe the override, and there is nothing to restore on exit.
+    scoped = spark.newSession()
+    scoped.conf.set("spark.sql.shuffle.partitions", "8")
+    ev = events_stream(scoped, os.path.join(sf_dir, "events.parquet"))
+    name = f"streaks_{abs(hash(sf_dir)) % 10_000}"
+    q = (
+        failure_streaks(ev)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # the memory-sink view lives in the scoped session's catalog
+    return scoped.table(name)

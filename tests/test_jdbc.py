@@ -126,3 +126,108 @@ def test_upsert_jdbc_semantics_and_idempotence(spark, derby_url):
             "3": ("old3", 30),
             "4": ("new4", 40),   # appended
         }
+
+
+def _exec_sql(spark, url, stmts):
+    from stream_processing_test_spark.sinks.upsert import _execute_driver_sql
+
+    _execute_driver_sql(spark, url, stmts, properties=DERBY)
+
+
+def test_upsert_jdbc_pushdown_merge(spark, derby_url):
+    """DB-native MERGE upsert: same skip-empty/always-set semantics as
+    the portable form, idempotent, and — the point of pushing down —
+    rows absent from the update batch are never rewritten (asserted by
+    an AFTER UPDATE trigger logging every physically updated key).
+
+    Key columns must have comparable SQL types: Spark's Derby dialect
+    maps StringType to CLOB, which Derby refuses to compare in MERGE's
+    ON clause — so the tables are created with VARCHAR keys via the
+    ``createTableColumnTypes`` write option (exactly what a production
+    schema would have; you never key on a LOB)."""
+    from stream_processing_test_spark.sinks.upsert import upsert_jdbc_pushdown
+
+    # only the MERGE key needs a comparable type; nullable non-key
+    # columns stay CLOB (Spark setNull sends the dialect default type
+    # code, which Derby rejects against an overridden VARCHAR column)
+    typed = dict(DERBY, createTableColumnTypes="id VARCHAR(10)")
+    target = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "id": ["1", "2", "3"],
+                "name": ["old1", "old2", "old3"],
+                "flow_score": [10, 20, 30],
+            }
+        )
+    )
+    write_jdbc(target, derby_url, "dimp", mode="overwrite", properties=typed)
+    _exec_sql(
+        spark,
+        derby_url,
+        [
+            'CREATE TABLE touch_log ("id" VARCHAR(10))',
+            'CREATE TRIGGER dimp_touch AFTER UPDATE ON dimp '
+            'REFERENCING OLD AS o FOR EACH ROW '
+            'INSERT INTO touch_log VALUES (o."id")',
+        ],
+    )
+    updates = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "id": ["2", "4"],
+                "name": pd.array([None, "new4"], dtype="string"),
+                "flow_score": [99, 40],
+            }
+        )
+    )
+    for _ in range(2):  # second run must be a no-op (T8 idempotence)
+        upsert_jdbc_pushdown(
+            spark,
+            updates,
+            derby_url,
+            "dimp",
+            key="id",
+            always_set=("flow_score",),
+            properties=typed,
+        )
+        rows = {
+            r["id"]: (r["name"], r["flow_score"])
+            for r in read_jdbc(
+                spark, derby_url, "dimp", properties=DERBY
+            ).collect()
+        }
+        assert rows == {
+            "1": ("old1", 10),
+            "2": ("old2", 99),   # empty name skipped, always-set score set
+            "3": ("old3", 30),
+            "4": ("new4", 40),   # appended
+        }
+    touched = [
+        r["id"]
+        for r in read_jdbc(spark, derby_url, "touch_log", properties=DERBY).collect()
+    ]
+    # keys 1 and 3 were never physically updated — MERGE only touches
+    # matched keys ("2" twice, "4" matched on the idempotent second run)
+    assert set(touched) == {"2", "4"} and sorted(touched) == ["2", "2", "4"]
+
+
+def test_merge_into_sql_dialects():
+    """MySQL emits INSERT..ON DUPLICATE KEY UPDATE (the reference's
+    engine, StreamTest.cpp:151-171); everything else ANSI MERGE."""
+    from stream_processing_test_spark.sinks.upsert import merge_into_sql
+
+    std = merge_into_sql(
+        "dim", "dim__stg", ["id", "name", "score"], "id", ("score",)
+    )
+    assert std.startswith("MERGE INTO dim t USING dim__stg s")
+    assert 'COALESCE(s."name", t."name")' in std
+    assert '"score" = s."score"' in std
+
+    my = merge_into_sql(
+        "dim", "dim__stg", ["id", "name", "score"], "id", ("score",),
+        dialect="mysql",
+    )
+    assert my.startswith("INSERT INTO dim")
+    assert "ON DUPLICATE KEY UPDATE" in my
+    assert 'COALESCE(VALUES("name"), dim."name")' in my
+    assert '"score" = VALUES("score")' in my
