@@ -100,18 +100,43 @@ _EMPTY_META = {
 }
 
 
+def _communicate_with_escalation(
+    proc, total_timeout_s: float, kill_grace_s: float = 5.0
+) -> bytes | None:
+    """Wait for a probe subprocess with the reference's kill
+    escalation (StreamTest.cpp:1121-1167): on timeout send SIGTERM,
+    grant a grace period (5 s, :1131), then SIGKILL stragglers and
+    reap. Returns stdout, or None if the process had to be killed."""
+    import subprocess
+
+    try:
+        out, _ = proc.communicate(timeout=total_timeout_s)
+        return out
+    except subprocess.TimeoutExpired:
+        proc.terminate()
+        try:
+            proc.wait(timeout=kill_grace_s)
+        except subprocess.TimeoutExpired:
+            proc.kill()
+        proc.wait()
+        return None
+
+
 def ffprobe_prober(
     url_id: str,
     url: str,
     open_timeout_s: int = 5,
     total_timeout_s: int = 10,
+    kill_grace_s: int = 5,
 ) -> dict:
     """Real ffprobe-backed prober, mirroring the reference's
     ``OperationStream`` (StreamTest.cpp:1377-1675):
 
     - open timeout 5 s (``stimeout`` 5 000 000 µs, StreamTest.cpp:1386)
       passed as ffprobe ``-timeout``; hard 10 s interrupt budget
-      (:1390-1391) enforced as the subprocess timeout;
+      (:1390-1391) enforced as the subprocess timeout, with the
+      reference's TERM → 5 s grace → KILL escalation (:1121-1167) for
+      a wedged child (``_communicate_with_escalation``);
     - metadata extraction (:1419-1474): container name as the protocol
       field, ``bit_rate/1000 + " kb/s"`` with the same
       format→video-stream→"N/A" fallback chain, integer-second
@@ -144,11 +169,11 @@ def ffprobe_prober(
         "-timeout", str(open_timeout_s * 1_000_000),
         url,
     ]
-    try:
-        proc = subprocess.run(
-            cmd, capture_output=True, timeout=total_timeout_s
-        )
-    except subprocess.TimeoutExpired:
+    proc = subprocess.Popen(
+        cmd, stdout=subprocess.PIPE, stderr=subprocess.PIPE
+    )
+    stdout = _communicate_with_escalation(proc, total_timeout_s, kill_grace_s)
+    if stdout is None:
         return {"item": 1012, "return_value": "", **_EMPTY_META}
     if proc.returncode != 0:
         return {
@@ -157,7 +182,7 @@ def ffprobe_prober(
             **_EMPTY_META,
         }
     try:
-        info = json.loads(proc.stdout or b"{}")
+        info = json.loads(stdout or b"{}")
         fmt = info.get("format", {})
         streams = info.get("streams", [])
     except json.JSONDecodeError:
@@ -205,10 +230,39 @@ PROBE_RESULT_SCHEMA = (
 )
 
 
+_CANCELLED = {"item": 1012, "return_value": "cancelled", **_EMPTY_META}
+_WEDGED = {"item": 1012, "return_value": "wedged", **_EMPTY_META}
+
+
+def _probe_with_watchdog(prober: ProbeFn, url_id: str, url: str, timeout_s: float) -> dict:
+    """Run one probe under a hard wall-clock watchdog: the prober runs
+    in a daemon thread joined with ``timeout_s``; a wedged probe (one
+    that ignores its own timeouts) yields a STREAM_TIMEOUT event and
+    the batch moves on — the thread-level analog of the reference's
+    interrupt callback (StreamTest.cpp:119-131). Python threads cannot
+    be killed, so a truly wedged prober leaks a daemon thread; the real
+    kill lives one layer down, in the prober's own subprocess
+    escalation (``_communicate_with_escalation``) — same split as the
+    reference (interrupt_cb in-process, SIGKILL from the parent)."""
+    import threading
+
+    box: dict = {}
+
+    def run() -> None:
+        box["result"] = prober(url_id, url)
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    return box.get("result", dict(_WEDGED)) if not t.is_alive() else dict(_WEDGED)
+
+
 def probe_sources(
     sources: DataFrame,
     prober: ProbeFn = synthetic_prober,
     created_time: datetime | None = None,
+    stop: Callable[[], bool] | None = None,
+    probe_timeout_s: float | None = None,
 ) -> DataFrame:
     """Fan a sources dimension (id, url, target_matching,
     target_matching_id) out to probes; one outcome event per source.
@@ -217,16 +271,38 @@ def probe_sources(
     the distributed replacement for the reference's fork()-per-source
     round scheduler (StreamTest.cpp:1083-1176). ``created_time``
     defaults to now(UTC), server-stamped like the reference; pass a
-    fixed value for deterministic tests."""
+    fixed value for deterministic tests.
+
+    Cancellation (T7, StreamTest.cpp:807-815, 1121-1167):
+
+    - ``stop``: zero-arg callable checked BETWEEN probes on the
+      executor (the cooperative analog of the reference's shared-mmap
+      stop flag; make it executor-evaluable, e.g. a closure testing a
+      shared filesystem path). Once it returns True, remaining sources
+      in the batch emit STREAM_TIMEOUT (1012) events with
+      ``return_value='cancelled'`` WITHOUT invoking the prober. The
+      reference silently drops killed stragglers' events; we emit a
+      row per source so downstream per-source rollups stay total —
+      deviation documented here.
+    - ``probe_timeout_s``: per-probe hard wall-clock watchdog for
+      probers that ignore their own timeouts (``_probe_with_watchdog``).
+    """
     from stream_processing_test_spark.session import ensure_package_shipped
 
     ensure_package_shipped(sources.sparkSession)
     stamp = created_time or datetime.now(timezone.utc).replace(tzinfo=None)
 
+    def one(url_id: str, url: str) -> dict:
+        if stop is not None and stop():
+            return dict(_CANCELLED)
+        if probe_timeout_s is not None:
+            return _probe_with_watchdog(prober, url_id, url, probe_timeout_s)
+        return prober(url_id, url)
+
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             results = [
-                prober(str(u), str(url))
+                one(str(u), str(url))
                 for u, url in zip(pdf["id"], pdf["url"])
             ]
             out = pd.DataFrame(results)
