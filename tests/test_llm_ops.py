@@ -309,3 +309,48 @@ def test_chunking_reconstructs_text_and_bounds(spark, tmp_path):
     toks.extend(chunks3[-1]["chunk_text"].split(" "))
     assert " ".join(toks) == texts[3]
     assert all(c["n_tokens"] == len(c["chunk_text"].split(" ")) for c in out)
+
+
+def test_ivf_routing_gain_on_clustered_corpus(spark):
+    """On a corpus WITH geometric structure (8 well-separated centers,
+    tight noise), the k-means quantizer must deliver real routing gain:
+    recall@10 far above the nprobe/n_lists fraction-searched floor.
+    Deterministic numpy construction (fixed seed), exact top-k computed
+    in-test."""
+    import numpy as np
+    import pandas as pd
+
+    from stream_processing_test_spark.llm.similarity import ivf_topk
+
+    rng = np.random.RandomState(7)
+    dim, n_centers, per = 16, 8, 50
+    centers = rng.standard_normal((n_centers, dim)) * 10.0
+    pts = np.concatenate(
+        [c + rng.standard_normal((per, dim)) for c in centers]
+    )
+    n = len(pts)  # 400
+    pdf = pd.DataFrame({"vec_id": range(n), "v": [list(map(float, p)) for p in pts]})
+    emb = spark.createDataFrame(pdf, "vec_id BIGINT, v ARRAY<DOUBLE>")
+    n_queries, top_k = 5, 10
+    q = emb.filter(f"vec_id < {n_queries}").selectExpr(
+        "vec_id AS query_id", "v AS qv"
+    )
+
+    n_lists, n_probe = 8, 2
+    got_rows = ivf_topk(emb, q, n_lists=n_lists, n_probe=n_probe, top_k=top_k).collect()
+    got = {(r["query_id"], r["neighbor_id"]) for r in got_rows}
+
+    # exact top-k per query (numpy)
+    norms = np.linalg.norm(pts, axis=1)
+    expect = set()
+    for qi in range(n_queries):
+        cos = (pts @ pts[qi]) / (norms * norms[qi])
+        cos[qi] = -np.inf
+        # match the engine's 4-decimal-round + neighbor_id tiebreak
+        order = sorted(range(n), key=lambda j: (-round(cos[j], 4), j))
+        expect |= {(qi, j) for j in order[:top_k]}
+
+    recall = len(expect & got) / len(expect)
+    floor = n_probe / n_lists  # fraction of corpus a blind router searches
+    assert recall >= 0.9, f"clustered-corpus recall@10 {recall:.2f}"
+    assert recall > floor + 0.3  # genuine routing gain, not floor luck
