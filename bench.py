@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 from pathlib import Path
@@ -70,7 +71,9 @@ HEADLINE = [
     "embedding_centroids",
     "embedding_norm_stats",
     "dedup_simhash",
+    "dedup_embedding_lsh",
     "ann_lsh_topk",
+    "ann_ivf_topk",
     "lang_id_ngram",
     "day_close_trigger",
 ]
@@ -96,17 +99,22 @@ def main() -> None:
     # one throttle window can't poison all samples of one query); the
     # per-query minimum is the best available estimate of true cost.
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
-    timings: dict[str, float] = {}
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
     for _ in range(repeats):
         for name in HEADLINE:
             fn = specs[name].fn
             spark.catalog.clearCache()  # each query pays for (only) its own caches
             t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            dt = round(time.time() - t0, 3)
-            if name not in timings or dt < timings[name]:
-                timings[name] = dt
+            samples[name].append(round(time.time() - t0, 3))
 
+    timings = {name: min(ts) for name, ts in samples.items()}
+    # per-query [min, median, max]: throttle noise shows up as a
+    # median/max far above min, visible in the artifact itself
+    spread = {
+        name: [min(ts), round(statistics.median(ts), 3), max(ts)]
+        for name, ts in samples.items()
+    }
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -115,6 +123,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread": spread,
                 "repeats": repeats,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
