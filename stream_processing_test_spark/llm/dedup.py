@@ -26,7 +26,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from stream_processing_test_spark.llm.hashing import phash, phash_sql
+from stream_processing_test_spark.llm.hashing import (
+    MINFAM_P,
+    minfam_coeffs,
+    phash,
+    phash_sql,
+)
 from stream_processing_test_spark.registry import register
 from stream_processing_test_spark.session import finish_with
 from stream_processing_test_spark.tables import load
@@ -215,16 +220,20 @@ NUM_BANDS = 8  # 8 bands × 4 rows ≈ s-curve threshold ~0.72
 _ROWS_PER_BAND = NUM_HASHES // NUM_BANDS
 
 _MIN_EXPRS = ",\n           ".join(
-    f"min({phash_sql('shingle', seed=j)}) AS h{j}" for j in range(NUM_HASHES)
+    f"min(({a} * hb + {b}) % {MINFAM_P}) AS h{j}"
+    for j, (a, b) in enumerate(minfam_coeffs(NUM_HASHES))
 )
 _SIG_LIST = "[" + ", ".join(f"h{j}" for j in range(NUM_HASHES)) + "]"
 
 _MINHASH_ORACLE = f"""
 WITH {SHINGLE_CTES},
+shb AS (
+    SELECT doc_id, {phash_sql('shingle')} % {MINFAM_P} AS hb FROM sh0
+),
 sig AS (
     SELECT doc_id,
            {_MIN_EXPRS}
-    FROM sh0 GROUP BY doc_id
+    FROM shb GROUP BY doc_id
 ),
 sigl AS (SELECT doc_id, {_SIG_LIST} AS sig FROM sig),
 bands AS (
@@ -256,10 +265,11 @@ FROM est WHERE est_jaccard >= 0.5
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures + banded LSH candidate pairs.
 
-    minhash_j(doc) = min over shingles of phash(shingle, seed=j) — the
-    portable md5-derived 60-bit hash (llm/hashing.py), identical in
-    Spark and DuckDB, which is what lets the oracle replay the whole
-    pipeline instead of a rows-only check. Banding: signature split
+    minhash_j(doc) = min over shingles of the portable universal-hash
+    family h_j(shingle) = (a_j * (phash(shingle) % P) + b_j) % P
+    (llm/hashing.py) — ONE md5 per shingle plus 32 exact int64 affine
+    maps, identical in Spark and DuckDB, which is what lets the oracle
+    replay the whole pipeline instead of a rows-only check. Banding: signature split
     into NUM_BANDS bands of 4; docs sharing any band bucket become a
     candidate pair, with estimated Jaccard = fraction of agreeing
     signature positions. The band bucket join key is the raw 4-long
@@ -278,11 +288,20 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # |docs| rows x 32 longs — persisted because both sides of the
     # band-bucket self-join consume it (otherwise the whole shingle +
     # 32-hash pipeline runs twice).
-    sig = sh.groupBy("doc_id").agg(
-        F.array(
-            *[F.min(phash("shingle", seed=j)) for j in range(NUM_HASHES)]
-        ).alias("sig")
-    ).persist()
+    hb = F.col("hb")
+    sig = (
+        sh.select("doc_id", (phash("shingle") % MINFAM_P).alias("hb"))
+        .groupBy("doc_id")
+        .agg(
+            F.array(
+                *[
+                    F.min((F.lit(a) * hb + F.lit(b)) % MINFAM_P)
+                    for a, b in minfam_coeffs(NUM_HASHES)
+                ]
+            ).alias("sig")
+        )
+        .persist()
+    )
 
     bands = sig.select(
         "doc_id",
@@ -443,24 +462,29 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     # both sides of the bucket self-join consume the hashed table —
-    # persist so the pandas_udf hashing pass runs once
+    # persist so the signature fold runs once. Buckets are bare
+    # (vec_id, table_id, bucket) rows: the candidate explosion (a pair
+    # colliding in k tables appears k times, and bucket groups are
+    # quadratic in group size) travels as 16-byte id pairs, never
+    # vector payloads.
     tables = hyperplane_tables(emb).persist()
-    a = tables.select(
-        F.col("vec_id").alias("doc_a"), F.col("v").alias("va"), "table_id", "bucket"
-    )
-    b = tables.select(
-        F.col("vec_id").alias("doc_b"), F.col("v").alias("vb"), "table_id", "bucket"
-    )
+    a = tables.select(F.col("vec_id").alias("doc_a"), "table_id", "bucket")
+    b = tables.select(F.col("vec_id").alias("doc_b"), "table_id", "bucket")
     cand = (
         a.join(b, ["table_id", "bucket"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        # a pair colliding in k tables appears k times; dedupe on the
-        # pair key before the (more expensive) exact-cosine verify
-        .select("doc_a", "doc_b", "va", "vb")
+        # dedupe on the pair key before the (more expensive) verify
+        .select("doc_a", "doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
     )
+    # exact-verify: two equi-joins pull the vectors back onto the
+    # deduped pairs (same shape as the oracle's cand→esig joins).
+    va = emb.select(F.col("vec_id").alias("doc_a"), F.col("v").alias("va"))
+    vb = emb.select(F.col("vec_id").alias("doc_b"), F.col("v").alias("vb"))
     result = (
-        cand.select(
+        cand.join(va, "doc_a")
+        .join(vb, "doc_b")
+        .select(
             "doc_a", "doc_b", cosine(F.col("va"), F.col("vb")).alias("raw_cos")
         )
         .filter(F.col("raw_cos") >= EMBED_COSINE_THRESHOLD)

@@ -69,6 +69,32 @@ def phash_py(s: str, seed: int | None = None) -> int:
     return int(hashlib.md5(s.encode()).hexdigest()[:PHASH_HEX], 16)
 
 
+MINFAM_P = (1 << 31) - 1  # Mersenne prime 2^31-1
+
+
+@lru_cache(maxsize=4)
+def minfam_coeffs(n: int) -> tuple[tuple[int, int], ...]:
+    """Coefficients for the portable universal hash family
+
+        h_j(x) = (a_j * (phash(x) % P) + b_j) % P,   P = 2^31 - 1
+
+    MinHash needs ``n`` independent-ish hash functions per shingle;
+    computing ``n`` separate md5s costs ``n`` full digests per row
+    (the dominant cost of the whole signature stage). One md5 + the
+    classic affine family is the standard MinHash construction and is
+    ~n× cheaper. Portability: ``phash(x) % P`` and both coefficients
+    are < 2^31, so ``a*h + b`` stays below 2^62 — the arithmetic is
+    exact, overflow-free int64 in Spark, DuckDB, and Python alike.
+    Coefficients derive from :func:`phash_py` (a_j nonzero mod P)."""
+    return tuple(
+        (
+            phash_py(f"mh:a:{j}") % (MINFAM_P - 1) + 1,
+            phash_py(f"mh:b:{j}") % MINFAM_P,
+        )
+        for j in range(n)
+    )
+
+
 def _plane_component(t: int, p: int, d: int) -> float:
     # h / 2**59 - 1: uniform in [-1, 1). Power-of-two scaling keeps the
     # int→double rounding identical to DuckDB's BIGINT/POWER(2,59).
