@@ -73,11 +73,23 @@ def shingles(
     n: int = SHINGLE_N,
     distinct: bool = True,
 ) -> DataFrame:
-    """(doc_id, shingle) — n-token shingles per document.
+    """(doc_id, shingle) — n-token shingles per document, where
+    ``shingle`` is the portable 60-bit hash (``hashing.phash``) of the
+    n-token string, not the string itself.
 
     Token split on single space (matches the oracle's string_split
     exactly); shingle = n consecutive tokens joined by space. All
     JVM-side array expressions — no Python in the loop.
+
+    Hashing at the source matters for every downstream stage: the
+    distinct, the document-frequency groupBy and the inverted-index
+    self-join all shuffle 8-byte longs instead of ~45-byte strings
+    (~5x narrower shuffles, long-vs-long key compares). The oracle
+    CTEs hash identically, so cross-engine parity is untouched; the
+    2^-60 collision odds are negligible AND replayed identically by
+    both engines, so even a collision cannot produce a mismatch.
+    MinHash reuses the same value as its universal-hash base — one
+    md5 per shingle total across the whole dedup family.
 
     ``slice`` + ``array_join`` instead of per-position ``element_at``:
     one array access per shingle rather than n lookups each carrying a
@@ -95,18 +107,21 @@ def shingles(
         lambda i: F.array_join(F.slice(w, i, n), " "),
     )
     out = doc.filter(F.size(w) >= n).select(
-        "doc_id", F.explode(grams).alias("shingle")
-    )
+        "doc_id", F.explode(grams).alias("gram")
+    ).select("doc_id", phash("gram").alias("shingle"))
     return out.distinct() if distinct else out
 
 
 # Shingle-expansion CTEs (doc_id, shingle) — shared by the jaccard and
-# minhash oracles so the two can never drift on tokenization.
+# minhash oracles so the two can never drift on tokenization. The
+# shingle value is the portable 60-bit hash of the 5-gram string,
+# mirroring :func:`shingles`.
+_GRAM_EXPR = " || ' ' || ".join(f"w[i+{k}]" for k in range(1, SHINGLE_N + 1))
 SHINGLE_CTES = f"""toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
 sh0 AS (
     SELECT doc_id,
            unnest(list_transform(range(len(w) - {SHINGLE_N - 1}),
-                  i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] || ' ' || w[i+5])) AS shingle
+                  i -> {phash_sql(_GRAM_EXPR)})) AS shingle
     FROM toks WHERE len(w) >= {SHINGLE_N}
 )"""
 
@@ -228,7 +243,7 @@ _SIG_LIST = "[" + ", ".join(f"h{j}" for j in range(NUM_HASHES)) + "]"
 _MINHASH_ORACLE = f"""
 WITH {SHINGLE_CTES},
 shb AS (
-    SELECT doc_id, {phash_sql('shingle')} % {MINFAM_P} AS hb FROM sh0
+    SELECT doc_id, shingle % {MINFAM_P} AS hb FROM sh0
 ),
 sig AS (
     SELECT doc_id,
@@ -290,7 +305,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 32-hash pipeline runs twice).
     hb = F.col("hb")
     sig = (
-        sh.select("doc_id", (phash("shingle") % MINFAM_P).alias("hb"))
+        sh.select("doc_id", (F.col("shingle") % MINFAM_P).alias("hb"))
         .groupBy("doc_id")
         .agg(
             F.array(
