@@ -145,3 +145,57 @@ def dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comp.join(sizes, "component").select(
         "doc_id", "component", "cluster_size"
     )
+
+
+_KEEP_ORACLE = f"""
+WITH RECURSIVE {NGRAM_PAIR_CTES},
+edges AS (SELECT doc_a AS e_src, doc_b AS e_dst FROM pairs
+          UNION ALL
+          SELECT doc_b, doc_a FROM pairs),
+nodes AS (SELECT DISTINCT e_src AS node FROM edges),
+walk(node, lbl) AS (
+    SELECT node, node FROM nodes
+    UNION
+    SELECT e.e_dst, w.lbl FROM walk w JOIN edges e ON e.e_src = w.node
+),
+comp AS (SELECT node, MIN(lbl) AS component FROM walk GROUP BY node)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(COALESCE(c.component, d.doc_id) AS BIGINT) AS component,
+       COALESCE(c.component, d.doc_id) = d.doc_id AS keep
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+"""
+
+
+@register(
+    "dedup_keep_canonical",
+    oracle=_KEEP_ORACLE,
+    survey_ops="§7-dedup,J1,⊘anti",
+    tier=0,
+)
+def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-level dedup verdict: every document with its duplicate
+    cluster and whether it survives (``keep`` = it IS the cluster's
+    canonical min-id member, or it is in no dup pair at all).
+
+    This is the op a pipeline actually materializes — ``WHERE keep``
+    is the deduplicated corpus; pair/cluster queries are its
+    evidence. One left join of the corpus against the (small)
+    clustered-node set — at 100 TB the component table is |nodes in
+    dup pairs| rows, typically orders of magnitude under |corpus|, so
+    the join broadcasts and the pass is map-side over the corpus scan.
+    """
+    from stream_processing_test_spark.llm.dedup import dedup_ngram_jaccard
+    from stream_processing_test_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    pairs = dedup_ngram_jaccard(spark, sf_dir)
+    comp = connected_components(pairs, src="doc_a", dst="doc_b")
+    joined = docs.join(
+        F.broadcast(comp), docs.doc_id == comp.node, "left"
+    )
+    component = F.coalesce(F.col("component"), F.col("doc_id"))
+    return joined.select(
+        "doc_id",
+        component.alias("component"),
+        (component == F.col("doc_id")).alias("keep"),
+    )

@@ -630,3 +630,96 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
     )
     return finish_with(result, simhash)
+
+
+# ---------------------------------------------------------------------------
+# Train/eval decontamination — n-gram overlap across a split
+# ---------------------------------------------------------------------------
+
+CONTAM_N = 3  # contamination n-gram size (finer than dedup's 5-grams)
+CONTAM_DF_MAX = 50  # same hot-key bound rationale as DF_MAX
+EVAL_MOD = 97  # eval split = doc_id % EVAL_MOD == 0 (deterministic ~1%)
+
+_CONTAM_GRAM = " || ' ' || ".join(f"w[i+{k}]" for k in range(1, CONTAM_N + 1))
+
+_CONTAM_ORACLE = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh0 AS (
+    SELECT doc_id,
+           unnest(list_transform(range(len(w) - {CONTAM_N - 1}),
+                  i -> {phash_sql(_CONTAM_GRAM)})) AS shingle
+    FROM toks WHERE len(w) >= {CONTAM_N}
+),
+sh AS (SELECT DISTINCT doc_id, shingle FROM sh0),
+rare_shingles AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= {CONTAM_DF_MAX}),
+rare AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare_shingles USING (shingle)),
+ev AS (SELECT * FROM rare WHERE doc_id % {EVAL_MOD} = 0),
+tr AS (SELECT * FROM rare WHERE doc_id % {EVAL_MOD} <> 0),
+ov AS (
+    SELECT tr.doc_id AS train_doc, ev.doc_id AS eval_doc, COUNT(*) AS shared
+    FROM tr JOIN ev USING (shingle) GROUP BY 1, 2
+)
+SELECT CAST(train_doc AS BIGINT) AS doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_eval_docs,
+       CAST(MAX(shared) AS BIGINT) AS max_shared
+FROM ov GROUP BY train_doc
+"""
+
+
+@register(
+    "decontaminate_overlap",
+    oracle=_CONTAM_ORACLE,
+    survey_ops="§7-dedup,J1,A1",
+    tier=0,
+)
+def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-decontamination scan: train documents that share
+    rare n-gram shingles with any document in the eval split.
+
+    The eval split is a deterministic ~1% slice (doc_id % 97 == 0 —
+    in a real pipeline it is the benchmark corpus loaded as its own
+    table; the mechanics are identical). For each train doc that
+    shares >=1 rare CONTAM_N-gram with an eval doc, emit how many
+    eval docs it hits and the largest per-eval-doc overlap — the two
+    numbers a removal policy thresholds on.
+
+    Scale shape: identical to the dedup inverted index — the shingle
+    is the portable 60-bit hash (8-byte join keys), the df cap bounds
+    the cross-split join to Σdf·df_eval per shingle, and there is no
+    all-pairs stage anywhere. At 100 TB the eval side is a benchmark
+    suite (tiny); Spark/AQE broadcasts it and the scan is one pass
+    over the train corpus.
+
+    Finer grams than dedup (3 vs 5) on purpose: contamination cares
+    about shared phrases, not whole-document similarity; real
+    pipelines use 8-13 grams on natural text, scaled down here for
+    the synthetic vocabulary's shingle statistics.
+    """
+    docs = load(spark, sf_dir, "documents")
+    sh = shingles(docs, n=CONTAM_N).persist()
+    rare_sh = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= CONTAM_DF_MAX)
+        .select("shingle")
+    )
+    rare = sh.join(rare_sh, "shingle")
+    is_eval = F.col("doc_id") % EVAL_MOD == 0
+    ev = rare.filter(is_eval).select(
+        F.col("doc_id").alias("eval_doc"), "shingle"
+    )
+    tr = rare.filter(~is_eval).select(
+        F.col("doc_id").alias("train_doc"), "shingle"
+    )
+    ov = (
+        tr.join(ev, "shingle")
+        .groupBy("train_doc", "eval_doc")
+        .agg(F.count("*").alias("shared"))
+    )
+    result = ov.groupBy("train_doc").agg(
+        F.count("*").alias("n_eval_docs"),
+        F.max("shared").alias("max_shared"),
+    ).select(
+        F.col("train_doc").alias("doc_id"), "n_eval_docs", "max_shared"
+    )
+    return finish_with(result, sh)

@@ -55,6 +55,8 @@ _ROTATION_TIERS: dict[str, int] = {
     "dup_clusters": 0,
     "probe_source_events": 0,
     "streaming_failure_streaks": 0,
+    "dedup_keep_canonical": 0,
+    "decontaminate_overlap": 0,
     # (1) not enumerated by the r2 driver run
     "error_labels": 1,
     "resolution_classify": 1,

@@ -354,3 +354,61 @@ def test_ivf_routing_gain_on_clustered_corpus(spark):
     floor = n_probe / n_lists  # fraction of corpus a blind router searches
     assert recall >= 0.9, f"clustered-corpus recall@10 {recall:.2f}"
     assert recall > floor + 0.3  # genuine routing gain, not floor luck
+
+
+def test_keep_canonical_partitions_corpus(spark):
+    """Every doc appears exactly once; keep == (doc is its cluster's
+    min id); each cluster keeps exactly one doc; kept + dropped
+    reconstruct the corpus."""
+    rows = _q("dedup_keep_canonical").fn(spark, SF).collect()
+    assert len(rows) == 500 and len({r["doc_id"] for r in rows}) == 500
+    by_comp = {}
+    for r in rows:
+        by_comp.setdefault(r["component"], []).append(r)
+    for comp, members in by_comp.items():
+        assert comp == min(m["doc_id"] for m in members)
+        keepers = [m for m in members if m["keep"]]
+        assert len(keepers) == 1 and keepers[0]["doc_id"] == comp
+    # clusters agree with dup_clusters on clustered nodes
+    clusters = {
+        r["doc_id"]: r["component"]
+        for r in _q("dup_clusters").fn(spark, SF).collect()
+    }
+    for r in rows:
+        if r["doc_id"] in clusters:
+            assert r["component"] == clusters[r["doc_id"]]
+        else:
+            assert r["component"] == r["doc_id"] and r["keep"]
+
+
+def test_decontaminate_never_flags_eval_docs_and_counts_match(spark):
+    """Flagged docs are all train-side; per-doc counts match a
+    brute-force recomputation from the shingle sets."""
+    from stream_processing_test_spark.llm.dedup import (
+        CONTAM_DF_MAX,
+        CONTAM_N,
+        EVAL_MOD,
+        shingles,
+    )
+    from stream_processing_test_spark.tables import load
+    import collections
+
+    out = {r["doc_id"]: r for r in _q("decontaminate_overlap").fn(spark, SF).collect()}
+    assert out and all(d % EVAL_MOD != 0 for d in out)
+
+    sh = shingles(load(spark, SF, "documents"), n=CONTAM_N).collect()
+    df = collections.Counter(r["shingle"] for r in sh)
+    rare = [(r["doc_id"], r["shingle"]) for r in sh if df[r["shingle"]] <= CONTAM_DF_MAX]
+    ev = collections.defaultdict(set)
+    tr = collections.defaultdict(set)
+    for d, s in rare:
+        (ev if d % EVAL_MOD == 0 else tr)[d].add(s)
+    for d, toks in tr.items():
+        hits = {e: len(toks & etoks) for e, etoks in ev.items() if toks & etoks}
+        if hits:
+            assert d in out
+            assert out[d]["n_eval_docs"] == len(hits)
+            assert out[d]["max_shared"] == max(hits.values())
+    assert len(out) == sum(
+        1 for d, toks in tr.items() if any(toks & e for e in ev.values())
+    )
