@@ -268,3 +268,70 @@ def test_centroids_shuffle_partials_not_vectors(spark):
     # partial aggregate must appear below (after) the exchange line,
     # i.e. upstream of it in dataflow order
     assert any("HashAggregate" in l for l in lines[first_exchange:])
+
+
+def test_lsh_candidate_stages_carry_no_vector_payload(spark):
+    """The LSH bucket table must be bare (vec_id, table_id, bucket):
+    the posexplode multiplies rows ~16x and the bucket self-join is
+    quadratic per group, so a 512-byte vector column here would
+    inflate every candidate shuffle by orders of magnitude at corpus
+    scale (measured 2-4x wall even at sf0.1). Vectors are joined back
+    onto deduped id pairs for the exact-verify stage instead."""
+    from pyspark.sql import functions as F
+
+    from stream_processing_test_spark.llm.similarity import hyperplane_tables
+    from stream_processing_test_spark.tables import load
+
+    emb = load(spark, SF_SMALL, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    tables = hyperplane_tables(emb)
+    assert set(tables.columns) == {"vec_id", "table_id", "bucket"}
+    assert not any("array" in f.dataType.simpleString() for f in tables.schema)
+
+
+def test_shingles_are_hashed_longs(spark):
+    """Shingles travel as portable 60-bit hashes, not n-gram strings —
+    every downstream distinct/df-count/inverted-index shuffle moves
+    8-byte keys. The hash must be the portable family (oracle replay)
+    and non-negative (60 bits in a signed long)."""
+    from pyspark.sql import functions as F
+
+    from stream_processing_test_spark.llm.dedup import shingles
+    from stream_processing_test_spark.llm.hashing import phash_py
+    from stream_processing_test_spark.tables import load
+
+    docs = load(spark, SF_SMALL, "documents").limit(3)
+    sh = shingles(docs)
+    assert dict(sh.dtypes)["shingle"] == "bigint"
+    rows = sh.collect()
+    assert rows and all(r["shingle"] >= 0 for r in rows)
+    # spot-check the hash is phash of the space-joined 5-gram
+    doc = docs.collect()[0]
+    toks = doc["text"].split(" ")
+    want = phash_py(" ".join(toks[:5]))
+    got = {r["shingle"] for r in rows if r["doc_id"] == doc["doc_id"]}
+    assert want in got
+
+
+def test_kmeans_centroids_rounded_and_bounded(spark):
+    """Quantizer determinism contract: centroid components are rounded
+    to 6 decimals (cross-engine float stability — the property the
+    unrolled-SQL oracle relies on) and at most k lists exist."""
+    from pyspark.sql import functions as F
+
+    from stream_processing_test_spark.llm.similarity import kmeans_lists
+    from stream_processing_test_spark.tables import load
+
+    emb = load(spark, SF_SMALL, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    assign, centroids = kmeans_lists(emb, k=8, iters=1)
+    cents = centroids.collect()
+    assert 0 < len(cents) <= 8
+    for r in cents:
+        assert all(abs(x - round(x, 6)) < 1e-15 for x in r["centroid"])
+    # every vector assigned to exactly one existing list
+    n = emb.count()
+    a = assign.collect()
+    assert len(a) == n and {r["list_id"] for r in a} <= {r["list_id"] for r in cents}
