@@ -71,6 +71,8 @@ HEADLINE = [
     "embedding_centroids",
     "embedding_norm_stats",
     "dedup_simhash",
+    "dedup_keep_canonical",
+    "decontaminate_overlap",
     "dedup_embedding_lsh",
     "ann_lsh_topk",
     "ann_ivf_topk",

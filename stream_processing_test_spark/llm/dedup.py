@@ -365,6 +365,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EMBED_COSINE_THRESHOLD = 0.35  # synthetic corpus: max pair cosine ~0.51; 0.35 yields ~271 pairs at sf0.01
+# Quadratic-twin guard: the exact all-pairs form exists to pin oracle
+# semantics on test-scale data. Refuse to run it past this corpus size —
+# the scale path is dedup_embedding_lsh (same output contract).
+EMBED_COSINE_MAX_ROWS = 1_000_000
 
 _EMBED_ORACLE = f"""
 SELECT CAST(a.vec_id AS BIGINT) AS doc_a,
@@ -394,12 +398,23 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     hyperplane-LSH bucket join (``ann_lsh_topk``'s candidate stage) +
     this exact cosine as the verify step — the standard
     candidate/verify split. Kept exact here so the oracle pins the
-    semantics the approximate path must reproduce."""
+    semantics the approximate path must reproduce — and guarded by
+    EMBED_COSINE_MAX_ROWS so the quadratic twin can never be pointed
+    at a production corpus by accident (the error names the LSH twin).
+    The guard count is a 1-column scan, negligible next to the join
+    it protects against."""
     from stream_processing_test_spark.llm.similarity import _dot
 
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
+    n = emb.select("vec_id").count()
+    if n > EMBED_COSINE_MAX_ROWS:
+        raise ValueError(
+            f"dedup_embedding_cosine is the quadratic oracle twin "
+            f"({n} rows > {EMBED_COSINE_MAX_ROWS}); use "
+            f"dedup_embedding_lsh for corpus-scale near-dup detection"
+        )
     normed = emb.select(
         "vec_id",
         "v",

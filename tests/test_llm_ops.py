@@ -412,3 +412,13 @@ def test_decontaminate_never_flags_eval_docs_and_counts_match(spark):
     assert len(out) == sum(
         1 for d, toks in tr.items() if any(toks & e for e in ev.values())
     )
+
+
+def test_embedding_cosine_quadratic_guard(spark, monkeypatch):
+    """The exact all-pairs twin must refuse to run past its size guard
+    and point at the LSH scale path."""
+    from stream_processing_test_spark.llm import dedup
+
+    monkeypatch.setattr(dedup, "EMBED_COSINE_MAX_ROWS", 10)
+    with pytest.raises(ValueError, match="dedup_embedding_lsh"):
+        dedup.dedup_embedding_cosine(spark, SF)
