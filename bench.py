@@ -73,6 +73,7 @@ HEADLINE = [
     "dedup_simhash",
     "dedup_keep_canonical",
     "decontaminate_overlap",
+    "corpus_curation_pipeline",
     "dedup_embedding_lsh",
     "ann_lsh_topk",
     "ann_ivf_topk",

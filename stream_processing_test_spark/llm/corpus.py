@@ -151,3 +151,87 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("score", 4).alias("tfidf"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end curation pipeline — quality gate -> dedup keep -> sample
+# ---------------------------------------------------------------------------
+
+
+def _curation_oracle() -> str:
+    from stream_processing_test_spark.llm.dedup import NGRAM_PAIR_CTES
+    from stream_processing_test_spark.llm.sampling import _SAMPLE_CASE_SQL
+    from stream_processing_test_spark.llm.text import (
+        QUALITY_FEATS_CTE,
+        QUALITY_PREDICATE,
+    )
+
+    return f"""
+WITH RECURSIVE {NGRAM_PAIR_CTES},
+edges AS (SELECT doc_a AS e_src, doc_b AS e_dst FROM pairs
+          UNION ALL
+          SELECT doc_b, doc_a FROM pairs),
+nodes AS (SELECT DISTINCT e_src AS node FROM edges),
+walk(node, lbl) AS (
+    SELECT node, node FROM nodes
+    UNION
+    SELECT e.e_dst, w.lbl FROM walk w JOIN edges e ON e.e_src = w.node
+),
+comp AS (SELECT node, MIN(lbl) AS component FROM walk GROUP BY node),
+dropped AS (SELECT node AS doc_id FROM comp WHERE node <> component),
+{QUALITY_FEATS_CTE},
+q AS (SELECT doc_id, n_tokens FROM feats WHERE {QUALITY_PREDICATE}),
+kept AS (
+    SELECT d.doc_id, d.source, d.lang, q.n_tokens
+    FROM documents d JOIN q USING (doc_id)
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM dropped)
+      AND substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) < {_SAMPLE_CASE_SQL}
+)
+SELECT source, lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+FROM kept GROUP BY source, lang
+"""
+
+
+@register(
+    "corpus_curation_pipeline",
+    oracle=_curation_oracle(),
+    survey_ops="§7-text,§7-dedup,J1,A1,A8",
+    tier=0,
+)
+def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end curation run a training-data pipeline executes,
+    as ONE composed query: Gopher-style quality gate -> near-dup
+    removal (keep cluster canonicals) -> deterministic per-language
+    downsampling -> per-(source, lang) docs/token accounting.
+
+    Composition is at the DataFrame level — each stage IS the
+    already-oracle-checked operator (``doc_quality_score``,
+    ``dedup_keep_canonical``, ``stratified_sample``), so this query
+    proves the operators compose, and its oracle recomposes the same
+    CTE fragments (imported, not copied) so the stages can never
+    drift from their standalone twins.
+
+    Scale shape: quality + sampling are map-only passes that fuse into
+    the corpus scan; the dedup verdict joins against the (small)
+    clustered-node set; the only wide stage of the whole pipeline is
+    the final (source, lang) aggregation — partial-agg combinable,
+    cardinality = |sources| x |langs|.
+    """
+    from stream_processing_test_spark.llm.cluster import dedup_keep_canonical
+    from stream_processing_test_spark.llm.sampling import stratified_sample
+    from stream_processing_test_spark.llm.text import doc_quality_score
+
+    quality = (
+        doc_quality_score(spark, sf_dir)
+        .filter("passes_quality")
+        .select("doc_id", "n_tokens")
+    )
+    keep = dedup_keep_canonical(spark, sf_dir).filter("keep").select("doc_id")
+    sample = stratified_sample(spark, sf_dir)
+    kept = sample.join(quality, "doc_id").join(keep, "doc_id")
+    return kept.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )

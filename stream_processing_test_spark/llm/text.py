@@ -117,8 +117,10 @@ def lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_QUALITY_ORACLE = """
-WITH feats AS (
+# Reusable oracle fragments — the curation-pipeline oracle
+# (llm/corpus.py) composes these verbatim so the gate can never drift
+# from the standalone quality query.
+QUALITY_FEATS_CTE = """feats AS (
     SELECT doc_id,
            CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INT) AS n_tokens,
            CAST(length(text) AS INT) AS n_chars,
@@ -126,13 +128,17 @@ WITH feats AS (
            CAST((length(text) - length(replace(replace(replace(text, '.', ''), ',', ''), '!', ''))) AS INT) AS n_punct,
            CAST((length(text) - length(replace(text, 'the', ''))) / 3 AS INT) AS n_stop
     FROM documents WHERE length(trim(text)) > 0
-)
+)"""
+QUALITY_PREDICATE = """(n_tokens BETWEEN 10 AND 1000)
+            AND (CAST(n_punct AS DOUBLE) / n_chars) < 0.1
+            AND (CAST(n_stop AS DOUBLE) / n_tokens) > 0.01"""
+
+_QUALITY_ORACLE = f"""
+WITH {QUALITY_FEATS_CTE}
 SELECT CAST(doc_id AS BIGINT) AS doc_id, n_tokens, n_chars,
        ROUND(CAST(n_punct AS DOUBLE) / n_chars, 4) AS punct_ratio,
        ROUND(CAST(n_stop AS DOUBLE) / n_tokens, 4) AS stopword_ratio,
-       CAST((n_tokens BETWEEN 10 AND 1000)
-            AND (CAST(n_punct AS DOUBLE) / n_chars) < 0.1
-            AND (CAST(n_stop AS DOUBLE) / n_tokens) > 0.01 AS BOOLEAN) AS passes_quality
+       CAST({QUALITY_PREDICATE} AS BOOLEAN) AS passes_quality
 FROM feats
 """
 

@@ -57,6 +57,7 @@ _ROTATION_TIERS: dict[str, int] = {
     "streaming_failure_streaks": 0,
     "dedup_keep_canonical": 0,
     "decontaminate_overlap": 0,
+    "corpus_curation_pipeline": 0,
     # (1) not enumerated by the r2 driver run
     "error_labels": 1,
     "resolution_classify": 1,

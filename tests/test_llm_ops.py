@@ -422,3 +422,24 @@ def test_embedding_cosine_quadratic_guard(spark, monkeypatch):
     monkeypatch.setattr(dedup, "EMBED_COSINE_MAX_ROWS", 10)
     with pytest.raises(ValueError, match="dedup_embedding_lsh"):
         dedup.dedup_embedding_cosine(spark, SF)
+
+
+def test_curation_pipeline_composes_its_stages(spark):
+    """The pipeline's totals must equal recomputing the intersection of
+    its three stage outputs — composition adds nothing and drops
+    nothing."""
+    q = {r["doc_id"]: r["n_tokens"]
+         for r in _q("doc_quality_score").fn(spark, SF).collect()
+         if r["passes_quality"]}
+    keep = {r["doc_id"] for r in _q("dedup_keep_canonical").fn(spark, SF).collect()
+            if r["keep"]}
+    sample = {(r["doc_id"], r["source"], r["lang"])
+              for r in _q("stratified_sample").fn(spark, SF).collect()}
+    want = {}
+    for doc_id, source, lang in sample:
+        if doc_id in q and doc_id in keep:
+            n, tot = want.get((source, lang), (0, 0))
+            want[(source, lang)] = (n + 1, tot + q[doc_id])
+    got = {(r["source"], r["lang"]): (r["n_docs"], r["total_tokens"])
+           for r in _q("corpus_curation_pipeline").fn(spark, SF).collect()}
+    assert got == want and got
