@@ -100,6 +100,14 @@ def shingles(
     is duplicate-insensitive — MinHash's ``min`` — pass
     ``distinct=False`` and skip that shuffle entirely: map-side partial
     aggregation absorbs the duplicates for free.
+
+    The distinct path CLUSTERS BY ``shingle`` (not the composite
+    (doc_id, shingle) hash Spark would pick): hash-partitioning on a
+    subset of the dedup keys still satisfies the aggregate's required
+    distribution, and every downstream stage of the inverted-index
+    consumers is shingle-keyed — the df-count groupBy, the rare join
+    and the candidate self-join all reuse this one exchange instead of
+    re-shuffling the full shingle set two more times.
     """
     w = F.split(F.col(text_col), " ")
     grams = F.transform(
@@ -109,7 +117,9 @@ def shingles(
     out = doc.filter(F.size(w) >= n).select(
         "doc_id", F.explode(grams).alias("gram")
     ).select("doc_id", phash("gram").alias("shingle"))
-    return out.distinct() if distinct else out
+    if not distinct:
+        return out
+    return out.repartition("shingle").dropDuplicates(["doc_id", "shingle"])
 
 
 # Shingle-expansion CTEs (doc_id, shingle) — shared by the jaccard and
