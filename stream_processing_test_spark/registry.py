@@ -58,6 +58,10 @@ _ROTATION_TIERS: dict[str, int] = {
     "dedup_keep_canonical": 0,
     "decontaminate_overlap": 0,
     "corpus_curation_pipeline": 0,
+    "doc_repetition_stats": 0,
+    "pii_redact": 0,
+    "substring_dup_coverage": 0,
+    "embedding_kmeans_clusters": 0,
     # (1) not enumerated by the r2 driver run
     "error_labels": 1,
     "resolution_classify": 1,
@@ -146,6 +150,7 @@ def all_queries() -> dict[str, QuerySpec]:
         corpus,
         dedup,
         embeddings,
+        filters,
         multimodal,
         sampling,
         similarity,
