@@ -41,18 +41,24 @@ from pyspark.sql import types as T
 from stream_processing_test_spark.registry import register
 
 # Schema of the driver's events table with ``ts`` as raw nanos (the
-# parquet files carry TIMESTAMP(NANOS), which the vectorized reader
-# only accepts as long via spark.sql.legacy.parquet.nanosAsLong).
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType(), True),
-        T.StructField("ts", T.LongType(), True),  # nanos since epoch
-        T.StructField("user_id", T.LongType(), True),
-        T.StructField("event_type", T.StringType(), True),
-        T.StructField("value", T.DoubleType(), True),
-        T.StructField("props", T.StringType(), True),
-    ]
-)
+# parquet files carry TIMESTAMP(NANOS); Spark 3.x only accepts that as
+# long via spark.sql.legacy.parquet.nanosAsLong, while Spark 4.x reads
+# it natively as TIMESTAMP_NTZ — events_stream probes the actual file
+# and declares whichever ts dtype the engine materializes).
+def _events_raw_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType(), True),
+            T.StructField("ts", ts_type, True),
+            T.StructField("user_id", T.LongType(), True),
+            T.StructField("event_type", T.StringType(), True),
+            T.StructField("value", T.DoubleType(), True),
+            T.StructField("props", T.StringType(), True),
+        ]
+    )
+
+
+EVENTS_RAW_SCHEMA = _events_raw_schema(T.LongType())  # Spark 3.x shape
 
 
 def events_stream(
@@ -66,18 +72,34 @@ def events_stream(
     event files (the production shape: the probe connector appends
     one file per micro-batch). Spark's file stream source requires a
     directory; a bare file is wrapped via a symlink in a temp dir."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
     if os.path.isfile(path):
         import tempfile
 
         d = tempfile.mkdtemp(prefix="events_stream_")
         os.symlink(os.path.abspath(path), os.path.join(d, os.path.basename(path)))
         path = d
-    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA).format("parquet")
+    # A file stream must declare its schema up front; probe the footer
+    # with a (cheap, metadata-only) batch read so the declared ts dtype
+    # matches how THIS engine version materializes TIMESTAMP(NANOS) —
+    # long on Spark 3.x (nanosAsLong), TIMESTAMP_NTZ on Spark 4.x.
+    try:
+        ts_type = spark.read.parquet(path).schema["ts"].dataType
+    except Exception:  # dir empty at start-up: infer from engine version
+        import pyspark
+
+        is_spark4 = int(pyspark.__version__.split(".")[0]) >= 4
+        ts_type = T.TimestampNTZType() if is_spark4 else T.LongType()
+    reader = spark.readStream.schema(_events_raw_schema(ts_type)).format("parquet")
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     df = reader.load(path)
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    from stream_processing_test_spark.tables import normalize_event_ts
+
+    return normalize_event_ts(df)
 
 
 def daily_rollup(events: DataFrame, watermark: str = "0 seconds") -> DataFrame:

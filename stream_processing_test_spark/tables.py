@@ -31,22 +31,56 @@ TABLE_NAMES = [
 BROADCAST_DIMS = {"region", "nation", "supplier", "part"}
 
 
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Normalize ``events.ts`` to a session-TZ ``timestamp`` column
+    regardless of how the engine materialized the parquet
+    TIMESTAMP(NANOS) physical type.
+
+    - Spark 3.x (``spark.sql.legacy.parquet.nanosAsLong=true``) reads it
+      as a nanos-since-epoch long → ``timestamp_micros(ts div 1000)``.
+      ``div`` floors exactly like DuckDB's ns→µs truncation.
+    - Spark 4.x reads TIMESTAMP(NANOS) natively as TIMESTAMP_NTZ
+      (already truncated to Spark's µs precision at scan time) whose
+      wallclock is the UTC rendering of the instant. A plain
+      ``cast("timestamp")`` would re-interpret that wallclock in the
+      *session* timezone — correct only when the session is UTC — so
+      we pin the interpretation with ``convert_timezone('UTC',
+      sessionTZ, ts)`` first, which denotes the identical instant under
+      any session timezone (verified vs DuckDB epoch micros).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    dt = df.schema["ts"].dataType
+    if isinstance(dt, T.LongType):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(dt, T.TimestampType):
+        return df
+    if isinstance(dt, T.TimestampNTZType):
+        tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+        return df.withColumn(
+            "ts",
+            F.convert_timezone(F.lit("UTC"), F.lit(tz), F.col("ts")).cast(
+                "timestamp"
+            ),
+        )
+    raise TypeError(f"unsupported events.ts dtype: {dt}")
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-        # reader rejects. Read it as a nanos-since-epoch long and convert
-        # to a (microsecond) TimestampType column; `div 1000` floors
-        # exactly like DuckDB's ns→display truncation, so oracle
-        # comparisons at second granularity agree. nanosAsLong is a
-        # session default in get_spark(); set here too only as a safety
-        # net for externally-built sessions (idempotent, same value).
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Safety net for externally-built Spark 3.x sessions where the
+        # vectorized reader rejects TIMESTAMP(NANOS) outright; on Spark
+        # 4.x the conf no longer exists and setting it is an accepted
+        # no-op (the reader handles nanos natively).
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:
+            pass
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        from pyspark.sql import functions as F
-
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return normalize_event_ts(df)
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 

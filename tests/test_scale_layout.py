@@ -32,10 +32,9 @@ def test_date_partitioned_events_prune(spark, tmp_path):
     """Writing events partitioned by day and filtering one day must
     produce a plan whose scan carries a partition filter — at 100 TB
     this is the difference between reading 1/30th and everything."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet").withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    from stream_processing_test_spark.tables import load
+
+    ev = load(spark, SF_SMALL, "events")
     lake = str(tmp_path / "events_lake")
     ev.withColumn("day", F.to_date("ts")).write.partitionBy("day").parquet(lake)
 
@@ -93,10 +92,9 @@ def test_bucketed_join_avoids_shuffle(spark, tmp_path):
     fact-to-fact joins affordable at 100 TB."""
     import uuid
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet").withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    from stream_processing_test_spark.tables import load
+
+    ev = load(spark, SF_SMALL, "events")
     db = f"bkt_{uuid.uuid4().hex[:8]}"
     spark.sql(f"CREATE DATABASE {db} LOCATION '{tmp_path}/warehouse'")
     try:
