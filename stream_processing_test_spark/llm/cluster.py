@@ -46,15 +46,16 @@ def connected_components(
     silent truncation would mislabel components, and a dup graph whose
     diameter exceeds ``max_iter`` deserves loud attention.
 
-    Convergence is detected IN-JOB: the propagation step carries the
-    old label alongside the new one, so the per-round materialization
-    (``localCheckpoint``) is the only heavy action — the convergence
-    test is then an ``isEmpty`` limit-1 probe over the already-cached
-    blocks. The earlier form re-joined new labels against old labels
-    and ``count()``-ed the diff, i.e. one extra shuffle join + full
-    scan per round purely for bookkeeping. ``sym`` is hash-partitioned
-    on ``src`` once before the loop, so every round's edge⋈label join
-    reuses that exchange instead of re-shuffling the (static) edge set.
+    Exactly ONE Spark job per round: the propagation step carries the
+    old label alongside the new one into a *lazy* ``localCheckpoint``,
+    and the round's single action is a ``count()`` of changed rows
+    (new < old) — that one scan materializes every checkpoint block
+    (truncating lineage for the next round) AND returns the
+    convergence signal, so there is no separate bookkeeping job
+    serializing rounds on the driver (asserted by job-count test in
+    test_scale_layout). ``sym`` is hash-partitioned on ``src`` once
+    before the loop, so every round's edge⋈label join reuses that
+    exchange instead of re-shuffling the (static) edge set.
     """
     sym = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
@@ -88,12 +89,13 @@ def connected_components(
                         F.coalesce(F.col("nbr_min"), F.col("component")),
                     ).alias("component"),
                 )
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)
             )
-            labels = stepped.select("node", "component")
-            if stepped.filter(
+            changed = stepped.filter(
                 F.col("component") < F.col("old_component")
-            ).isEmpty():
+            ).count()
+            labels = stepped.select("node", "component")
+            if changed == 0:
                 return labels
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds"

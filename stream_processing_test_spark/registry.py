@@ -34,68 +34,68 @@ class QuerySpec:
 
 _REGISTRY: dict[str, QuerySpec] = {}
 
-# Round-3 rotation (VERDICT r2 items 1+2): the driver checks a
-# 50-query prefix, so put (0) queries whose behavior or oracle changed
-# this round — the LSH family gained portable md5-derived oracles,
-# dup_clusters gained in-job convergence, the prober gained
-# cancellation, the streak op lost its global-conf write — and
-# (1) every query the r2 run didn't reach (TPC-H suite, vendor/error/
-# resolution, stats/sqltext/setops) inside the window. Unlisted
-# queries keep ``10 + tier`` and fill the remaining ~12 slots in
-# registration order — all of them have green r2 rows already.
-# The two multimodal stubs are pushed last: their rows-only check is
-# unchanged since r2 and shouldn't burn window slots.
+# Round-4 rotation (VERDICT r3 items 1+4): the driver checks a
+# 50-query prefix, so put (0) every batch/streaming consumer of the
+# events table — all 24 changed this round by the Spark-4 loader fix
+# (tables.normalize_event_ts) and need fresh green rows — then (1) the
+# 20 queries the r3 run didn't enumerate (their newest row is r2), then
+# (2) ops whose implementation changes this round (cluster convergence,
+# IVF re-seed, probe cancellation, multimodal kernel). Unlisted queries
+# keep ``10 + tier`` and fill any remaining slots in registration
+# order; all of them have green r3 rows.
 _ROTATION_TIERS: dict[str, int] = {
-    # (0) changed / newly-oracled this round
-    "dedup_minhash_lsh": 0,
-    "dedup_simhash": 0,
-    "dedup_embedding_lsh": 0,
-    "ann_lsh_topk": 0,
-    "ann_ivf_topk": 0,
-    "dup_clusters": 0,
-    "probe_source_events": 0,
+    # (0) events consumers — loader changed this round
+    "asof_click_attribution": 0,
+    "daily_scores": 0,
+    "day_close_trigger": 0,
+    "engaged_users_setops": 0,
+    "error_labels": 0,
+    "failing_programs": 0,
+    "monotonic_violations": 0,
+    "per_source_rollup": 0,
+    "props_json_stats": 0,
+    "range_join_error_context": 0,
+    "records_in_window": 0,
+    "report_batches": 0,
+    "resolution_classify": 0,
+    "rolling_user_stats": 0,
+    "session_windows": 0,
+    "sql_daily_event_summary": 0,
+    "streaming_click_purchase_join": 0,
+    "streaming_daily_scores": 0,
+    "streaming_dedup": 0,
     "streaming_failure_streaks": 0,
-    "dedup_keep_canonical": 0,
-    "decontaminate_overlap": 0,
-    "corpus_curation_pipeline": 0,
-    "doc_repetition_stats": 0,
-    "pii_redact": 0,
-    "substring_dup_coverage": 0,
-    "embedding_kmeans_clusters": 0,
-    # (1) not enumerated by the r2 driver run
-    "error_labels": 1,
-    "resolution_classify": 1,
-    "sql_daily_event_summary": 1,
-    "stats_moments": 1,
-    "price_percentiles": 1,
-    "revenue_cube": 1,
-    "rich_accounts_union": 1,
-    "balance_quartiles": 1,
-    "quantity_grouping_sets": 1,
-    "vendor_flow_stats": 1,
-    "q1_pricing_summary": 1,
-    "q2_min_cost_supplier": 1,
-    "q3_shipping_priority": 1,
-    "q5_region_revenue": 1,
-    "q6_forecast_revenue": 1,
-    "q7_nation_trade_volume": 1,
-    "q8_market_share": 1,
-    "q9_product_profit": 1,
-    "q10_returned_items": 1,
-    "q11_important_parts": 1,
-    "q12_priority_shipping": 1,
-    "q13_order_count_distribution": 1,
-    "q14_promo_revenue_share": 1,
-    "q15_top_supplier": 1,
-    "q16_part_supplier_variety": 1,
-    "q17_small_quantity_revenue": 1,
-    "q18_large_orders": 1,
-    "q19_disjunctive_revenue": 1,
-    "q20_excess_suppliers": 1,
-    "q22_idle_customers": 1,
-    # unchanged rows-only stubs: last
-    "multimodal_features": 99,
-    "multimodal_preprocess": 99,
+    "top_events_per_user": 0,
+    "user_cardinality": 0,
+    "user_cardinality_approx": 0,
+    "users_without_big_purchase": 0,
+    # (1) newest driver row is r2
+    "active_sources": 1,
+    "ann_cosine_topk": 1,
+    "dedup_embedding_cosine": 1,
+    "dedup_exact": 1,
+    "dedup_ngram_jaccard": 1,
+    "doc_chunking": 1,
+    "doc_fingerprint": 1,
+    "doc_quality_score": 1,
+    "embedding_centroids": 1,
+    "embedding_norm_stats": 1,
+    "lang_id_ngram": 1,
+    "program_match": 1,
+    "revenue_rollup": 1,
+    "source_mixing": 1,
+    "stratified_sample": 1,
+    "suppliers_with_bulk_items": 1,
+    "tfidf_top_terms": 1,
+    "token_count": 1,
+    # (2) implementation changes this round
+    "dup_clusters": 2,
+    "dedup_keep_canonical": 2,
+    "corpus_curation_pipeline": 2,
+    "ann_ivf_topk": 2,
+    "probe_source_events": 2,
+    "multimodal_features": 2,
+    "multimodal_preprocess": 2,
 }
 
 
@@ -107,15 +107,15 @@ def register(
 ):
     """Decorator: register ``fn`` as a named query with optional oracle.
 
-    ``tier`` orders driver-side enumeration (``all_queries`` sorts by
-    it, stable within a tier). The driver's correctness gate checks
-    only a 50-query prefix of the registry, so ordering decides which
-    queries get a fresh driver row each round. Registered tiers:
-    tier=0 for queries new/changed in the round that introduced them,
-    tier=1 for the stable core, tier=3 for the long-stable TPC-H
-    suite. Per-round rotation is applied on top via
-    ``_ROTATION_TIERS`` (see ``all_queries``), so call-site tiers
-    don't need edits every round."""
+    ``tier`` is the query's *registration-time* priority, frozen at the
+    round that introduced it (0 = was new then, 1 = core, 3 = the
+    TPC-H suite) — it is NOT kept current round-to-round. Enumeration
+    order is decided by ``_ROTATION_TIERS`` (edited each round); a
+    query absent from the rotation falls back to ``10 + tier``, so the
+    frozen call-site value only breaks ties among unrotated queries.
+    The driver's correctness gate checks a 50-query prefix of that
+    order, so the rotation decides which queries get a fresh driver
+    row each round."""
 
     def deco(fn: QueryFn) -> QueryFn:
         if name in _REGISTRY:

@@ -312,6 +312,38 @@ def test_shingles_are_hashed_longs(spark):
     assert want in got
 
 
+def test_connected_components_one_job_per_round(spark):
+    """Label propagation must run exactly ONE Spark job per round — the
+    changed-row count rides the same action that materializes the lazy
+    local checkpoint. A separate bookkeeping job (the old count()-the-
+    diff form) serializes rounds on the driver at scale. AQE and
+    broadcast are disabled so query-internal helper jobs (broadcast
+    builds, AQE stage materialization) don't blur the count."""
+    from stream_processing_test_spark.llm.cluster import connected_components
+
+    sc = spark.sparkContext
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        # chain 1-2-3 (diameter 2) + pair 10-11: exactly 3 rounds
+        # (2 productive + 1 confirming convergence), 1 setup job.
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (10, 11)], "src LONG, dst LONG"
+        )
+        sc.setJobGroup("cc_jobs", "connected_components job count")
+        labels = connected_components(edges)
+        sc.setJobGroup("cc_after", "")
+        n_jobs = len(sc.statusTracker().getJobIdsForGroup("cc_jobs"))
+        assert n_jobs == 4, f"expected 1 setup + 3 rounds = 4 jobs, got {n_jobs}"
+        got = sorted((r["node"], r["component"]) for r in labels.collect())
+        assert got == [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)]
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+
+
 def test_kmeans_centroids_rounded_and_bounded(spark):
     """Quantizer determinism contract: centroid components are rounded
     to 6 decimals (cross-engine float stability — the property the
