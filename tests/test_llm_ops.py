@@ -443,3 +443,41 @@ def test_curation_pipeline_composes_its_stages(spark):
     got = {(r["source"], r["lang"]): (r["n_docs"], r["total_tokens"])
            for r in _q("corpus_curation_pipeline").fn(spark, SF).collect()}
     assert got == want and got
+
+
+def test_kmeans_reseeds_empty_lists(spark):
+    """Force an empty list: two identical vectors both chosen as seeds
+    (the smaller list_id wins every tied assignment, starving the
+    other), then assert the quantizer re-seeds the starved list from
+    the largest list's farthest member instead of shrinking k."""
+    import numpy as np
+
+    from stream_processing_test_spark.llm.hashing import phash_py
+    from stream_processing_test_spark.llm.similarity import kmeans_lists
+
+    k, dim, n = 4, 8, 8
+    seed_ids = sorted(range(n), key=lambda i: (phash_py(str(i)), i))[:k]
+    dup_a, dup_b = seed_ids[0], seed_ids[1]
+    rng = np.random.RandomState(11)
+    vecs = {}
+    for i in range(n):
+        if i in (dup_a, dup_b):
+            vecs[i] = [1.0] + [0.0] * (dim - 1)  # identical pair of seeds
+        else:
+            # a distinct cluster: e2 + jitter, so the largest list has
+            # genuinely different members to re-seed from
+            v = np.array([0.0, 1.0] + [0.0] * (dim - 2))
+            v = v + rng.uniform(-0.05, 0.05, dim)
+            vecs[i] = [float(x) for x in v]
+    emb = spark.createDataFrame(
+        pd.DataFrame({"vec_id": list(range(n)), "v": [vecs[i] for i in range(n)]})
+    )
+    assign, centroids = kmeans_lists(emb, k=k, iters=2)
+    cents = {r["list_id"]: list(r["centroid"]) for r in centroids.collect()}
+    # every list id exists — the starved list was re-seeded, k never shrank
+    assert sorted(cents) == list(range(k))
+    # and re-running is bit-identical (the re-seed rule is deterministic)
+    _, again = kmeans_lists(emb, k=k, iters=2)
+    assert {r["list_id"]: list(r["centroid"]) for r in again.collect()} == cents
+    # assignments only reference existing lists
+    assert {r["list_id"] for r in assign.collect()} <= set(range(k))
