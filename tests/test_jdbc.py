@@ -231,3 +231,89 @@ def test_merge_into_sql_dialects():
     assert "ON DUPLICATE KEY UPDATE" in my
     assert 'COALESCE(VALUES("name"), dim."name")' in my
     assert '"score" = VALUES("score")' in my
+
+
+def test_upsert_jdbc_survives_mid_swap_crash(spark, derby_url):
+    """Failure injection for the stage-and-swap: if the process dies (or
+    the statement fails) BETWEEN the DELETE and the INSERT of the swap
+    transaction, the database must roll back to the pre-upsert table —
+    at no point is the only durable copy of the dimension gone. This is
+    the data-loss window the old truncate-then-write form had."""
+    from stream_processing_test_spark.sinks import upsert as U
+
+    target = spark.createDataFrame(
+        pd.DataFrame({"id": ["1", "2"], "name": ["a", "b"], "flow_score": [1, 2]})
+    )
+    write_jdbc(target, derby_url, "crashdim", mode="overwrite", properties=DERBY)
+    updates = spark.createDataFrame(
+        pd.DataFrame({"id": ["2"], "name": ["B"], "flow_score": [99]})
+    )
+
+    real_exec = U._execute_driver_sql
+
+    def sabotage(spark_, url, statements, properties=None, transactional=False):
+        if transactional:
+            # the INSERT half of the swap "crashes": same transaction,
+            # statement 2 fails after the DELETE already executed
+            statements = [statements[0], "INSERT INTO no_such_table VALUES (1)"]
+        return real_exec(spark_, url, statements, properties, transactional)
+
+    U._execute_driver_sql = sabotage
+    try:
+        with pytest.raises(Exception):
+            upsert_jdbc(
+                spark, updates, derby_url, "crashdim", key="id",
+                always_set=("flow_score",), properties=DERBY,
+            )
+    finally:
+        U._execute_driver_sql = real_exec
+
+    rows = {
+        r["id"]: (r["name"], r["flow_score"])
+        for r in read_jdbc(spark, derby_url, "crashdim", properties=DERBY).collect()
+    }
+    assert rows == {"1": ("a", 1), "2": ("b", 2)}, "rollback must restore the table"
+    # the staging table was dropped on the error path (no orphan)
+    with pytest.raises(Exception):
+        read_jdbc(spark, derby_url, "crashdim__swap", properties=DERBY).collect()
+    # and a clean retry completes the upsert
+    upsert_jdbc(
+        spark, updates, derby_url, "crashdim", key="id",
+        always_set=("flow_score",), properties=DERBY,
+    )
+    rows = {
+        r["id"]: (r["name"], r["flow_score"])
+        for r in read_jdbc(spark, derby_url, "crashdim", properties=DERBY).collect()
+    }
+    assert rows == {"1": ("a", 1), "2": ("B", 99)}
+
+
+def test_upsert_pushdown_survives_failed_merge(spark, derby_url):
+    """If the MERGE statement itself fails, the live table is untouched
+    (it was never deleted or truncated) and staging is cleaned up."""
+    from stream_processing_test_spark.sinks import upsert as U
+    from stream_processing_test_spark.sinks.upsert import upsert_jdbc_pushdown
+
+    target = spark.createDataFrame(
+        pd.DataFrame({"id": ["1"], "name": ["a"], "flow_score": [1]})
+    )
+    write_jdbc(target, derby_url, "mdim", mode="overwrite", properties=DERBY)
+    updates = spark.createDataFrame(
+        pd.DataFrame({"id": ["1"], "name": ["A"], "flow_score": [9]})
+    )
+
+    real_merge = U.merge_into_sql
+    U.merge_into_sql = lambda *a, **k: "MERGE INTO definitely broken sql"
+    try:
+        with pytest.raises(Exception):
+            upsert_jdbc_pushdown(
+                spark, updates, derby_url, "mdim", key="id", properties=DERBY
+            )
+    finally:
+        U.merge_into_sql = real_merge
+
+    rows = [(r["id"], r["name"], r["flow_score"])
+            for r in read_jdbc(spark, derby_url, "mdim", properties=DERBY).collect()]
+    assert rows == [("1", "a", 1)]
+    with pytest.raises(Exception):
+        read_jdbc(spark, derby_url, "mdim__stg", properties=DERBY).collect()
