@@ -40,6 +40,13 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # Spark 4 turns ANSI mode on by default; this engine's query
+        # surface was specified and oracle-validated under the 3.x
+        # non-ANSI arithmetic (DuckDB comparisons are unaffected: the
+        # synthetic data never overflows), and ANSI's per-op overflow
+        # checks measurably slow the hot codegen loops here (vector
+        # dot-product folds: ~40% on ann_lsh_topk, ~16% on simhash).
+        .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
         # events.ts is parquet TIMESTAMP(NANOS); set once at session
