@@ -192,12 +192,20 @@ def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select("doc_id")
     pairs = dedup_ngram_jaccard(spark, sf_dir)
     comp = connected_components(pairs, src="doc_a", dst="doc_b")
-    joined = docs.join(
-        F.broadcast(comp), docs.doc_id == comp.node, "left"
-    )
+    return with_keep_verdict(docs, comp).select("doc_id", "component", "keep")
+
+
+def with_keep_verdict(docs: DataFrame, comp: DataFrame) -> DataFrame:
+    """Append (component, keep) to a corpus frame via a broadcast left
+    join against the clustered-node set — the map-side verdict shared
+    by ``dedup_keep_canonical`` and the fused curation pipeline. At
+    100 TB the component table is |nodes in dup pairs| rows, orders of
+    magnitude under |corpus|, so the join broadcasts and the verdict
+    costs no corpus shuffle."""
+    joined = docs.join(F.broadcast(comp), docs["doc_id"] == comp["node"], "left")
     component = F.coalesce(F.col("component"), F.col("doc_id"))
     return joined.select(
-        "doc_id",
+        *[docs[c] for c in docs.columns],
         component.alias("component"),
         (component == F.col("doc_id")).alias("keep"),
     )

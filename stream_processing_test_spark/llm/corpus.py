@@ -206,31 +206,51 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     removal (keep cluster canonicals) -> deterministic per-language
     downsampling -> per-(source, lang) docs/token accounting.
 
-    Composition is at the DataFrame level — each stage IS the
-    already-oracle-checked operator (``doc_quality_score``,
-    ``dedup_keep_canonical``, ``stratified_sample``), so this query
-    proves the operators compose, and its oracle recomposes the same
-    CTE fragments (imported, not copied) so the stages can never
-    drift from their standalone twins.
+    Composition is at the EXPRESSION level — the quality features,
+    the sampling gate and the dedup keep-verdict are the same shared
+    helpers the standalone oracle-checked operators use
+    (``text.quality_columns``, ``sampling.sample_keep_gate``,
+    ``cluster.with_keep_verdict``), so the stages can never drift from
+    their twins, and the oracle recomposes the same CTE fragments
+    (imported, not copied).
 
-    Scale shape: quality + sampling are map-only passes that fuse into
-    the corpus scan; the dedup verdict joins against the (small)
-    clustered-node set; the only wide stage of the whole pipeline is
-    the final (source, lang) aggregation — partial-agg combinable,
-    cardinality = |sources| x |langs|.
+    Scale shape — the reason for expression-level rather than
+    DataFrame-join composition: quality features and the sampling gate
+    evaluate inside the ONE corpus scan (no per-stage rescan, no
+    doc_id shuffle joins between stages), the dedup verdict is a
+    broadcast left join against the (small) clustered-node set, and
+    the only wide stage of the whole pipeline is the final
+    (source, lang) aggregation — partial-agg combinable, cardinality =
+    |sources| x |langs|. (The earlier DataFrame-join form produced two
+    SortMergeJoin exchanges of corpus-sized sides — plan-asserted gone
+    in test_scale_layout.)
     """
-    from stream_processing_test_spark.llm.cluster import dedup_keep_canonical
-    from stream_processing_test_spark.llm.sampling import stratified_sample
-    from stream_processing_test_spark.llm.text import doc_quality_score
-
-    quality = (
-        doc_quality_score(spark, sf_dir)
-        .filter("passes_quality")
-        .select("doc_id", "n_tokens")
+    from stream_processing_test_spark.llm.cluster import (
+        connected_components,
+        with_keep_verdict,
     )
-    keep = dedup_keep_canonical(spark, sf_dir).filter("keep").select("doc_id")
-    sample = stratified_sample(spark, sf_dir)
-    kept = sample.join(quality, "doc_id").join(keep, "doc_id")
+    from stream_processing_test_spark.llm.dedup import dedup_ngram_jaccard
+    from stream_processing_test_spark.llm.sampling import sample_keep_gate
+    from stream_processing_test_spark.llm.text import quality_columns
+    from stream_processing_test_spark.tables import load
+
+    q = quality_columns()
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.length(F.trim("text")) > 0)  # doc_quality_score's domain
+        .filter(sample_keep_gate())
+        .select(
+            "doc_id",
+            "source",
+            "lang",
+            q["n_tokens"].alias("n_tokens"),
+            q["passes_quality"].alias("passes_quality"),
+        )
+        .filter("passes_quality")
+    )
+    pairs = dedup_ngram_jaccard(spark, sf_dir)
+    comp = connected_components(pairs, src="doc_a", dst="doc_b")
+    kept = with_keep_verdict(docs, comp).filter("keep")
     return kept.groupBy("source", "lang").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),

@@ -68,6 +68,18 @@ WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < {_SAMPLE_CASE_SQL}
 """
 
 
+def sample_keep_gate() -> Column:
+    """Boolean expression: does this (doc_id, lang) row clear its
+    language's deterministic sampling gate? Shared by the standalone
+    ``stratified_sample`` query and the fused curation pipeline."""
+    threshold = F.lit(_hex_threshold(DEFAULT_RATE))
+    for lang, rate in LANG_RATES.items():
+        threshold = F.when(
+            F.col("lang") == lang, F.lit(_hex_threshold(rate))
+        ).otherwise(threshold)
+    return hash_gate(F.col("doc_id")) < threshold
+
+
 @register(
     "stratified_sample", oracle=_SAMPLE_ORACLE, survey_ops="§7-text,P6,F12", tier=0
 )
@@ -78,14 +90,7 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     is bit-identical across runs/engines (the oracle recomputes it
     independently in DuckDB)."""
     docs = load(spark, sf_dir, "documents")
-    threshold = F.lit(_hex_threshold(DEFAULT_RATE))
-    for lang, rate in LANG_RATES.items():
-        threshold = F.when(
-            F.col("lang") == lang, F.lit(_hex_threshold(rate))
-        ).otherwise(threshold)
-    return docs.filter(hash_gate(F.col("doc_id")) < threshold).select(
-        "doc_id", "lang", "source"
-    )
+    return docs.filter(sample_keep_gate()).select("doc_id", "lang", "source")
 
 
 _MIX_ORACLE = f"""

@@ -143,15 +143,12 @@ FROM feats
 """
 
 
-@register(
-    "doc_quality_score", oracle=_QUALITY_ORACLE, survey_ops="§7-text,A7,F12", tier=0
-)
-def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher-style quality gates: token-count band, punctuation
-    ratio, stopword ratio → boolean pass. The exact thresholds are
-    corpus policy; the operator shape (ratio features + band
-    predicates, one map pass) is the production pattern."""
-    docs = load(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+def quality_columns() -> dict[str, "F.Column"]:
+    """The Gopher-style quality feature expressions over a ``text``
+    column, shared by the standalone ``doc_quality_score`` query and
+    the fused ``corpus_curation_pipeline`` scan — expression-level
+    reuse, so the composed pipeline can never drift from the
+    oracle-checked stage."""
     t = F.col("text")
     n_tokens = F.size(F.split(F.trim(t), r"\s+"))
     n_chars = F.length(t)
@@ -164,15 +161,29 @@ def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     punct_ratio = n_punct.cast("double") / n_chars
     stop_ratio = n_stop.cast("double") / n_tokens
-    return docs.select(
-        "doc_id",
-        n_tokens.alias("n_tokens"),
-        n_chars.cast("int").alias("n_chars"),
-        F.round(punct_ratio, 4).alias("punct_ratio"),
-        F.round(stop_ratio, 4).alias("stopword_ratio"),
-        (
+    return {
+        "n_tokens": n_tokens,
+        "n_chars": n_chars.cast("int"),
+        "punct_ratio": F.round(punct_ratio, 4),
+        "stopword_ratio": F.round(stop_ratio, 4),
+        "passes_quality": (
             n_tokens.between(10, 1000) & (punct_ratio < 0.1) & (stop_ratio > 0.01)
-        ).alias("passes_quality"),
+        ),
+    }
+
+
+@register(
+    "doc_quality_score", oracle=_QUALITY_ORACLE, survey_ops="§7-text,A7,F12", tier=0
+)
+def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality gates: token-count band, punctuation
+    ratio, stopword ratio → boolean pass. The exact thresholds are
+    corpus policy; the operator shape (ratio features + band
+    predicates, one map pass) is the production pattern."""
+    docs = load(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    q = quality_columns()
+    return docs.select(
+        "doc_id", *[expr.alias(name) for name, expr in q.items()]
     )
 
 

@@ -312,6 +312,37 @@ def test_shingles_are_hashed_longs(spark):
     assert want in got
 
 
+def test_curation_pipeline_fuses_into_one_scan(spark):
+    """The composed curation pipeline must evaluate quality features
+    and the sampling gate INSIDE the single corpus scan, apply the
+    dedup verdict as a broadcast join, and shuffle only the final
+    (source, lang) aggregation — no SortMergeJoin, no per-stage corpus
+    rescan. At 100 TB the earlier DataFrame-join composition cost two
+    corpus-sized shuffle joins and three scans for the same answer."""
+    from stream_processing_test_spark.llm.corpus import corpus_curation_pipeline
+
+    plan = _plan(corpus_curation_pipeline(spark, SF_SMALL))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    import re
+
+    scan_ids = set(re.findall(r"Scan parquet\s+\((\d+)\)", plan))
+    assert len(scan_ids) <= 1, scan_ids
+    shuffle_ids = set(re.findall(r"(?<!Broadcast)Exchange\s+\((\d+)\)", plan))
+    assert len(shuffle_ids) <= 1, shuffle_ids
+
+
+def test_keep_canonical_verdict_is_broadcast(spark):
+    """dedup_keep_canonical's corpus pass must be a broadcast left
+    join of the clustered-node set — never a corpus-vs-corpus shuffle
+    join."""
+    from stream_processing_test_spark.llm.cluster import dedup_keep_canonical
+
+    plan = _plan(dedup_keep_canonical(spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_connected_components_one_job_per_round(spark):
     """Label propagation must run exactly ONE Spark job per round — the
     changed-row count rides the same action that materializes the lazy
