@@ -79,6 +79,7 @@ HEADLINE = [
     "ann_ivf_topk",
     "lang_id_ngram",
     "day_close_trigger",
+    "daily_report_pipeline",
 ]
 
 

@@ -100,3 +100,72 @@ def top_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rk",
         )
     )
+
+
+_REPORT_PIPELINE_ORACLE = """
+WITH scores AS (
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_detection,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+           CAST(GREATEST(floor(CAST(COUNT(*) - SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS DOUBLE)
+                               / COUNT(*) * 100), 0) AS INT) AS flow_score
+    FROM events
+    GROUP BY user_id, date_trunc('day', ts)
+), failing AS (
+    SELECT *, CAST(user_id AS VARCHAR) AS source_id
+    FROM scores WHERE flow_score <= 60
+), paged AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY day ORDER BY source_id) AS rn
+    FROM failing
+)
+SELECT day,
+       CAST(floor((rn - 1) / 30) AS BIGINT) AS page,
+       CAST(COUNT(*) AS BIGINT) AS n_sources,
+       CAST(MIN(flow_score) AS INT) AS worst_score,
+       CAST(SUM(n_error) AS BIGINT) AS total_errors,
+       MIN(source_id) AS first_source,
+       MAX(source_id) AS last_source
+FROM paged
+GROUP BY day, floor((rn - 1) / 30)
+"""
+
+
+@register(
+    "daily_report_pipeline",
+    oracle=_REPORT_PIPELINE_ORACLE,
+    survey_ops="A6,A2,W1,W2,S10,T2",
+    tier=0,
+)
+def daily_report_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's WHOLE EP2 reporting cycle composed as one query
+    (StreamTest.cpp:830-1055 score rebuild + :495-607 report emission):
+    daily availability scores -> failing-source filter (the <= 60
+    threshold of A2/P7) -> lexicographic string-id sort (W1) -> 30-row
+    report pages (W2, the S10 batched emitter's unit) -> per-page
+    summary the webhook sink would post.
+
+    Composition reuses the registered ``daily_scores`` stage directly
+    (one scan, one shuffle on (user_id, day)); pagination windows are
+    PARTITIONED BY day, so no global single-partition sort exists
+    anywhere in the pipeline — each day's report pages independently.
+    The oracle recomposes the same stages in SQL.
+    """
+    from stream_processing_test_spark.operators.rollup import daily_scores
+
+    failing = (
+        daily_scores(spark, sf_dir)
+        .filter(F.col("flow_score") <= 60)
+        .withColumn("source_id", F.col("user_id").cast("string"))
+    )
+    w = Window.partitionBy("day").orderBy("source_id")
+    paged = failing.withColumn("rn", F.row_number().over(w)).withColumn(
+        "page", F.floor((F.col("rn") - 1) / REPORT_BATCH_SIZE).cast("long")
+    )
+    return paged.groupBy("day", "page").agg(
+        F.count("*").alias("n_sources"),
+        F.min("flow_score").alias("worst_score"),
+        F.sum("n_error").alias("total_errors"),
+        F.min("source_id").alias("first_source"),
+        F.max("source_id").alias("last_source"),
+    )

@@ -88,7 +88,8 @@ _ROTATION_TIERS: dict[str, int] = {
     "suppliers_with_bulk_items": 1,
     "tfidf_top_terms": 1,
     "token_count": 1,
-    # (2) implementation changes this round
+    # (2) new or implementation-changed this round
+    "daily_report_pipeline": 2,
     "dup_clusters": 2,
     "dedup_keep_canonical": 2,
     "corpus_curation_pipeline": 2,
