@@ -519,13 +519,33 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # exact-verify: two equi-joins pull the vectors back onto the
     # deduped pairs (same shape as the oracle's cand→esig joins).
-    va = emb.select(F.col("vec_id").alias("doc_a"), F.col("v").alias("va"))
-    vb = emb.select(F.col("vec_id").alias("doc_b"), F.col("v").alias("vb"))
+    # Norms are precomputed ONCE per corpus vector and carried through
+    # the join: on this moderate-similarity fixture the candidate set
+    # is a large fraction of all pairs, so the verify stage dominates —
+    # dot/(na*nb) does one 64-element fold per pair instead of
+    # cosine()'s three. Float-identical to cosine() (same expression
+    # subtrees, same evaluation order), so oracle hashes are unchanged.
+    from stream_processing_test_spark.llm.similarity import _dot, _norm
+
+    va = emb.select(
+        F.col("vec_id").alias("doc_a"),
+        F.col("v").alias("va"),
+        _norm(F.col("v")).alias("na"),
+    )
+    vb = emb.select(
+        F.col("vec_id").alias("doc_b"),
+        F.col("v").alias("vb"),
+        _norm(F.col("v")).alias("nb"),
+    )
     result = (
         cand.join(va, "doc_a")
         .join(vb, "doc_b")
         .select(
-            "doc_a", "doc_b", cosine(F.col("va"), F.col("vb")).alias("raw_cos")
+            "doc_a",
+            "doc_b",
+            (_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias(
+                "raw_cos"
+            ),
         )
         .filter(F.col("raw_cos") >= EMBED_COSINE_THRESHOLD)
         .select("doc_a", "doc_b", F.round("raw_cos", 4).alias("cos_sim"))
