@@ -481,3 +481,23 @@ def test_kmeans_reseeds_empty_lists(spark):
     assert {r["list_id"]: list(r["centroid"]) for r in again.collect()} == cents
     # assignments only reference existing lists
     assert {r["list_id"] for r in assign.collect()} <= set(range(k))
+
+
+def test_connected_components_empty_and_kmeans_tiny(spark):
+    """Degenerate inputs must not wedge the iterative operators: an
+    empty edge set converges immediately to an empty labeling, and a
+    corpus smaller than k yields one list per vector."""
+    from stream_processing_test_spark.llm.cluster import connected_components
+    from stream_processing_test_spark.llm.similarity import kmeans_lists
+
+    empty = spark.createDataFrame([], "src LONG, dst LONG")
+    assert connected_components(empty).count() == 0
+
+    emb = spark.createDataFrame(
+        pd.DataFrame({"vec_id": [1, 2], "v": [[1.0, 0.0], [0.0, 1.0]]})
+    )
+    assign, cents = kmeans_lists(emb, k=8, iters=1)
+    assert assign.count() == 2
+    # no more lists than vectors; every assignment references a list
+    lists = {r["list_id"] for r in cents.collect()}
+    assert {r["list_id"] for r in assign.collect()} <= lists

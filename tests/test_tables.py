@@ -54,3 +54,27 @@ def test_normalize_rejects_unknown_dtype(spark):
     bad = spark.createDataFrame(pd.DataFrame({"ts": ["x"]}), "ts STRING")
     with pytest.raises(TypeError):
         normalize_event_ts(bad)
+
+
+def test_loader_instants_independent_of_session_timezone(spark):
+    """The NTZ conversion must denote the same instants under ANY
+    session timezone (convert_timezone pins the UTC interpretation) —
+    a plain cast would silently shift every event by the session
+    offset on Spark 4."""
+    from pyspark.sql import functions as F
+
+    utc = {
+        r["event_id"]: r["u"]
+        for r in load(spark, SF_SMALL, "events")
+        .select("event_id", F.unix_micros("ts").alias("u"))
+        .collect()
+    }
+    scoped = spark.newSession()
+    scoped.conf.set("spark.sql.session.timeZone", "America/New_York")
+    ny = {
+        r["event_id"]: r["u"]
+        for r in load(scoped, SF_SMALL, "events")
+        .select("event_id", F.unix_micros("ts").alias("u"))
+        .collect()
+    }
+    assert utc == ny
