@@ -146,7 +146,14 @@ def run_to_memory(
     lifetime; each partition carries state-store + task overhead every
     micro-batch, so a count sized for relational shuffles wastes
     fixed cost when keys are few). None keeps the session setting —
-    what a large-keyspace deployment would do."""
+    what a large-keyspace deployment would do.
+
+    The override set/restore mutates the conf of the SESSION THAT
+    BUILT ``result`` (a stream is bound to its session, so it cannot
+    be re-scoped here): callers that may run concurrently with other
+    queries should build the stream on a cloned session
+    (``spark.newSession()``) as ``streaming_daily_scores`` and the
+    streak query do — the override is then invisible outside."""
     spark = result.sparkSession
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     if state_partitions is not None:
@@ -187,8 +194,13 @@ GROUP BY user_id, date_trunc('day', ts)
 def streaming_daily_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming daily availability scores: the events parquet replayed
     through a file-source stream, windowed-aggregated, and proven equal
-    to the batch query by the shared DuckDB oracle."""
-    ev = events_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    to the batch query by the shared DuckDB oracle.
+
+    Built on a CLONED session (same SparkContext, separate SQLConf) so
+    run_to_memory's state-partition override never leaks to queries
+    running concurrently on the caller's session."""
+    scoped = spark.newSession()
+    ev = events_stream(scoped, os.path.join(sf_dir, "events.parquet"))
     name = f"stream_scores_{abs(hash(sf_dir)) % 10_000}"
     return run_to_memory(daily_rollup(ev), name)
 
