@@ -80,6 +80,7 @@ HEADLINE = [
     "lang_id_ngram",
     "day_close_trigger",
     "daily_report_pipeline",
+    "attribute_rollup",
 ]
 
 

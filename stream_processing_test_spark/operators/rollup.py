@@ -301,3 +301,91 @@ def resolution_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "n",
     )
+
+
+_ATTR_ORACLE = """
+WITH attrs AS (
+    SELECT user_id, event_id,
+           CASE WHEN k < 10 THEN '0x0'
+                WHEN k < 25 THEN ''
+                WHEN k < 45 THEN '1920x1080'
+                WHEN k < 60 THEN '1280x720'
+                WHEN k < 70 THEN '1111x999'
+                WHEN k < 80 THEN '3840x2160'
+                ELSE '640x480' END AS video_resolution,
+           CASE WHEN k % 7 < 2 THEN '' ELSE 'proto' || CAST(k % 7 AS VARCHAR) END AS protocol,
+           CASE WHEN k % 5 = 0 THEN '' ELSE CAST(400 + k * 3 AS VARCHAR) END AS bitrate
+    FROM (SELECT user_id, event_id,
+                 CAST(regexp_extract(props, '"k": (\\d+)', 1) AS INT) AS k
+          FROM events)
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       COALESCE(arg_min(protocol, event_id) FILTER (WHERE protocol <> ''), '') AS protocol,
+       COALESCE(arg_min(bitrate, event_id) FILTER (WHERE bitrate <> ''), '') AS bitrate,
+       COALESCE(arg_min(video_resolution, event_id)
+                  FILTER (WHERE video_resolution <> '' AND video_resolution <> '0x0'),
+                arg_min(video_resolution, event_id) FILTER (WHERE video_resolution <> ''),
+                '') AS video_resolution,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM attrs GROUP BY user_id
+"""
+
+
+@register(
+    "attribute_rollup", oracle=_ATTR_ORACLE, survey_ops="A4,A8,F9,P6", tier=0
+)
+def attribute_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 end-to-end: the reference's first-non-empty attribute rollup
+    (StreamTest.cpp:847-910) over several attributes at once, INCLUDING
+    the resolution special case — ``'0x0'`` is a placeholder that a
+    later real value replaces, but survives as the answer when nothing
+    better ever arrives (:872-880). Previously this rule only had a
+    unit test; here it is oracle-checked over the full events table.
+
+    Attributes derive deterministically from the JSON envelope (same
+    ``k`` extraction as resolution_classify). "First" is the non-empty
+    value with the smallest event_id — ``min_by`` + FILTER, a pure
+    map-side-combinable aggregation: no window sort, one shuffle on
+    user_id, identical at 100 TB."""
+    ev = load(spark, sf_dir, "events")
+    k = F.regexp_extract("props", r'"k": (\d+)', 1).cast("int")
+    res = (
+        F.when(k < 10, "0x0")
+        .when(k < 25, "")
+        .when(k < 45, "1920x1080")
+        .when(k < 60, "1280x720")
+        .when(k < 70, "1111x999")
+        .when(k < 80, "3840x2160")
+        .otherwise("640x480")
+    )
+    proto = F.when(k % 7 < 2, "").otherwise(
+        F.concat(F.lit("proto"), (k % 7).cast("string"))
+    )
+    bitrate = F.when(k % 5 == 0, "").otherwise((400 + k * 3).cast("string"))
+    attrs = ev.select(
+        "user_id",
+        "event_id",
+        res.alias("video_resolution"),
+        proto.alias("protocol"),
+        bitrate.alias("bitrate"),
+    )
+    first_nonempty = (
+        lambda c: f"min_by({c}, event_id) FILTER (WHERE {c} <> '')"
+    )
+    return attrs.groupBy("user_id").agg(
+        F.coalesce(F.expr(first_nonempty("protocol")), F.lit("")).alias(
+            "protocol"
+        ),
+        F.coalesce(F.expr(first_nonempty("bitrate")), F.lit("")).alias(
+            "bitrate"
+        ),
+        F.coalesce(
+            F.expr(
+                "min_by(video_resolution, event_id) FILTER "
+                "(WHERE video_resolution <> '' AND video_resolution <> '0x0')"
+            ),
+            F.expr(first_nonempty("video_resolution")),
+            F.lit(""),
+        ).alias("video_resolution"),
+        F.count("*").alias("n_events"),
+    )

@@ -89,6 +89,7 @@ _ROTATION_TIERS: dict[str, int] = {
     "tfidf_top_terms": 1,
     "token_count": 1,
     # (2) new or implementation-changed this round
+    "attribute_rollup": 2,
     "daily_report_pipeline": 2,
     "dup_clusters": 2,
     "dedup_keep_canonical": 2,

@@ -238,3 +238,41 @@ def test_crosses_next_utc_midnight(spark, ts, wait_min, expected):
         .first()
     )
     assert row["x"] is expected
+
+
+def test_attribute_rollup_0x0_rule_branches(spark, tmp_path):
+    """All three resolution outcomes of the A4 rollup, end-to-end
+    through the registered query: a real value replaces an earlier
+    '0x0' placeholder; '0x0' survives when nothing better arrives;
+    all-empty yields ''. (The sf fixtures rarely produce a user whose
+    every event is placeholder/empty, so this pins the rule on a
+    crafted corpus.)"""
+    import pandas as pd
+
+    from stream_processing_test_spark.operators.rollup import attribute_rollup
+
+    # k<10 -> '0x0'; 10<=k<25 -> ''; 25<=k<45 -> '1920x1080'
+    rows = [
+        # user 1: 0x0 then a real value -> replaced
+        (1, 1, 5), (2, 1, 30),
+        # user 2: only 0x0 and empty -> '0x0' survives
+        (3, 2, 5), (4, 2, 15),
+        # user 3: only empty -> ''
+        (5, 3, 15),
+    ]
+    pdf = pd.DataFrame(
+        {
+            "event_id": [r[0] for r in rows],
+            "ts": [1_700_000_000_000_000_000 + i for i in range(len(rows))],
+            "user_id": [r[1] for r in rows],
+            "event_type": ["view"] * len(rows),
+            "value": [1.0] * len(rows),
+            "props": ['{"k": %d}' % r[2] for r in rows],
+        }
+    )
+    pdf.to_parquet(tmp_path / "events.parquet", index=False)
+    got = {
+        r["user_id"]: r["video_resolution"]
+        for r in attribute_rollup(spark, str(tmp_path)).collect()
+    }
+    assert got == {1: "1920x1080", 2: "0x0", 3: ""}
