@@ -51,11 +51,14 @@ def synthetic_prober(url_id: str, url: str) -> dict:
     """Deterministic fake probe: ~80% success with plausible metadata,
     ~20% an error code from the taxonomy (empty metadata — matching
     the reference, which only fills metadata it extracted before the
-    failure). Seeded by url_id via crc32 (NOT Python ``hash()``, which
-    is salted per process): stable across runs and executors."""
-    import zlib
+    failure). Seeded by url_id via the PORTABLE md5-derived 60-bit
+    hash (llm.hashing.phash_py — not Python ``hash()``, which is
+    salted per process): stable across runs and executors, AND
+    replayable in SQL — which is what lets ``probe_source_events``
+    carry a real DuckDB oracle instead of a rows-only check."""
+    from stream_processing_test_spark.llm.hashing import phash_py
 
-    h = zlib.crc32(f"probe:{url_id}".encode()) & 0x7FFFFFFF
+    h = phash_py(f"probe:{url_id}")
     if h % 10 < 8:
         return {
             "item": 0,
@@ -324,15 +327,48 @@ from stream_processing_test_spark.registry import register  # noqa: E402
 from stream_processing_test_spark.tables import load  # noqa: E402
 
 
+def _probe_oracle() -> str:
+    """DuckDB replay of the synthetic prober + the per-code rollup:
+    possible because the prober's branching is a pure function of the
+    portable md5-derived hash, and its option lists are emitted into
+    the SQL from the SAME Python constants (single source of truth)."""
+    from stream_processing_test_spark.llm.hashing import phash_sql
+
+    codes = ", ".join(str(c) for c in ERROR_CODES)
+    resolutions = ", ".join(f"'{r}'" for r in _RESOLUTIONS)
+    h = phash_sql("'probe:' || CAST(c_custkey AS VARCHAR)")
+    return f"""
+WITH hh AS (SELECT {h} AS h FROM customer),
+ev AS (
+    SELECT CASE WHEN h % 10 < 8 THEN 0
+                ELSE ([{codes}])[CAST(h % {len(ERROR_CODES)} AS INT) + 1]
+           END AS item,
+           CASE WHEN h % 10 < 8
+                THEN ([{resolutions}])[CAST(h % {len(_RESOLUTIONS)} AS INT) + 1]
+                ELSE '' END AS video_resolution
+    FROM hh)
+SELECT CAST(item AS INT) AS item,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN video_resolution <> '' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_with_resolution
+FROM ev GROUP BY item ORDER BY item
+"""
+
+
 @register(
-    "probe_source_events", oracle=None, survey_ops="S4,S5,T1,F13", tier=0
+    "probe_source_events", oracle=_probe_oracle(), survey_ops="S4,S5,T1,F13", tier=0
 )
 def probe_source_events(spark, sf_dir: str) -> DataFrame:
     """S4 end-to-end: customer rows stand in for the source dimension
     (FIXTURES.md mapping), the synthetic prober emits one
     PROBE_EVENT_SCHEMA row each, and the result aggregates per error
     code — proving the connector's schema, fan-out and determinism.
-    Rows-only driver check (probing is inherently non-SQL)."""
+
+    Oracle-checked: the synthetic prober's outcome is a pure function
+    of the portable hash, so the DuckDB oracle replays probe fan-out,
+    outcome mixing and the rollup end-to-end. (A real ffprobe prober
+    is inherently non-SQL; this query pins the connector machinery
+    around it.)"""
     c = load(spark, sf_dir, "customer").select(
         F.col("c_custkey").cast("string").alias("id"),
         F.concat(F.lit("http://stream/"), F.col("c_custkey")).alias("url"),

@@ -211,10 +211,11 @@ def test_extract_features_real_and_stub_mixed(spark):
 
 
 def test_probe_source_events_pinned_contract(spark):
-    """Correctness evidence for the rows-only connector query: exact
-    per-error-code event counts at sf0.001, pinned. The synthetic
-    prober is hash-deterministic, so any change to the connector's
-    fan-out, schema or outcome mixing shows up as a diff here."""
+    """Pinned contract for the connector query (now ALSO oracle-checked
+    — the synthetic prober seeds from the portable hash, so DuckDB
+    replays it): exact per-error-code event counts at sf0.001. Any
+    change to the connector's fan-out, schema or outcome mixing shows
+    up as a diff here."""
     from stream_processing_test_spark.registry import all_queries
 
     df = all_queries()["probe_source_events"].fn(spark, "/root/testdata/sf0.001")
@@ -223,20 +224,18 @@ def test_probe_source_events_pinned_contract(spark):
     )
     got = [(r["item"], r["n_events"], r["n_with_resolution"]) for r in df.collect()]
     assert got == [
-        (0, 116, 112),
-        (1001, 4, 0),
-        (1003, 3, 0),
+        (0, 128, 123),
+        (1001, 3, 0),
+        (1002, 2, 0),
+        (1003, 1, 0),
         (1004, 2, 0),
-        (1005, 1, 0),
-        (1006, 1, 0),
+        (1005, 2, 0),
+        (1006, 4, 0),
         (1007, 1, 0),
-        (1008, 3, 0),
-        (1009, 3, 0),
-        (1010, 3, 0),
-        (1011, 5, 0),
-        (1013, 3, 0),
-        (1014, 3, 0),
-        (1015, 1, 0),
-        (1016, 1, 0),
+        (1009, 1, 0),
+        (1011, 1, 0),
+        (1012, 3, 0),
+        (1013, 1, 0),
+        (1014, 1, 0),
     ]
     assert sum(n for _, n, _ in got) == 150  # one event per source, total

@@ -64,13 +64,13 @@ def test_every_survey_op_has_evidence():
 
 
 def test_rows_only_queries_are_the_known_set():
-    """Every registered query carries a DuckDB oracle except the three
-    inherently non-SQL surfaces (probing, Python decode kernels) — a
-    new rows-only query must be added here deliberately, with a pinned
-    contract test standing in for the oracle."""
+    """Every registered query carries a DuckDB oracle except the two
+    Python-decode-kernel surfaces — a new rows-only query must be
+    added here deliberately, with a pinned contract test standing in
+    for the oracle. (probe_source_events graduated: the synthetic
+    prober seeds from the portable hash, so DuckDB replays it.)"""
     no_oracle = {n for n, s in all_queries().items() if s.oracle is None}
     assert no_oracle == {
-        "probe_source_events",  # pinned contract: tests/test_codecs.py
         "multimodal_features",  # determinism pytest: tests/test_llm_ops.py
         "multimodal_preprocess",  # geometry pytest: tests/test_llm_ops.py
     }
