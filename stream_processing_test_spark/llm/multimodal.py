@@ -199,8 +199,41 @@ def extract_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(op, schema=FEATURE_SCHEMA)
 
 
+def _features_oracle() -> str:
+    """DuckDB replay of the stub kernel + the per-media_type rollup.
+
+    Replayable because (a) the stub's features are a pure function of
+    the payload bytes, and (b) the fixture text is pure ASCII at every
+    sf (asserted: octet_length(encode(text)) == length(text) for all
+    rows), so byte k of the UTF-8 payload == unicode(substr(text, k+1,
+    1)). feats[0] sums bytes 0,8,...,56 of the 64-byte head, mod 251,
+    / 251 — emitted positionally below."""
+    f0 = (
+        "list_sum(list_transform([0,8,16,24,32,40,48,56], k -> "
+        "CASE WHEN k < LEAST(length(text), 64) "
+        "THEN unicode(substring(text, k + 1, 1)) ELSE 0 END)) % 251 / 251.0"
+    )
+    return f"""
+WITH d AS (
+    SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+                WHEN doc_id % 3 = 1 THEN 'audio'
+                ELSE 'video' END AS media_type,
+           length(text) AS n_bytes,
+           {f0} AS f0
+    FROM documents)
+SELECT media_type,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(AVG(n_bytes), 4) AS avg_bytes,
+       ROUND(AVG(f0), 4) AS avg_f0
+FROM d GROUP BY media_type
+"""
+
+
 @register(
-    "multimodal_features", oracle=None, survey_ops="§7-multimodal,mapInPandas", tier=0
+    "multimodal_features",
+    oracle=_features_oracle(),
+    survey_ops="§7-multimodal,mapInPandas",
+    tier=0,
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end multimodal pipeline on synthetic payloads: documents'
@@ -209,8 +242,10 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     relational post-aggregation — the exact shape a real image corpus
     pipeline has. The kernel is format-dispatching (real PNG/WAV/...
     decode via llm.codecs; these text payloads take the deterministic
-    stub branch). Rows-only driver check; tests/test_codecs.py pins
-    the kernel's real-format behavior and determinism."""
+    stub branch). Oracle-checked end-to-end — the Arrow plumbing, the
+    kernel dispatch AND the stub math are replayed in SQL (possible
+    because the fixture text is ASCII; see _features_oracle);
+    tests/test_codecs.py pins the kernel's real-format behavior."""
     docs = load(spark, sf_dir, "documents")
     media = docs.select(
         "doc_id",
@@ -338,14 +373,50 @@ def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
     return media.mapInPandas(op, schema=FRAME_SCHEMA)
 
 
+def _preprocess_oracle() -> str:
+    """DuckDB replay of the resize geometry and the frame-sampling
+    grid. Text payloads take the stub kernel (w/h derived from byte
+    length; 4 evenly-spaced frames over a length-derived duration), so
+    both stages are pure functions of length(text) — same ASCII
+    precondition as _features_oracle, same trunc-toward-zero float
+    semantics as the Python int() casts."""
+    return """
+WITH img AS (
+    SELECT (length(text) % 640) + 1 AS w, (length(text) % 480) + 1 AS h
+    FROM documents WHERE doc_id % 3 = 0),
+r AS (
+    SELECT GREATEST(1, CAST(trunc(w * LEAST(224.0 / LEAST(w, h), 1.0)) AS INT)) AS rw,
+           GREATEST(1, CAST(trunc(h * LEAST(224.0 / LEAST(w, h), 1.0)) AS INT)) AS rh
+    FROM img),
+vid AS (
+    SELECT ((length(text) % 300) + 1) * 1000 AS dur
+    FROM documents WHERE doc_id % 3 = 2),
+fr AS (
+    SELECT t.i AS frame_index, CAST(trunc(dur * t.i / 4.0) AS BIGINT) AS ts_ms
+    FROM vid, range(4) t(i))
+SELECT 'resize' AS stage, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(AVG(rw), 2) AS avg_w, ROUND(AVG(rh), 2) AS avg_h
+FROM r
+UNION ALL
+SELECT 'frames' AS stage, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(AVG(frame_index), 2) AS avg_w,
+       ROUND(AVG(ts_ms / 1000.0), 2) AS avg_h
+FROM fr
+"""
+
+
 @register(
-    "multimodal_preprocess", oracle=None, survey_ops="§7-multimodal,mapInPandas", tier=0
+    "multimodal_preprocess",
+    oracle=_preprocess_oracle(),
+    survey_ops="§7-multimodal,mapInPandas",
+    tier=0,
 )
 def multimodal_preprocess(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resize + frame-sample composed: images through the resize stage,
     videos exploded into sampled frames, then a relational summary —
     the full preprocessing DAG a multimodal training pipeline runs.
-    Rows-only driver check; pytest asserts the geometry invariants."""
+    Oracle-checked end-to-end (stub geometry replayed in SQL); pytest
+    asserts the geometry invariants and the real-PNG resample path."""
     docs = load(spark, sf_dir, "documents")
     media = docs.select(
         "doc_id",

@@ -64,16 +64,14 @@ def test_every_survey_op_has_evidence():
 
 
 def test_rows_only_queries_are_the_known_set():
-    """Every registered query carries a DuckDB oracle except the two
-    Python-decode-kernel surfaces — a new rows-only query must be
-    added here deliberately, with a pinned contract test standing in
-    for the oracle. (probe_source_events graduated: the synthetic
-    prober seeds from the portable hash, so DuckDB replays it.)"""
+    """EVERY registered query carries a DuckDB oracle — the last
+    rows-only holdouts graduated (probe_source_events: prober seeds
+    from the portable hash; multimodal_*: the stub kernel math is
+    SQL-replayable over the ASCII fixture text). A new rows-only query
+    must be added here deliberately, with a pinned contract test
+    standing in for the oracle."""
     no_oracle = {n for n, s in all_queries().items() if s.oracle is None}
-    assert no_oracle == {
-        "multimodal_features",  # determinism pytest: tests/test_llm_ops.py
-        "multimodal_preprocess",  # geometry pytest: tests/test_llm_ops.py
-    }
+    assert no_oracle == set()
 
 
 def test_query_names_unique_and_callable():
