@@ -88,16 +88,21 @@ _ROTATION_TIERS: dict[str, int] = {
     "suppliers_with_bulk_items": 1,
     "tfidf_top_terms": 1,
     "token_count": 1,
-    # (2) new or implementation-changed this round
+    # (2) new or implementation-changed this round. 24+18+9 overflows
+    # the 50-row window by one; dup_clusters sits out — its change was
+    # performance-only (in-job convergence) and connected_components
+    # correctness is covered in-window by dedup_keep_canonical and
+    # corpus_curation_pipeline (both oracle-checked through the same
+    # propagation loop). It rotates back in r5.
     "attribute_rollup": 2,
     "daily_report_pipeline": 2,
-    "dup_clusters": 2,
     "dedup_keep_canonical": 2,
     "corpus_curation_pipeline": 2,
     "ann_ivf_topk": 2,
     "probe_source_events": 2,
     "multimodal_features": 2,
     "multimodal_preprocess": 2,
+    "dup_clusters": 3,
 }
 
 
