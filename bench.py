@@ -81,6 +81,7 @@ HEADLINE = [
     "day_close_trigger",
     "daily_report_pipeline",
     "attribute_rollup",
+    "decayed_user_scores",
 ]
 
 

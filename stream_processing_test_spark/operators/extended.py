@@ -341,3 +341,47 @@ def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+# Time-decay scoring: reference epoch (2024-02-01 UTC, after the
+# fixture's January window) and a 1-day half-life.
+DECAY_REF_EPOCH = 1706745600  # 2024-02-01T00:00:00Z
+DECAY_HALF_LIFE_S = 86400.0
+
+_DECAY_ORACLE = f"""
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(ROUND(value * pow(0.5,
+             ({DECAY_REF_EPOCH} - epoch_ns(ts) / 1e9) / {DECAY_HALF_LIFE_S}),
+             6)), 4) AS decayed_value
+FROM events GROUP BY user_id
+"""
+
+
+@register(
+    "decayed_user_scores", oracle=_DECAY_ORACLE, survey_ops="A6,F5,F1", tier=2
+)
+def decayed_user_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted activity score: each event's value decays with
+    a 1-day half-life measured back from a fixed reference instant —
+    the standard exponential-decay freshness signal feed-ranking and
+    stream-quality systems maintain.
+
+    Cross-engine float discipline (same recipe as the k-means oracle):
+    the per-event contribution ``value * 0.5^(age_days)`` is rounded
+    to 6 decimals BEFORE the sum — pow() may differ between engines in
+    the last ulp, and rounding at the source keeps every summand
+    bit-identical — and the (order-dependent) sum is rounded to 4,
+    far above double accumulation noise for per-user sums of O(100)
+    summands. One map pass + one partial-aggregated shuffle on
+    user_id; a streaming deployment maintains the same score with the
+    reference instant advanced per trigger."""
+    ev = load(spark, sf_dir, "events")
+    age_days = (
+        F.lit(DECAY_REF_EPOCH) - F.unix_micros("ts") / 1e6
+    ) / DECAY_HALF_LIFE_S
+    contrib = F.round(F.col("value") * F.pow(F.lit(0.5), age_days), 6)
+    return ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum(contrib), 4).alias("decayed_value"),
+    )
