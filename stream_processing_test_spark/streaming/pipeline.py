@@ -261,3 +261,97 @@ def finalize_to_dimension(
         .start()
     )
     q.awaitTermination()
+
+
+_STREAM_SESSIONS_ORACLE = """
+WITH seq AS (
+    SELECT user_id, ts, value,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                THEN 1 ELSE 0 END AS new_sess
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sess AS (
+    SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS sess_seq
+    FROM seq
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 4) AS total_value
+FROM sess GROUP BY user_id, sess_seq
+"""
+
+
+@register(
+    "streaming_session_windows",
+    oracle=_STREAM_SESSIONS_ORACLE,
+    survey_ops="T2,T5,⊘session",
+    tier=2,
+)
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap sessionization AS A STREAM: the same 30-minute
+    ``session_window`` expression as the batch ``session_windows``
+    query, run in append mode with a watermark over the replayed
+    events — proven equal to the batch gaps-and-islands oracle.
+
+    Append-mode session windows only emit once the watermark passes a
+    session's close, and a finite replay's watermark stops at the last
+    real event — which would hold the final session of every user open
+    forever. The replay therefore appends ONE far-future sentinel
+    event (user_id = -1, excluded from results): exactly the
+    production situation, where later traffic is what closes sessions.
+    The sentinel shares the single replay file, so the watermark only
+    advances AFTER the batch containing every real event (a
+    sentinel-first file order would mark them all late and drop them).
+    """
+    import tempfile
+    from datetime import datetime
+
+    from stream_processing_test_spark.tables import load
+
+    scoped = spark.newSession()
+    ev_batch = load(scoped, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    sentinel = scoped.createDataFrame(
+        [(-1, datetime(2100, 1, 1), -1, "sentinel", 0.0, "{}")],
+        T.StructType(
+            [
+                T.StructField("event_id", T.LongType()),
+                T.StructField("ts", T.TimestampType()),
+                T.StructField("user_id", T.LongType()),
+                T.StructField("event_type", T.StringType()),
+                T.StructField("value", T.DoubleType()),
+                T.StructField("props", T.StringType()),
+            ]
+        ),
+    )
+    replay_dir = tempfile.mkdtemp(prefix="sess_replay_")
+    ev_batch.unionByName(sentinel).coalesce(1).write.mode("overwrite").parquet(
+        replay_dir
+    )
+
+    ev = events_stream(scoped, replay_dir)
+    sessions = (
+        ev.withWatermark("ts", "0 seconds")
+        .groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("sw")
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format(F.col("sw.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            "n_events",
+            "total_value",
+        )
+    )
+    name = f"stream_sessions_{abs(hash(sf_dir)) % 10_000}"
+    out = run_to_memory(sessions, name, output_mode="append")
+    return out.filter(F.col("user_id") >= 0)
