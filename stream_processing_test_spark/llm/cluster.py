@@ -42,19 +42,24 @@ def connected_components(
     """(node, component) for every node in ``edges``; component = min
     node id reachable. Edges are undirected (one direction given).
 
-    Raises RuntimeError if not converged within ``max_iter`` rounds —
-    silent truncation would mislabel components, and a dup graph whose
-    diameter exceeds ``max_iter`` deserves loud attention.
+    Raises RuntimeError if not converged within ``max_iter`` rounds
+    (each round = TWO propagation passes; see below) — silent
+    truncation would mislabel components, and a dup graph whose
+    diameter exceeds ``2 * max_iter`` hops deserves loud attention.
 
-    Exactly ONE Spark job per round: the propagation step carries the
-    old label alongside the new one into a *lazy* ``localCheckpoint``,
-    and the round's single action is a ``count()`` of changed rows
-    (new < old) — that one scan materializes every checkpoint block
+    Exactly ONE Spark job per round, and each round advances labels by
+    TWO hops: the first propagation stays lazy inside the second's
+    plan, the pair lands in a *lazy* ``localCheckpoint``, and the
+    round's single action is a ``count()`` of rows the second pass
+    changed — that one scan materializes every checkpoint block
     (truncating lineage for the next round) AND returns the
-    convergence signal, so there is no separate bookkeeping job
-    serializing rounds on the driver (asserted by job-count test in
-    test_scale_layout). ``sym`` is hash-partitioned on ``src`` once
-    before the loop, so every round's edge⋈label join reuses that
+    convergence signal (a full pass that changes nothing IS the
+    fixpoint proof, regardless of what the first pass did). Relative
+    to one-hop rounds this halves the driver barriers and lineage
+    checkpoints for the same total join work — the round count is what
+    serializes the computation at 100 TB (asserted by job-count test
+    in test_scale_layout). ``sym`` is hash-partitioned on ``src`` once
+    before the loop, so every pass's edge⋈label join reuses that
     exchange instead of re-shuffling the (static) edge set.
     """
     sym = (
@@ -69,28 +74,29 @@ def connected_components(
         .withColumn("component", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    def propagate(lbl: DataFrame) -> DataFrame:
+        """(node, component) -> (node, old_component, component): one
+        min-label pass. new = min(own, neighborhood min) <= old, so
+        "changed" is exactly new < old."""
+        nbr_min = (
+            sym.join(lbl, sym["src"] == lbl["node"])
+            .select(F.col("dst").alias("node"), "component")
+            .groupBy("node")
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        return lbl.join(nbr_min, "node", "left").select(
+            "node",
+            F.col("component").alias("old_component"),
+            F.least(
+                F.col("component"),
+                F.coalesce(F.col("nbr_min"), F.col("component")),
+            ).alias("component"),
+        )
+
     try:
         for _ in range(max_iter):
-            nbr_min = (
-                sym.join(labels, sym["src"] == labels["node"])
-                .select(F.col("dst").alias("node"), "component")
-                .groupBy("node")
-                .agg(F.min("component").alias("nbr_min"))
-            )
-            # new label = min(own, neighborhood min); new <= old always,
-            # so "changed" is exactly "new < old".
-            stepped = (
-                labels.join(nbr_min, "node", "left")
-                .select(
-                    "node",
-                    F.col("component").alias("old_component"),
-                    F.least(
-                        F.col("component"),
-                        F.coalesce(F.col("nbr_min"), F.col("component")),
-                    ).alias("component"),
-                )
-                .localCheckpoint(eager=False)
-            )
+            mid = propagate(labels).select("node", "component")
+            stepped = propagate(mid).localCheckpoint(eager=False)
             changed = stepped.filter(
                 F.col("component") < F.col("old_component")
             ).count()
