@@ -82,6 +82,8 @@ HEADLINE = [
     "daily_report_pipeline",
     "attribute_rollup",
     "decayed_user_scores",
+    "cohort_retention",
+    "funnel_conversion",
     # streaming_session_windows is oracle-checked but deliberately NOT a
     # headline query: its wall time is dominated by the sentinel-replay
     # rewrite (test harness, not engine work); streaming perf is

@@ -141,6 +141,7 @@ def all_queries() -> dict[str, QuerySpec]:
     # Imports are deferred so `import stream_processing_test_spark` stays
     # cheap and circular imports are impossible.
     from stream_processing_test_spark.operators import (  # noqa: F401
+        behavior,
         extended,
         programs,
         relational,
