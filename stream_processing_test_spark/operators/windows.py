@@ -169,3 +169,47 @@ def daily_report_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("source_id").alias("first_source"),
         F.max("source_id").alias("last_source"),
     )
+
+
+_PCTRANK_ORACLE = """
+WITH totals AS (
+    SELECT user_id, ROUND(SUM(value), 4) AS total_value
+    FROM events GROUP BY user_id
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       total_value,
+       ROUND(percent_rank() OVER (ORDER BY total_value, user_id), 6) AS pct_rank,
+       ROUND(cume_dist() OVER (ORDER BY total_value, user_id), 6) AS cume,
+       CAST(ntile(10) OVER (ORDER BY total_value, user_id) AS INT) AS decile
+FROM totals
+"""
+
+
+@register(
+    "user_value_percentiles",
+    oracle=_PCTRANK_ORACLE,
+    survey_ops="⊘rank(§2.5),A8",
+    tier=2,
+)
+def user_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative standing of every user by total event value:
+    percent_rank, cume_dist and decile over the aggregated totals —
+    the §2.5 window functions not yet exercised elsewhere
+    (rank/row_number/ntile-by-nation have their own queries).
+
+    The window is a global order over the AGGREGATED per-user totals
+    (|users| rows, not |events|), with (total_value, user_id) as a
+    deterministic total order; rounding to 6 decimals happens after
+    the window so both engines rank identical aggregated doubles."""
+    ev = load(spark, sf_dir, "events")
+    totals = ev.groupBy("user_id").agg(
+        F.round(F.sum("value"), 4).alias("total_value")
+    )
+    w = Window.orderBy("total_value", "user_id")
+    return totals.select(
+        "user_id",
+        "total_value",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.ntile(10).over(w).alias("decile"),
+    )
