@@ -39,10 +39,13 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     were active again N days later.
 
     Two aggregations over the distinct (user, day) activity set — the
-    first (cohort assignment) is |users| rows, so the back-join
-    broadcasts at any realistic cohort cardinality; the wide work is
-    one distinct over (user, day), partial-aggregated in the scan
-    stage. At 100 TB the activity set is the materialized view a
+    cohort-assignment side is |users| rows, which grows with the fact
+    table, so the back-join carries NO broadcast hint: AQE broadcasts
+    when the runtime size is small and falls back to a shuffle join on
+    user_id otherwise (both sides already hash-partitioned on user_id
+    from their aggregations, so the shuffle is often elided). The wide
+    work is one distinct over (user, day), partial-aggregated in the
+    scan stage. At 100 TB the activity set is the materialized view a
     warehouse would maintain incrementally."""
     ev = load(spark, sf_dir, "events")
     activity = ev.select(
@@ -50,7 +53,7 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
     cohorts = activity.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
     return (
-        activity.join(F.broadcast(cohorts), "user_id")
+        activity.join(cohorts, "user_id")
         .groupBy(
             F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
             F.datediff("day", "cohort_day").cast("long").alias("day_offset"),
@@ -93,11 +96,13 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the surviving user count.
 
     Each stage is a conditional MIN per user joined back to the events
-    scan — the per-stage frames are |users| rows, so every join
-    broadcasts and the events table is scanned once per stage with the
-    stage predicate pushed down. The strict event-time ordering (not
-    mere co-occurrence) is what makes this a funnel rather than three
-    independent filters."""
+    scan with the stage predicate pushed down. The per-stage frames
+    are |users| rows — fact-scaled — so the joins carry NO broadcast
+    hint: AQE broadcasts a stage frame only when its runtime size is
+    actually small, and otherwise shuffle-joins on user_id (the stage
+    frames are already hash-partitioned on user_id by their groupBy).
+    The strict event-time ordering (not mere co-occurrence) is what
+    makes this a funnel rather than three independent filters."""
     ev = load(spark, sf_dir, "events")
     t1 = (
         ev.filter(F.col("event_type") == "click")
@@ -106,14 +111,14 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t2 = (
         ev.filter(F.col("event_type") == "signup")
-        .join(F.broadcast(t1), "user_id")
+        .join(t1, "user_id")
         .filter(F.col("ts") > F.col("t_click"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_signup"))
     )
     t3 = (
         ev.filter(F.col("event_type") == "purchase")
-        .join(F.broadcast(t2), "user_id")
+        .join(t2, "user_id")
         .filter(F.col("ts") > F.col("t_signup"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_purchase"))

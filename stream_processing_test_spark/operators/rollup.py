@@ -324,8 +324,7 @@ SELECT CAST(user_id AS BIGINT) AS user_id,
        COALESCE(arg_min(bitrate, event_id) FILTER (WHERE bitrate <> ''), '') AS bitrate,
        COALESCE(arg_min(video_resolution, event_id)
                   FILTER (WHERE video_resolution <> '' AND video_resolution <> '0x0'),
-                arg_min(video_resolution, event_id) FILTER (WHERE video_resolution <> ''),
-                '') AS video_resolution,
+                arg_max(video_resolution, event_id)) AS video_resolution,
        CAST(COUNT(*) AS BIGINT) AS n_events
 FROM attrs GROUP BY user_id
 """
@@ -337,10 +336,15 @@ FROM attrs GROUP BY user_id
 def attribute_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4 end-to-end: the reference's first-non-empty attribute rollup
     (StreamTest.cpp:847-910) over several attributes at once, INCLUDING
-    the resolution special case — ``'0x0'`` is a placeholder that a
-    later real value replaces, but survives as the answer when nothing
-    better ever arrives (:872-880). Previously this rule only had a
-    unit test; here it is oracle-checked over the full events table.
+    the resolution special case (:898-910): a stored ``'0x0'`` is
+    force-overwritten by the NEXT row's value *even when that value is
+    empty* — so the fold's state stays in {'', '0x0'} (each row
+    overwrites) until the first real resolution freezes it. Closed
+    form: the first value that is neither '' nor '0x0'; if none ever
+    arrives, the LAST row's value. Sequence ('0x0', '') therefore ends
+    as '' — matching the reference's sequential overwrite, not a
+    first-non-empty preference for '0x0'. Row order is proxied by
+    event_id (the reference iterates MySQL result order).
 
     Attributes derive deterministically from the JSON envelope (same
     ``k`` extraction as resolution_classify). "First" is the non-empty
@@ -384,8 +388,7 @@ def attribute_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "min_by(video_resolution, event_id) FILTER "
                 "(WHERE video_resolution <> '' AND video_resolution <> '0x0')"
             ),
-            F.expr(first_nonempty("video_resolution")),
-            F.lit(""),
+            F.expr("max_by(video_resolution, event_id)"),
         ).alias("video_resolution"),
         F.count("*").alias("n_events"),
     )

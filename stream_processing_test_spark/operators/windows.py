@@ -197,19 +197,57 @@ def user_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     the §2.5 window functions not yet exercised elsewhere
     (rank/row_number/ntile-by-nation have their own queries).
 
-    The window is a global order over the AGGREGATED per-user totals
-    (|users| rows, not |events|), with (total_value, user_id) as a
-    deterministic total order; rounding to 6 decimals happens after
-    the window so both engines rank identical aggregated doubles."""
+    Scale design — NO single-partition window. Because the order
+    (total_value, user_id) is a unique total order (user_id is the
+    group key), rank == row_number, so percent_rank, cume_dist and
+    ntile are all closed-form in (rn, N):
+
+        pct_rank = (rn-1)/(N-1)        cume = rn/N
+        ntile(k): first N%k tiles get ⌈N/k⌉ rows, the rest ⌊N/k⌋
+
+    The global row_number itself is computed distributively:
+    repartitionByRange on the order key -> per-partition row_number
+    (window PARTITIONED BY the range-partition id) -> plus an offset
+    that is the running sum of partition counts. The offsets frame is
+    #shuffle-partitions rows (a k-row seed window, the PLANS.md
+    allowance) and broadcasts back; N rides the same tiny frame. Every
+    |users|-sized stage stays hash/range-partitioned."""
     ev = load(spark, sf_dir, "events")
     totals = ev.groupBy("user_id").agg(
         F.round(F.sum("value"), 4).alias("total_value")
     )
-    w = Window.orderBy("total_value", "user_id")
-    return totals.select(
-        "user_id",
-        "total_value",
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
-        F.ntile(10).over(w).alias("decile"),
+    ranged = totals.repartitionByRange("total_value", "user_id").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    w_local = Window.partitionBy("pid").orderBy("total_value", "user_id")
+    local = ranged.withColumn("local_rn", F.row_number().over(w_local))
+    counts = local.groupBy("pid").agg(F.count("*").alias("cnt"))
+    w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "pid",
+        F.coalesce(F.sum("cnt").over(w_off), F.lit(0)).alias("offset"),
+        F.sum("cnt").over(
+            Window.orderBy("pid").rangeBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n_total"),
+    )
+    rn = F.col("local_rn") + F.col("offset")
+    n = F.col("n_total")
+    base, rem = F.floor(n / 10), n % 10
+    threshold = rem * (base + 1)
+    return (
+        local.join(F.broadcast(offsets), "pid")
+        .select(
+            "user_id",
+            "total_value",
+            F.round(
+                F.when(n > 1, (rn - 1) / (n - 1)).otherwise(F.lit(0.0)), 6
+            ).alias("pct_rank"),
+            F.round(rn / n, 6).alias("cume"),
+            F.when(rn <= threshold, F.ceil(rn / (base + 1)))
+            .otherwise(rem + F.ceil((rn - threshold) / base))
+            .cast("int")
+            .alias("decile"),
+        )
     )

@@ -163,14 +163,19 @@ def test_bucket_edges(spark, score, bucket):
 
 
 def test_first_non_empty_resolution_replacement(spark):
-    # source 1: first observation "0x0", later a real resolution — the
-    # real one must win; source 2: only "0x0" — stays "0x0";
-    # source 3: empty then value.
+    # Reference fold (StreamTest.cpp:898-910): from state '' OR '0x0'
+    # the next row's value always overwrites (empty included); a real
+    # value freezes. So: source 1 ('0x0' then real) -> real wins;
+    # source 2 (only '0x0') -> '0x0' survives; source 3 ('' then
+    # value) -> value; source 4 ('0x0' then '') -> '' — the sequential
+    # overwrite, NOT first-non-empty.
     rows = pd.DataFrame(
         {
-            "url_id": ["1", "1", "2", "3", "3"],
-            "event_id": [1, 2, 3, 4, 5],
-            "video_resolution": ["0x0", "1920x1080", "0x0", "", "640x480"],
+            "url_id": ["1", "1", "2", "3", "3", "4", "4"],
+            "event_id": [1, 2, 3, 4, 5, 6, 7],
+            "video_resolution": [
+                "0x0", "1920x1080", "0x0", "", "640x480", "0x0", "",
+            ],
         }
     )
     df = spark.createDataFrame(rows, "url_id STRING, event_id LONG, video_resolution STRING")
@@ -182,16 +187,13 @@ def test_first_non_empty_resolution_replacement(spark):
                     "min_by(video_resolution, event_id) "
                     "FILTER (WHERE video_resolution NOT IN ('', '0x0'))"
                 ),
-                F.expr(
-                    "min_by(video_resolution, event_id) "
-                    "FILTER (WHERE video_resolution <> '')"
-                ),
+                F.expr("max_by(video_resolution, event_id)"),
             ).alias("res")
         )
         .collect()
     )
     got = {r["url_id"]: r["res"] for r in out}
-    assert got == {"1": "1920x1080", "2": "0x0", "3": "640x480"}
+    assert got == {"1": "1920x1080", "2": "0x0", "3": "640x480", "4": ""}
 
 
 # ---------------------------------------------------------------------------
@@ -241,12 +243,14 @@ def test_crosses_next_utc_midnight(spark, ts, wait_min, expected):
 
 
 def test_attribute_rollup_0x0_rule_branches(spark, tmp_path):
-    """All three resolution outcomes of the A4 rollup, end-to-end
-    through the registered query: a real value replaces an earlier
-    '0x0' placeholder; '0x0' survives when nothing better arrives;
-    all-empty yields ''. (The sf fixtures rarely produce a user whose
-    every event is placeholder/empty, so this pins the rule on a
-    crafted corpus.)"""
+    """All resolution outcomes of the A4 rollup, end-to-end through
+    the registered query, pinned to the reference's SEQUENTIAL
+    overwrite (StreamTest.cpp:898-910): a real value replaces an
+    earlier '0x0' placeholder and freezes; with no real value the fold
+    keeps overwriting from {'', '0x0'}, so the LAST row's value wins —
+    ('0x0', '') ends as '', ('', '0x0') ends as '0x0'. (The sf
+    fixtures rarely produce a user whose every event is
+    placeholder/empty, so this pins the rule on a crafted corpus.)"""
     import pandas as pd
 
     from stream_processing_test_spark.operators.rollup import attribute_rollup
@@ -255,10 +259,14 @@ def test_attribute_rollup_0x0_rule_branches(spark, tmp_path):
     rows = [
         # user 1: 0x0 then a real value -> replaced
         (1, 1, 5), (2, 1, 30),
-        # user 2: only 0x0 and empty -> '0x0' survives
+        # user 2: 0x0 then empty -> the overwrite rule: '' wins
         (3, 2, 5), (4, 2, 15),
         # user 3: only empty -> ''
         (5, 3, 15),
+        # user 4: empty then 0x0 -> '0x0' (last value)
+        (6, 4, 15), (7, 4, 5),
+        # user 5: only 0x0 -> '0x0' survives
+        (8, 5, 5),
     ]
     pdf = pd.DataFrame(
         {
@@ -275,4 +283,4 @@ def test_attribute_rollup_0x0_rule_branches(spark, tmp_path):
         r["user_id"]: r["video_resolution"]
         for r in attribute_rollup(spark, str(tmp_path)).collect()
     }
-    assert got == {1: "1920x1080", 2: "0x0", 3: ""}
+    assert got == {1: "1920x1080", 2: "", 3: "", 4: "0x0", 5: "0x0"}

@@ -375,6 +375,33 @@ def test_connected_components_one_job_per_round(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
 
 
+def test_fact_scaled_frames_never_force_broadcast(spark):
+    """cohort_retention / funnel_conversion join |users|-sized frames —
+    frames whose row bound grows with the fact table. They must NOT
+    carry F.broadcast hints: with the auto-broadcast threshold disabled
+    and AQE off, no broadcast join may appear in their plans (a hint
+    would force one regardless of the threshold, which is exactly the
+    100 TB OOM). Dimension broadcasts elsewhere (region/nation/part,
+    centroid sets, clustered-node sets) are bounded and stay hinted."""
+    from stream_processing_test_spark.operators.behavior import (
+        cohort_retention,
+        funnel_conversion,
+    )
+
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for q in (cohort_retention, funnel_conversion):
+            plan = _plan(q(spark, SF_SMALL))
+            assert "BroadcastHashJoin" not in plan, q.__name__
+            assert "BroadcastNestedLoopJoin" not in plan, q.__name__
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+
+
 def test_kmeans_centroids_rounded_and_bounded(spark):
     """Quantizer determinism contract: centroid components are rounded
     to 6 decimals (cross-engine float stability — the property the
