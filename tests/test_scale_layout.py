@@ -402,6 +402,45 @@ def test_fact_scaled_frames_never_force_broadcast(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
 
 
+def test_star_components_log_rounds_on_long_chain(spark):
+    """large-star/small-star must collapse a 64-node chain (diameter
+    63) in logarithmic rounds — ≤ ⌈log2 63⌉ + 4 = 10 — where
+    diameter-bound propagation would need ~32 two-hop rounds. Labels
+    must be exact: every chain node -> 0, plus an untouched pair."""
+    from stream_processing_test_spark.llm.cluster import star_components
+
+    chain = [(i, i + 1) for i in range(63)] + [(100, 101)]
+    edges = spark.createDataFrame(chain, "src LONG, dst LONG")
+    labels, rounds = star_components(edges)
+    assert rounds <= 10, f"star took {rounds} rounds on a 64-chain"
+    got = {r["node"]: r["component"] for r in labels.collect()}
+    want = {i: 0 for i in range(64)} | {100: 100, 101: 100}
+    assert got == want
+
+
+def test_star_and_minlabel_agree(spark):
+    """Both algorithms behind connected_components() must produce
+    identical labels on a mixed graph (clique + chain + isolated
+    pair + self-loop)."""
+    from stream_processing_test_spark.llm.cluster import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (5, 6), (6, 7), (7, 8), (20, 21), (30, 30)],
+        "src LONG, dst LONG",
+    )
+    out = {}
+    for algo in ("minlabel", "star"):
+        out[algo] = sorted(
+            (r["node"], r["component"])
+            for r in connected_components(edges, algorithm=algo).collect()
+        )
+    assert out["minlabel"] == out["star"]
+    assert out["star"] == [
+        (1, 1), (2, 1), (3, 1), (5, 5), (6, 5), (7, 5), (8, 5),
+        (20, 20), (21, 20), (30, 30),
+    ]
+
+
 def test_kmeans_centroids_rounded_and_bounded(spark):
     """Quantizer determinism contract: centroid components are rounded
     to 6 decimals (cross-engine float stability — the property the
