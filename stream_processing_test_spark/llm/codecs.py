@@ -89,6 +89,8 @@ def decode_png(payload: bytes) -> tuple[int, int, int, bytearray]:
                     f"unsupported PNG (depth={depth} color={color} "
                     f"interlace={interlace}); 8-bit non-interlaced only"
                 )
+            if width == 0 or height == 0:
+                raise ValueError("PNG with zero dimension")
             channels = _PNG_CHANNELS[color]
         elif ctype == b"IDAT":
             idat.extend(data)
@@ -181,19 +183,42 @@ def resize_nearest(
 
 
 def jpeg_size(payload: bytes) -> tuple[int, int]:
-    """(width, height) from the first SOF marker of a JPEG stream."""
+    """(width, height) from the first SOF marker of a JPEG stream.
+
+    Spec-conformant marker walk: consecutive 0xFF bytes are fill
+    (B.1.1.2) and are consumed before interpreting the marker byte;
+    0xFF00 is a stuffed data byte, not a marker; the walk stops at
+    EOI (0xD9) and at SOS (0xDA) — SOF precedes SOS in any decodable
+    stream, and past SOS lies entropy-coded data where segment
+    lengths are meaningless."""
     pos = 2
     n = len(payload)
-    while pos + 4 <= n:
+    while pos + 2 <= n:
         if payload[pos] != 0xFF:
             pos += 1
             continue
+        # consume 0xFF fill bytes before the marker byte
+        while pos + 1 < n and payload[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 2 > n:
+            break
         marker = payload[pos + 1]
-        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+        if marker == 0x00:  # stuffed byte, not a marker
             pos += 2
             continue
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2  # standalone markers carry no length field
+            continue
+        if marker in (0xD9, 0xDA):  # EOI / SOS: no SOF is coming
+            break
+        if pos + 4 > n:
+            break
         (seglen,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+        if seglen < 2:
+            raise ValueError("bad JPEG segment length")
         if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            if pos + 9 > n:
+                break
             h, w = struct.unpack(">HH", payload[pos + 5 : pos + 9])
             return w, h
         pos += 2 + seglen

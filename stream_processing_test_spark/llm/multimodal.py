@@ -150,6 +150,10 @@ def decode_payload(payload: bytes) -> dict:
                 "gif": codecs.gif_size,
                 "bmp": codecs.bmp_size,
             }[fmt](payload)
+            if w <= 0 or h <= 0:
+                # header parses but declares a degenerate image — the
+                # stub fallback, not a downstream ZeroDivisionError
+                raise ValueError(f"{fmt} with zero dimension")
             return {
                 "n_bytes": n,
                 "width": w,
@@ -164,7 +168,7 @@ def decode_payload(payload: bytes) -> dict:
                 "height": meta["channels"],
                 "features": _audio_features(meta),
             }
-    except (ValueError, struct.error):
+    except (ValueError, struct.error, ZeroDivisionError, IndexError):
         # a sniffed-but-corrupt payload degrades to the stub rather
         # than failing the batch — bad files are data, not bugs
         pass
@@ -287,6 +291,10 @@ def _resize_one(payload: bytes, target: int) -> tuple[int, int, int, int, bytes]
     property either way."""
     meta = decode_payload(payload)
     w, h = meta["width"], meta["height"]
+    if min(w, h) <= 0:
+        # degenerate metadata (e.g. a WAV routed through image resize
+        # reports width=sample_rate=0): pass through untouched
+        return w, h, w, h, payload
     scale = min(target / min(w, h), 1.0)
     rw = max(1, int(w * scale))
     rh = max(1, int(h * scale))

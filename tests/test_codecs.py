@@ -13,6 +13,7 @@ import zlib
 from pathlib import Path
 
 import pandas as pd
+import pytest
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
@@ -111,6 +112,67 @@ def test_header_parsers():
     bmp = b"BM" + b"\x00" * 16 + struct.pack("<ii", 64, -128) + b"\x00" * 8
     assert codecs.sniff(bmp) == "bmp"
     assert codecs.bmp_size(bmp) == (64, 128)  # negative height = top-down
+
+
+def test_jpeg_fill_bytes_and_eoi():
+    """Spec-valid padding: consecutive 0xFF fill bytes before a marker
+    must be consumed, not parsed as a segment length (B.1.1.2); a
+    stream ending at EOI without SOF must raise, not walk past the
+    end."""
+    sof = (
+        b"\xff\xc0"
+        + struct.pack(">H", 11)
+        + b"\x08"
+        + struct.pack(">HH", 48, 32)
+        + b"\x01\x01\x11\x00"
+    )
+    # fill bytes between SOI and SOF: FF FF FF C0 ...
+    padded = b"\xff\xd8" + b"\xff\xff" + sof + b"\xff\xd9"
+    assert codecs.jpeg_size(padded) == (32, 48)
+    # APP0 segment, then fill bytes, then SOF
+    app0 = b"\xff\xe0" + struct.pack(">H", 4) + b"JF"
+    padded2 = b"\xff\xd8" + app0 + b"\xff\xff\xff" + sof + b"\xff\xd9"
+    assert codecs.jpeg_size(padded2) == (32, 48)
+    # EOI before any SOF: must raise (not return garbage)
+    with pytest.raises(ValueError):
+        codecs.jpeg_size(b"\xff\xd8" + app0 + b"\xff\xd9" + sof)
+    # SOS before SOF (undecodable stream): stop, raise
+    sos = b"\xff\xda" + struct.pack(">H", 2)
+    with pytest.raises(ValueError):
+        codecs.jpeg_size(b"\xff\xd8" + sos + sof)
+
+
+def test_zero_dimension_headers_fall_back_to_stub():
+    """Degenerate dimensions (width or height 0) must route to the
+    stub fallback — never a ZeroDivisionError that kills the whole
+    mapInPandas task ('bad files are data, not bugs')."""
+    # PNG declaring 0x0 in IHDR
+    ihdr = struct.pack(">IIBBBBB", 0, 0, 8, 2, 0, 0, 0)
+    png0 = (
+        codecs.PNG_SIG
+        + struct.pack(">I", len(ihdr))
+        + b"IHDR"
+        + ihdr
+        + struct.pack(">I", 0)
+    )
+    with pytest.raises(ValueError):
+        codecs.decode_png(png0)
+    d = decode_payload(png0)
+    assert d["width"] > 0 and d["height"] > 0  # stub dims
+    # GIF declaring width 0
+    gif0 = b"GIF89a" + struct.pack("<HH", 0, 200) + b"\x00" * 6
+    assert codecs.gif_size(gif0) == (0, 200)
+    d = decode_payload(gif0)
+    assert d["width"] > 0 and d["height"] > 0
+    # BMP declaring height 0
+    bmp0 = b"BM" + b"\x00" * 16 + struct.pack("<ii", 64, 0) + b"\x00" * 8
+    d = decode_payload(bmp0)
+    assert d["width"] > 0 and d["height"] > 0
+    # and the resize stage passes degenerate metadata through untouched
+    from stream_processing_test_spark.llm.multimodal import _resize_one
+
+    w, h, rw, rh, payload = _resize_one(gif0, 224)
+    assert (rw, rh) == (w, h) and payload  # stub dims, no crash
 
 
 def _make_wav(rate=8000, samples=(0, 1000, -1000, 32767, -32768)):
