@@ -271,3 +271,54 @@ def quantity_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 (l_returnflag), ())
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Skew-salted aggregation, exercised end-to-end (functions.skew)
+# ---------------------------------------------------------------------------
+
+_SKEW_ORACLE = """
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 4) AS total_value,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_error
+FROM events
+GROUP BY user_id
+"""
+
+
+@register(
+    "skew_salted_rollup",
+    oracle=_SKEW_ORACLE,
+    survey_ops="A3,A8,§7-skew",
+    tier=2,
+)
+def skew_salted_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The A3-shaped per-source rollup routed through the two-phase
+    SALTED aggregation (functions.skew.salted_aggregate): partials on
+    (user_id, salt), finals on user_id. The salt spreads a hot key
+    over n_salts reducers, so one mega-source cannot pin a stage on a
+    single task at 100 TB. The final result is salt-invariant —
+    count/sum partials re-combine exactly — which is what the plain
+    GROUP BY oracle verifies end-to-end (value sums rounded to 4, the
+    repo's cross-engine float convention)."""
+    from stream_processing_test_spark.functions.skew import salted_aggregate
+
+    ev = load(spark, sf_dir, "events")
+    return salted_aggregate(
+        ev,
+        ["user_id"],
+        partial_aggs=[
+            F.count("*").alias("c"),
+            F.sum("value").alias("s"),
+            F.sum(
+                F.when(F.col("event_type") == "error", 1).otherwise(0)
+            ).alias("e"),
+        ],
+        final_aggs=[
+            F.sum("c").alias("n_events"),
+            F.round(F.sum("s"), 4).alias("total_value"),
+            F.sum("e").alias("n_error"),
+        ],
+    )

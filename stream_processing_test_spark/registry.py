@@ -34,75 +34,69 @@ class QuerySpec:
 
 _REGISTRY: dict[str, QuerySpec] = {}
 
-# Round-4 rotation (VERDICT r3 items 1+4): the driver checks a
-# 50-query prefix, so put (0) every batch/streaming consumer of the
-# events table — all 24 changed this round by the Spark-4 loader fix
-# (tables.normalize_event_ts) and need fresh green rows — then (1) the
-# 20 queries the r3 run didn't enumerate (their newest row is r2), then
-# (2) ops whose implementation changes this round (cluster convergence,
-# IVF re-seed, probe cancellation, multimodal kernel). Unlisted queries
-# keep ``10 + tier`` and fill any remaining slots in registration
-# order; all of them have green r3 rows.
+# Round-5 rotation (VERDICT r4 item 1): the driver checks a 50-query
+# prefix, so put (0) the five queries registered late in r4 that have
+# NEVER had a driver row, plus dup_clusters (rotated out of r4 while
+# its loop changed), plus everything new or implementation-changed
+# this round (star components, skew-salted rollup, the attribute
+# 0x0-overwrite semantics fix, the codec hardening, behavior/windows
+# de-broadcast) — then (1) the 37 queries whose newest driver row is
+# r3. 13 + 37 = 50 exactly. Unlisted queries keep ``10 + tier``;
+# all of them have green r4 rows for unchanged code.
 _ROTATION_TIERS: dict[str, int] = {
-    # (0) events consumers — loader changed this round
-    "asof_click_attribution": 0,
-    "daily_scores": 0,
-    "day_close_trigger": 0,
-    "engaged_users_setops": 0,
-    "error_labels": 0,
-    "failing_programs": 0,
-    "monotonic_violations": 0,
-    "per_source_rollup": 0,
-    "props_json_stats": 0,
-    "range_join_error_context": 0,
-    "records_in_window": 0,
-    "report_batches": 0,
-    "resolution_classify": 0,
-    "rolling_user_stats": 0,
-    "session_windows": 0,
-    "sql_daily_event_summary": 0,
-    "streaming_click_purchase_join": 0,
-    "streaming_daily_scores": 0,
-    "streaming_dedup": 0,
-    "streaming_failure_streaks": 0,
-    "top_events_per_user": 0,
-    "user_cardinality": 0,
-    "user_cardinality_approx": 0,
-    "users_without_big_purchase": 0,
-    # (1) newest driver row is r2
-    "active_sources": 1,
-    "ann_cosine_topk": 1,
-    "dedup_embedding_cosine": 1,
-    "dedup_exact": 1,
-    "dedup_ngram_jaccard": 1,
-    "doc_chunking": 1,
-    "doc_fingerprint": 1,
-    "doc_quality_score": 1,
-    "embedding_centroids": 1,
-    "embedding_norm_stats": 1,
-    "lang_id_ngram": 1,
-    "program_match": 1,
-    "revenue_rollup": 1,
-    "source_mixing": 1,
-    "stratified_sample": 1,
-    "suppliers_with_bulk_items": 1,
-    "tfidf_top_terms": 1,
-    "token_count": 1,
-    # (2) new or implementation-changed this round. 24+18+9 overflows
-    # the 50-row window by one; dup_clusters sits out — its change was
-    # performance-only (in-job convergence) and connected_components
-    # correctness is covered in-window by dedup_keep_canonical and
-    # corpus_curation_pipeline (both oracle-checked through the same
-    # propagation loop). It rotates back in r5.
-    "attribute_rollup": 2,
-    "daily_report_pipeline": 2,
-    "dedup_keep_canonical": 2,
-    "corpus_curation_pipeline": 2,
-    "ann_ivf_topk": 2,
-    "probe_source_events": 2,
-    "multimodal_features": 2,
-    "multimodal_preprocess": 2,
-    "dup_clusters": 3,
+    # (0) never driver-checked (registered after r4's freeze)
+    "cohort_retention": 0,
+    "funnel_conversion": 0,
+    "decayed_user_scores": 0,
+    "user_value_percentiles": 0,
+    "streaming_session_windows": 0,
+    # (0) owed a post-change row / new or changed in r5
+    "dup_clusters": 0,
+    "dup_clusters_star": 0,
+    "skew_salted_rollup": 0,
+    "attribute_rollup": 0,
+    "multimodal_features": 0,
+    "multimodal_preprocess": 0,
+    "dedup_keep_canonical": 0,
+    "corpus_curation_pipeline": 0,
+    # (1) newest driver row is r3
+    "ann_lsh_topk": 1,
+    "balance_quartiles": 1,
+    "decontaminate_overlap": 1,
+    "dedup_embedding_lsh": 1,
+    "dedup_minhash_lsh": 1,
+    "dedup_simhash": 1,
+    "doc_repetition_stats": 1,
+    "pii_redact": 1,
+    "price_percentiles": 1,
+    "q10_returned_items": 1,
+    "q11_important_parts": 1,
+    "q12_priority_shipping": 1,
+    "q13_order_count_distribution": 1,
+    "q14_promo_revenue_share": 1,
+    "q15_top_supplier": 1,
+    "q16_part_supplier_variety": 1,
+    "q17_small_quantity_revenue": 1,
+    "q18_large_orders": 1,
+    "q19_disjunctive_revenue": 1,
+    "q1_pricing_summary": 1,
+    "q20_excess_suppliers": 1,
+    "q21_blocking_suppliers": 1,
+    "q22_idle_customers": 1,
+    "q2_min_cost_supplier": 1,
+    "q3_shipping_priority": 1,
+    "q4_order_priority": 1,
+    "q5_region_revenue": 1,
+    "q6_forecast_revenue": 1,
+    "q7_nation_trade_volume": 1,
+    "q8_market_share": 1,
+    "q9_product_profit": 1,
+    "quantity_grouping_sets": 1,
+    "revenue_cube": 1,
+    "rich_accounts_union": 1,
+    "stats_moments": 1,
+    "substring_dup_coverage": 1,
+    "vendor_flow_stats": 1,
 }
 
 

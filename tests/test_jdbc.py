@@ -317,3 +317,71 @@ def test_upsert_pushdown_survives_failed_merge(spark, derby_url):
     assert rows == [("1", "a", 1)]
     with pytest.raises(Exception):
         read_jdbc(spark, derby_url, "mdim__stg", properties=DERBY).collect()
+
+
+def test_upsert_pushdown_survives_merge_crash(spark, derby_url):
+    """Failure injection for the MERGE pushdown path, mirroring the
+    stage-and-swap crash test: if the MERGE statement itself fails
+    AFTER staging was written, (1) the live table is untouched — MERGE
+    is one statement, so the DB's own atomicity protects it, there is
+    no partial-merge state; (2) the staging table is still dropped on
+    the error path (the finally clause, no orphan accumulating per
+    failed run); (3) a clean retry completes the upsert with the full
+    skip-empty / always-set semantics. Only the key column gets a
+    VARCHAR override — nullable non-key columns must stay CLOB (Spark
+    setNull sends the dialect default type code, which Derby rejects
+    against an overridden VARCHAR column)."""
+    from stream_processing_test_spark.sinks import upsert as U
+    from stream_processing_test_spark.sinks.upsert import upsert_jdbc_pushdown
+
+    typed = dict(DERBY, createTableColumnTypes="id VARCHAR(10)")
+    target = spark.createDataFrame(
+        pd.DataFrame({"id": ["1", "2"], "name": ["a", "b"], "flow_score": [1, 2]})
+    )
+    write_jdbc(target, derby_url, "crashmerge", mode="overwrite", properties=typed)
+
+    real_exec = U._execute_driver_sql
+
+    def sabotage(spark_, url, statements, properties=None, transactional=False):
+        if any("MERGE INTO" in s for s in statements):
+            statements = ["INSERT INTO no_such_table VALUES (1)"]
+        return real_exec(spark_, url, statements, properties, transactional)
+
+    updates = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "id": ["2", "3"],
+                "name": pd.array([None, "c"], dtype="string"),
+                "flow_score": [99, 3],
+            }
+        )
+    )
+    U._execute_driver_sql = sabotage
+    try:
+        with pytest.raises(Exception):
+            upsert_jdbc_pushdown(
+                spark, updates, derby_url, "crashmerge", key="id",
+                always_set=("flow_score",), properties=typed,
+            )
+    finally:
+        U._execute_driver_sql = real_exec
+
+    rows = {
+        r["id"]: (r["name"], r["flow_score"])
+        for r in read_jdbc(spark, derby_url, "crashmerge", properties=DERBY).collect()
+    }
+    assert rows == {"1": ("a", 1), "2": ("b", 2)}, "failed MERGE must not touch target"
+    # staging dropped on the error path
+    with pytest.raises(Exception):
+        read_jdbc(spark, derby_url, "crashmerge__stg", properties=DERBY).collect()
+    # clean retry lands the batch: skip-empty keeps name 'b', always-set
+    # overwrites the score, new key appended
+    upsert_jdbc_pushdown(
+        spark, updates, derby_url, "crashmerge", key="id",
+        always_set=("flow_score",), properties=typed,
+    )
+    rows = {
+        r["id"]: (r["name"], r["flow_score"])
+        for r in read_jdbc(spark, derby_url, "crashmerge", properties=DERBY).collect()
+    }
+    assert rows == {"1": ("a", 1), "2": ("b", 99), "3": ("c", 3)}
