@@ -22,11 +22,13 @@ import sys
 from pathlib import Path
 
 QUERIES = [
-    "session_windows",
-    "ann_lsh_topk",
-    "streaming_failure_streaks",
-    "sql_daily_event_summary",
-    "ann_cosine_topk",
+    q
+    for q in os.environ.get(
+        "AB_QUERIES",
+        "session_windows,ann_lsh_topk,streaming_failure_streaks,"
+        "sql_daily_event_summary,ann_cosine_topk",
+    ).split(",")
+    if q
 ]
 
 CHILD = r"""
