@@ -213,15 +213,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     result = (
         inter.join(
-            F.broadcast(
-                sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sa"))
-            ),
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sa")),
             "doc_a",
         )
         .join(
-            F.broadcast(
-                sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sb"))
-            ),
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sb")),
             "doc_b",
         )
         .filter(jaccard >= JACCARD_THRESHOLD)

@@ -100,7 +100,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         lineitem.join(
             orders, lineitem.l_orderkey == orders.o_orderkey, "inner"
         )
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey, "inner")
+        .join(customer, orders.o_custkey == customer.c_custkey, "inner")
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
             F.round(
@@ -157,7 +157,7 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return (
         lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(dims), lineitem.l_suppkey == dims.s_suppkey)
+        .join(dims, lineitem.l_suppkey == dims.s_suppkey)
         .groupBy("n_name")
         .agg(
             F.round(
@@ -270,9 +270,9 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey")
     )
     return (
-        li.join(F.broadcast(big), "l_orderkey")
+        li.join(big, "l_orderkey")
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
         .select(

@@ -132,9 +132,9 @@ def q7_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     return (
-        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .filter(F.col("supp_nation") != F.col("cust_nation"))
         .groupBy(
             "supp_nation", "cust_nation",
@@ -211,10 +211,10 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     vol = _revenue().alias("volume")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .select(F.year("o_orderdate").alias("o_year"), vol, "supp_nation")
         .groupBy("o_year")
         .agg(
@@ -275,8 +275,8 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         _revenue() - 0.5 * F.col("p_retailprice") * F.col("l_quantity")
     ).alias("amount")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .select("nation", F.year("o_orderdate").alias("o_year"), amount)
         .groupBy("nation", "o_year")
@@ -328,7 +328,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
         .select(
@@ -445,7 +445,7 @@ def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     part = load(spark, sf_dir, "part").select("p_partkey", "p_type")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .agg(
             F.round(
                 100.0
@@ -497,7 +497,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(max_rev), rev.total_revenue == max_rev.max_revenue
     ).drop("max_revenue")
     supplier = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
-    return top.join(F.broadcast(supplier), "s_suppkey").select(
+    return top.join(supplier, "s_suppkey").select(
         "s_suppkey", "s_name", "total_revenue"
     )
 
@@ -538,10 +538,10 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         (0.5 * F.avg("l_quantity")).alias("half_avg_qty")
     )
     return (
-        li.join(F.broadcast(brand_parts), li.l_partkey == brand_parts.p_partkey)
-        .join(F.broadcast(part_avg.join(F.broadcast(brand_parts),
-                                        part_avg.l_partkey == brand_parts.p_partkey)
-                          .select("l_partkey", "half_avg_qty")),
+        li.join(brand_parts, li.l_partkey == brand_parts.p_partkey)
+        .join(part_avg.join(brand_parts,
+                            part_avg.l_partkey == brand_parts.p_partkey)
+              .select("l_partkey", "half_avg_qty"),
               on="l_partkey")
         .filter(F.col("l_quantity") < F.col("half_avg_qty"))
         .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
@@ -593,7 +593,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .filter(branch)
         .agg(
             F.round(F.sum(_revenue()), 2).alias("revenue"),
@@ -715,8 +715,8 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     supplier = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
-        best.join(F.broadcast(part), best.l_partkey == part.p_partkey)
-        .join(F.broadcast(supplier), best.l_suppkey == supplier.s_suppkey)
+        best.join(part, best.l_partkey == part.p_partkey)
+        .join(supplier, best.l_suppkey == supplier.s_suppkey)
         .select("p_partkey", "p_name", "s_name", "supply_cost")
     )
 
@@ -795,8 +795,8 @@ def q16_part_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
     return (
-        li.join(F.broadcast(bad_supp), li.l_suppkey == bad_supp.s_suppkey, "left_anti")
-        .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+        li.join(bad_supp, li.l_suppkey == bad_supp.s_suppkey, "left_anti")
+        .join(part, F.col("l_partkey") == part.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -846,7 +846,7 @@ def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
     )
     sq = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .groupBy("l_suppkey")
         .agg(F.sum("l_quantity").alias("qty"))
     )
@@ -862,7 +862,7 @@ def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier = load(spark, sf_dir, "supplier")
     return (
         supplier.join(
-            F.broadcast(qualifying),
+            qualifying,
             supplier.s_suppkey == qualifying.l_suppkey,
             "left_semi",
         )
@@ -936,7 +936,7 @@ def q21_blocking_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
         flagged.filter(F.col("late") & (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
-        .join(F.broadcast(supplier), F.col("l_suppkey") == supplier.s_suppkey)
+        .join(supplier, F.col("l_suppkey") == supplier.s_suppkey)
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
     )

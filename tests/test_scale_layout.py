@@ -64,14 +64,32 @@ def test_filters_and_projection_reach_scan(spark):
     assert schema_line.count(":") <= 5
 
 
+def _executed_plan(df) -> str:
+    """AQE-final physical plan: run the query, then read the executed
+    plan (join strategies AFTER adaptive replanning — what actually ran,
+    not the static estimate)."""
+    df.collect()
+    # AdaptiveSparkPlanExec.toString() appends the pre-AQE estimate
+    # after an "== Initial Plan ==" marker — keep only what actually ran
+    return (
+        df._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]
+    )
+
+
 def test_star_join_broadcasts_all_dims(spark):
-    """q5 shape: no shuffle (SortMerge) joins — every dimension side
-    must broadcast."""
+    """q5 shape: the fixed-cardinality dims (nation/region) broadcast
+    by hint in the static plan; the supplier-side dims frame carries no
+    hint (supplier grows with SF — forcing it would OOM at 100 TB) but
+    AQE must still broadcast it at this fixture size, so the executed
+    plan has no shuffle join."""
     from stream_processing_test_spark.operators.relational import q5_region_revenue
 
-    plan = _plan(q5_region_revenue(spark, SF_SMALL))
-    assert "BroadcastHashJoin" in plan
-    assert "SortMergeJoin" not in plan
+    df = q5_region_revenue(spark, SF_SMALL)
+    assert "BroadcastHashJoin" in _plan(df)
+    assert "SortMergeJoin" not in _executed_plan(df)
 
 
 def test_semi_and_anti_joins_planned(spark):
@@ -173,20 +191,21 @@ def test_salted_broadcast_left_matches_plain_join(spark):
 
 
 def test_tpch_star_joins_broadcast_dims(spark):
-    """q8 (8-way star) and q7: every dimension side broadcasts; the
-    only shuffle joins allowed are fact-to-fact (lineitem⋈orders).
-    At 100 TB a dimension that silently falls back to SortMergeJoin
-    re-shuffles the whole fact table."""
+    """q8 (8-way star) and q7: nation/region broadcast by hint in the
+    static plan; supplier/customer/part sides are AQE-decided (hints on
+    SF-scaled tables are the 100 TB OOM), and at this fixture size AQE
+    must convert them to broadcasts — the executed plan's only shuffle
+    join is fact-to-fact (lineitem⋈orders)."""
     from stream_processing_test_spark.operators.tpch import (
         q7_nation_trade_volume,
         q8_market_share,
     )
 
     for q in (q7_nation_trade_volume, q8_market_share):
-        plan = _plan(q(spark, SF_SMALL))
-        assert "BroadcastHashJoin" in plan
+        df = q(spark, SF_SMALL)
+        assert "BroadcastHashJoin" in _plan(df)
         # lineitem⋈orders is the one legitimate shuffle join
-        assert plan.count("SortMergeJoin") <= 1
+        assert _executed_plan(df).count("SortMergeJoin") <= 1
 
 
 def test_scalar_subqueries_are_broadcast_not_collected(spark):
@@ -375,28 +394,83 @@ def test_connected_components_one_job_per_round(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
 
 
-def test_fact_scaled_frames_never_force_broadcast(spark):
-    """cohort_retention / funnel_conversion join |users|-sized frames —
-    frames whose row bound grows with the fact table. They must NOT
-    carry F.broadcast hints: with the auto-broadcast threshold disabled
-    and AQE off, no broadcast join may appear in their plans (a hint
-    would force one regardless of the threshold, which is exactly the
-    100 TB OOM). Dimension broadcasts elsewhere (region/nation/part,
-    centroid sets, clustered-node sets) are bounded and stay hinted."""
-    from stream_processing_test_spark.operators.behavior import (
-        cohort_retention,
-        funnel_conversion,
-    )
+# Queries allowed to FORCE a broadcast (F.broadcast hint) even with the
+# auto-broadcast threshold disabled, each with the row bound that makes
+# the forced build side safe at any fact-table scale. Everything else
+# must leave join-strategy choice to AQE: a hint on a frame whose rows
+# grow with the fact table (customer/supplier/part at TPC-H scale,
+# per-user frames, per-doc size tables) is a guaranteed executor OOM at
+# 100 TB no matter how small it is in this fixture.
+_FORCED_BROADCAST_ALLOWED = {
+    "ann_cosine_topk": "k-row query-vector set (crossJoin seed)",
+    "corpus_curation_pipeline": "clustered-node verdict set (|dup nodes| "
+    "<< |corpus| by design; the fused one-scan plan depends on it)",
+    "dedup_keep_canonical": "clustered-node verdict set (same as above)",
+    "error_labels": "17-row error-code taxonomy dim",
+    "failing_programs": "program dim + its HAVING-filtered subset",
+    "program_match": "program-name dim (live_broadcast_details)",
+    "q10_returned_items": "25-row nation dim",
+    "q11_important_parts": "1-row share-threshold scalar",
+    "q15_top_supplier": "1-row max-revenue scalar",
+    "q20_excess_suppliers": "1-row volume threshold + filtered nation",
+    "q22_idle_customers": "1-row average-balance scalar",
+    "q5_region_revenue": "region(5)/nation(25) dims",
+    "q7_nation_trade_volume": "pair-filtered nation (<=25 rows)",
+    "q8_market_share": "region/nation dims",
+    "q9_product_profit": "25-row nation dim",
+    "tfidf_top_terms": "1-row corpus-size scalar",
+    "user_value_percentiles": "#shuffle-partitions-row offsets frame",
+}
+
+# Queries whose heavy plan runs inside fn() (localCheckpoint/streaming
+# sink) — the returned frame's lineage is cut, so the sweep can't see
+# their joins. Their broadcast discipline is asserted piecewise above
+# (LSH candidate layout, shingle index, CC job counts) instead.
+_SWEEP_OPAQUE = {
+    "ann_ivf_topk",
+    "ann_lsh_topk",
+    "decontaminate_overlap",
+    "dedup_embedding_lsh",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dup_clusters",
+    "dup_clusters_star",
+    "streaming_click_purchase_join",
+    "streaming_daily_scores",
+    "streaming_dedup",
+    "streaming_failure_streaks",
+    "streaming_session_windows",
+}
+
+
+def test_no_query_force_broadcasts_fact_scaled_frames(spark):
+    """Registry-wide sweep: with AQE off and the auto-broadcast
+    threshold disabled, any BroadcastExchange left in a plan comes from
+    an explicit F.broadcast hint. The set of queries with forced
+    broadcasts must equal the documented allowlist — every entry a
+    frame with a scale-independent row bound (dims, taxonomies, 1-row
+    scalars, k-row seeds). A new hint on a fact-scaled frame, anywhere
+    in the registry, fails this test."""
+    from stream_processing_test_spark.registry import all_queries
 
     old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
     old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
-        for q in (cohort_retention, funnel_conversion):
-            plan = _plan(q(spark, SF_SMALL))
-            assert "BroadcastHashJoin" not in plan, q.__name__
-            assert "BroadcastNestedLoopJoin" not in plan, q.__name__
+        forced = set()
+        for name, spec in sorted(all_queries().items()):
+            if name in _SWEEP_OPAQUE:
+                continue
+            plan = _plan(spec.fn(spark, SF_SMALL))
+            assert "Scan parquet" in plan, f"{name}: expected a lazy plan"
+            if "BroadcastExchange" in plan:
+                forced.add(name)
+        assert forced == set(_FORCED_BROADCAST_ALLOWED), (
+            f"unexpected forced broadcasts: {sorted(forced - set(_FORCED_BROADCAST_ALLOWED))}; "
+            f"stale allowlist entries: {sorted(set(_FORCED_BROADCAST_ALLOWED) - forced)}"
+        )
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
