@@ -15,7 +15,8 @@ Scale notes:
   (dimension ~1.5% the size of lineitem); the orders⋈lineitem join
   shuffles on o_orderkey/l_orderkey. Top-10 via TakeOrderedAndProject —
   no global sort materialization.
-- q5-shaped join chain: all small dims broadcast; one fact shuffle.
+- q5-shaped join chain: fixed dims (nation/region) broadcast by hint,
+  SF-scaled sides AQE-decided; one fact shuffle.
 """
 
 from __future__ import annotations

@@ -8,9 +8,12 @@ schema can express (no partsupp table, no commit/receipt dates or
 shipmode — those queries are adapted, noted per-query).
 
 Scale notes (100 TB posture):
-- Dimensions (region, nation, supplier, part, customer at low SF) are
-  broadcast; the only wide shuffles are fact-side groupBys on their
-  natural keys.
+- Fixed-cardinality dimensions (region=5, nation=25, 1-row scalars)
+  carry explicit broadcast hints; SF-scaled tables (supplier, part,
+  customer) are left to AQE, which broadcasts them while small and
+  falls back to shuffle joins when they outgrow the threshold — a
+  forced hint on an SF-scaled frame is an executor OOM at 100 TB
+  (asserted registry-wide in tests/test_scale_layout.py).
 - Correlated subqueries (q17, q22) are expressed as aggregate-then-join
   so Catalyst plans one scan per input, no per-row re-execution.
 - Disjunctive predicates (q19) stay inside one scan-filter; parquet
@@ -102,9 +105,10 @@ GROUP BY supp_nation, cust_nation, l_year
 )
 def q7_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape: 6-way join with a symmetric nation-pair filter.
-    Both nation joins broadcast; the nation filter is applied on the
-    dimension side *before* the fact join so non-matching suppliers/
-    customers never reach the shuffle."""
+    The (25-row-bounded) nation joins broadcast by hint; the nation
+    filter is applied on the dimension side *before* the fact join so
+    non-matching suppliers/customers never reach the shuffle. The
+    supplier/customer joins themselves are AQE-decided (SF-scaled)."""
     n1 = load(spark, sf_dir, "nation").select(
         F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
     )
@@ -177,9 +181,10 @@ GROUP BY o_year
 )
 def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8 shape: 8-way star join + conditional-aggregate ratio
-    (one nation's share of regional volume per year). All dims
-    broadcast; the fact table is filtered by the broadcast part
-    dimension before any shuffle."""
+    (one nation's share of regional volume per year). Region/nation
+    hints force their (bounded) broadcasts; part/supplier/customer are
+    AQE-decided so the plan degrades to shuffle joins instead of OOM
+    when they outgrow the broadcast threshold at scale."""
     part = load(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO").select("p_partkey")
     n1 = load(spark, sf_dir, "nation").select(
         F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
@@ -522,11 +527,12 @@ WHERE p_brand = 'Brand#2'
 )
 def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 shape: correlated per-part average. De-correlated into
-    aggregate-then-join: one pass computes avg quantity per part, then a
-    broadcast join filters lineitems below half their part's average —
-    Catalyst's own decorrelation produces the same plan shape, written
-    explicitly here so the join side that gets broadcast is the small
-    per-part aggregate, not the fact table."""
+    aggregate-then-join: one pass computes avg quantity per part, then
+    a join (AQE broadcasts the per-part aggregate while it fits)
+    filters lineitems below half their part's average — Catalyst's own
+    decorrelation produces the same plan shape, written explicitly
+    here so the aggregate side, not the fact table, is the build
+    side."""
     li = load(spark, sf_dir, "lineitem")
     brand_parts = (
         load(spark, sf_dir, "part")
@@ -572,7 +578,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q19 shape: OR-of-ANDs spanning both join sides. Catalyst
     extracts the single-side envelopes (quantity 1-30 on lineitem,
     brand/size union on part) as pushed-down pre-filters, then applies
-    the full disjunction after the broadcast join."""
+    the full disjunction after the (AQE-decided) part join."""
     li = load(spark, sf_dir, "lineitem")
     part = load(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
     branch = (
@@ -779,10 +785,10 @@ GROUP BY p_brand, p_type, p_size
     "q16_part_supplier_variety", oracle=_Q16_ORACLE, survey_ops="⊘distinct-agg,⊘anti,J1", tier=3
 )
 def q16_part_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q16 shape: NOT IN (rewritten as a broadcast anti-join on
-    the excluded-supplier set) + COUNT(DISTINCT) grouped by part
-    attributes. The anti-join runs before the part join so excluded
-    rows never reach the wider plan."""
+    """TPC-H Q16 shape: NOT IN (rewritten as an anti-join on the
+    excluded-supplier set, AQE-broadcast while small) + COUNT(DISTINCT)
+    grouped by part attributes. The anti-join runs before the part
+    join so excluded rows never reach the wider plan."""
     bad_supp = (
         load(spark, sf_dir, "supplier")
         .filter(F.col("s_acctbal") < 0)
