@@ -151,14 +151,19 @@ def main() -> None:
         )
     except OSError:
         pass  # read-only checkout: the stdout line still carries the timings
+    # Key order matters: the driver artifact keeps only the LAST 2000
+    # chars of stdout, so the headline totals go at the END of the line
+    # — if the queries map ever outgrows the cap, truncation eats early
+    # per-query entries (recoverable from BENCH_DETAIL.json), never the
+    # metric/value/sf summary.
     print(
         json.dumps(
             {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
                 "queries": timings,
+                "metric": "headline_queries_total_wall",
+                "unit": "sec",
                 "sf": sf_num,
+                "value": total,
             },
             separators=(",", ":"),
         )

@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 
 from stream_processing_test_spark.llm.dedup import NGRAM_PAIR_CTES
 from stream_processing_test_spark.registry import register
+from stream_processing_test_spark.session import release_local_checkpoint
 
 
 def connected_components(
@@ -109,13 +110,16 @@ def connected_components(
         )
 
     try:
-        for _ in range(max_iter):
+        prev_cp = labels  # round N's blocks are read by round N+1's
+        for _ in range(max_iter):  # action; release them one round late
             mid = propagate(labels).select("node", "component")
             stepped = propagate(mid).localCheckpoint(eager=False)
             changed = stepped.filter(
                 F.col("component") < F.col("old_component")
             ).count()
             labels = stepped.select("node", "component")
+            release_local_checkpoint(prev_cp)
+            prev_cp = stepped
             if changed == 0:
                 return labels
         raise RuntimeError(
@@ -211,6 +215,10 @@ def star_components(
             .filter(F.col("d") != 0)
             .count()
         )
+        # the diff job read cur AND materialized nxt's checkpoint, so
+        # cur's blocks are dead from here — free them now instead of
+        # waiting for the ContextCleaner's next periodic JVM GC
+        release_local_checkpoint(cur)
         cur = nxt
         if n_diff == 0:
             star = cur.groupBy("src").agg(F.min("dst").alias("component"))

@@ -20,6 +20,7 @@ absence never changes results for the stdlib-decodable formats.
 from __future__ import annotations
 
 import struct
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -168,9 +169,18 @@ def decode_payload(payload: bytes) -> dict:
                 "height": meta["channels"],
                 "features": _audio_features(meta),
             }
-    except (ValueError, struct.error, ZeroDivisionError, IndexError):
+    except (
+        ValueError,
+        struct.error,
+        zlib.error,  # corrupt PNG deflate stream (not a ValueError)
+        OSError,  # PIL UnidentifiedImageError / truncated-file errors
+        ZeroDivisionError,
+        IndexError,
+    ):
         # a sniffed-but-corrupt payload degrades to the stub rather
-        # than failing the batch — bad files are data, not bugs
+        # than failing the batch — bad files are data, not bugs.
+        # (Codec *bugs* on valid files still fail loudly: test_codecs
+        # exercises the decoders directly, without this net.)
         pass
     return _decode_stub(payload)
 

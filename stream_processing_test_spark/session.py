@@ -83,6 +83,24 @@ def finish_with(result, *cached):
     return out
 
 
+def release_local_checkpoint(df) -> None:
+    """Best-effort: free the storage blocks behind a localCheckpoint'd
+    DataFrame that is KNOWN to be superseded (nothing will read it
+    again — unpersisting a local checkpoint makes its data
+    unrecoverable, so never call this on a frame still in use).
+
+    Without this, each round of an iterative algorithm leaves its
+    checkpoint blocks pinned until a JVM GC lets the ContextCleaner
+    notice them (periodic GC default: every 30 min) — across a long
+    95-query driver session that is real storage-memory pressure.
+    Reaches through LogicalRDD internals; falls back silently to
+    ContextCleaner reclamation if the shape ever changes."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 _SHIPPED: set[int] = set()
 
 

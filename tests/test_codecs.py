@@ -301,3 +301,26 @@ def test_probe_source_events_pinned_contract(spark):
         (1014, 1, 0),
     ]
     assert sum(n for _, n, _ in got) == 150  # one event per source, total
+
+
+def test_corrupt_idat_deflate_falls_back_to_stub():
+    """A structurally valid PNG whose IDAT payload is NOT a deflate
+    stream raises zlib.error inside decode_png — which is not a
+    ValueError, so it must be caught explicitly by decode_payload's
+    fallback net (a corrupt compressed body is data, not a bug)."""
+    import struct
+    import zlib
+
+    import pytest
+
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+    blob = (
+        codecs.PNG_SIG
+        + codecs._png_chunk(b"IHDR", ihdr)
+        + codecs._png_chunk(b"IDAT", b"\xff\xfe not deflate \x00\x01")
+        + codecs._png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(zlib.error):
+        codecs.decode_png(blob)  # the codec itself stays loud
+    d = decode_payload(blob)  # the pipeline kernel degrades to stub
+    assert d == decode_payload(blob) and len(d["features"]) == 8

@@ -425,23 +425,11 @@ _FORCED_BROADCAST_ALLOWED = {
 # Queries whose heavy plan runs inside fn() (localCheckpoint/streaming
 # sink) — the returned frame's lineage is cut, so the sweep can't see
 # their joins. Their broadcast discipline is asserted piecewise above
-# (LSH candidate layout, shingle index, CC job counts) instead.
-_SWEEP_OPAQUE = {
-    "ann_ivf_topk",
-    "ann_lsh_topk",
-    "decontaminate_overlap",
-    "dedup_embedding_lsh",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dup_clusters",
-    "dup_clusters_star",
-    "streaming_click_purchase_join",
-    "streaming_daily_scores",
-    "streaming_dedup",
-    "streaming_failure_streaks",
-    "streaming_session_windows",
-}
+# (LSH candidate layout, shingle index, CC job counts) instead. The
+# canonical list lives in the registry (shared with tools/audit_plans).
+from stream_processing_test_spark.registry import PLAN_OPAQUE_QUERIES
+
+_SWEEP_OPAQUE = set(PLAN_OPAQUE_QUERIES)
 
 
 def test_no_query_force_broadcasts_fact_scaled_frames(spark):
@@ -536,3 +524,21 @@ def test_kmeans_centroids_rounded_and_bounded(spark):
     n = emb.count()
     a = assign.collect()
     assert len(a) == n and {r["list_id"] for r in a} <= {r["list_id"] for r in cents}
+
+
+def test_session_keeps_runtime_filters_on(spark):
+    """The 100 TB posture leans on Spark's runtime filters: bloom-filter
+    semi-join reduction pushes join-key membership into fact scans, and
+    dynamic partition pruning skips date partitions behind a dim filter.
+    Both default on in Spark 4 — pin them so a future session-factory
+    edit (or a conf override in a query) can't silently turn them off."""
+    assert (
+        spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled")
+        == "true"
+    )
+    assert (
+        spark.conf.get("spark.sql.optimizer.dynamicPartitionPruning.enabled")
+        == "true"
+    )
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
