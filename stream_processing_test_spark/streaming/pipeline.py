@@ -245,6 +245,25 @@ def finalize_to_dimension(
             )
             .select("id", "s.*")
         )
+        # Newest-day-wins ACROSS batches, not just within one: update
+        # mode re-emits any changed window, so a late update to an old
+        # day can arrive after a newer day was already finalized (e.g.
+        # on restart, or with out-of-order event files). Dropping rows
+        # older than the target's current day makes the upsert monotone
+        # — the final dimension is order-independent, and a two-phase
+        # restarted run lands exactly where a one-shot run does
+        # (pinned by test_restart_recovers_aggregation_state). Ties
+        # overwrite: the latest emission of a window carries its most
+        # complete cumulative state.
+        current = (
+            batch_df.sparkSession.read.parquet(dim_path)
+            .select("id", F.col("day").alias("cur_day"))
+        )
+        latest = (
+            latest.join(current, "id", "left")
+            .filter(F.col("cur_day").isNull() | (F.col("day") >= F.col("cur_day")))
+            .drop("cur_day")
+        )
         upsert_parquet(
             batch_df.sparkSession,
             latest,

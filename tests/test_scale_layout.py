@@ -542,3 +542,26 @@ def test_session_keeps_runtime_filters_on(spark):
     )
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
     assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+
+
+def test_cc_rounds_release_superseded_checkpoints(spark):
+    """Iterative CC must not pin one localCheckpoint per round for the
+    session's lifetime (the ContextCleaner only reclaims them at its
+    periodic JVM GC): after a multi-round star run, persistent RDD
+    count is bounded by a small constant (result + nodes + final edge
+    set), not by the round count."""
+    from stream_processing_test_spark.llm.cluster import star_components
+
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 64)], "src LONG, dst LONG"
+    )
+    labels, rounds = star_components(edges)
+    got = {(r["node"], r["component"]) for r in labels.collect()}
+    assert got == {(i, 1) for i in range(1, 65)}
+    assert rounds >= 4  # enough rounds that per-round pinning would show
+    after = jsc.getPersistentRDDs().size()
+    assert after - before <= 3, (
+        f"{after - before} checkpoints pinned after {rounds} rounds"
+    )

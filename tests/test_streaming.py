@@ -185,3 +185,118 @@ def test_stateful_streaks_carry_across_micro_batches(spark, tmp_path):
         1,
         3,
     )
+
+
+def _write_event_chunks(spark, src, n=3):
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    parts = ev.randomSplit([1.0] * n, seed=11)
+    for i, p in enumerate(parts):
+        p.coalesce(1).write.parquet(str(src / f"chunk{i}"))
+    return ev
+
+
+def test_restart_resumes_offsets_exactly_once(spark, tmp_path):
+    """T1/T8 recovery: a stopped stream restarted from the SAME
+    checkpoint must resume from recorded offsets — files already
+    processed before the stop are not re-emitted, files added while
+    down are picked up, and the file sink's commit manifest yields
+    every event exactly once across both runs."""
+    src = tmp_path / "incoming"
+    src.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    ev = _write_event_chunks(spark, src)
+    all_chunks = sorted(src.glob("chunk*"))
+    # phase 2 chunks are invisible until the restart
+    hidden = tmp_path / "hidden"
+    hidden.mkdir()
+    for c in all_chunks[1:]:
+        c.rename(hidden / c.name)
+
+    def run_passthrough():
+        q = (
+            events_stream(spark, f"{src}/chunk*/", max_files_per_trigger=1)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_passthrough()  # processes chunk0 only, then stops
+    n_phase1 = spark.read.parquet(out).count()
+    assert 0 < n_phase1 < ev.count()
+    for c in sorted(hidden.glob("chunk*")):
+        c.rename(src / c.name)
+    run_passthrough()  # same checkpoint: resumes, reads only new files
+
+    got = spark.read.parquet(out)
+    assert got.count() == ev.count()  # nothing lost...
+    assert got.select("event_id").distinct().count() == ev.count()  # ...nothing doubled
+
+
+def test_restart_recovers_aggregation_state(spark, tmp_path):
+    """T2/T3/T8 recovery: the windowed-rollup state store must survive
+    a stop/restart — a two-phase run (chunk0, stop, add the rest,
+    resume from the SAME checkpoint) upserts exactly the same final
+    dimension as a one-shot run over everything.
+
+    Both runs use an effectively-infinite watermark: the chunks are
+    random (non-chronological) splits, so any finite watermark would
+    legitimately drop phase-2 events as late — that policy has its own
+    tests (streaming_dedup, click/purchase join); THIS test isolates
+    checkpoint state recovery from it."""
+    src = tmp_path / "incoming"
+    src.mkdir()
+    ev = _write_event_chunks(spark, src)
+    user_ids = sorted(
+        r["user_id"] for r in ev.select("user_id").distinct().collect()
+    )
+
+    def fresh_dim(path):
+        pd.DataFrame(
+            {
+                "id": user_ids,
+                "url": [f"http://src/{u}" for u in user_ids],
+                "day": [None] * len(user_ids),
+                "flow_score": [None] * len(user_ids),
+                "n_detection": [None] * len(user_ids),
+                "n_error": [None] * len(user_ids),
+            }
+        ).pipe(
+            lambda pdf: spark.createDataFrame(
+                pdf,
+                "id LONG, url STRING, day STRING, flow_score INT, "
+                "n_detection LONG, n_error LONG",
+            )
+        ).write.parquet(path)
+
+    # one-shot reference run
+    dim_full, ckpt_full = str(tmp_path / "dim_full"), str(tmp_path / "ck_full")
+    fresh_dim(dim_full)
+    finalize_to_dimension(
+        spark, f"{src}/chunk*/", dim_full, ckpt_full, watermark="36500 days"
+    )
+
+    # two-phase run, same checkpoint across the restart
+    hidden = tmp_path / "hidden2"
+    hidden.mkdir()
+    for c in sorted(src.glob("chunk*"))[1:]:
+        c.rename(hidden / c.name)
+    dim_two, ckpt_two = str(tmp_path / "dim_two"), str(tmp_path / "ck_two")
+    fresh_dim(dim_two)
+    finalize_to_dimension(
+        spark, f"{src}/chunk*/", dim_two, ckpt_two, watermark="36500 days"
+    )
+    for c in sorted(hidden.glob("chunk*")):
+        c.rename(src / c.name)
+    finalize_to_dimension(
+        spark, f"{src}/chunk*/", dim_two, ckpt_two, watermark="36500 days"
+    )
+
+    want = sorted(map(tuple, spark.read.parquet(dim_full).collect()))
+    got = sorted(map(tuple, spark.read.parquet(dim_two).collect()))
+    assert got == want
