@@ -1,0 +1,170 @@
+"""CLI entry point: ``python -m stream_processing_test_spark <cmd>``.
+
+The reference ships as a single always-on binary; this engine is a
+library, and the CLI is the operational wrapper a reference user would
+drive day to day:
+
+- ``list``                      — every registered query with its
+                                  SURVEY §2 operator tags and oracle status
+- ``run <query>``               — execute one registered query at an
+                                  sf_dir; show rows or write parquet/CSV
+- ``day-close``                 — the EP2 day-close over an sf_dir:
+                                  daily scores upserted into a dimension
+                                  parquet + paginated markdown report
+                                  pages written to disk (the reference's
+                                  reporting thread, StreamTest.cpp:830-1055)
+- ``bench``                     — the headline benchmark (one JSON line)
+
+Exit code 0 on success; errors surface as exceptions (loud, not
+swallowed — operational wrappers that hide failures page nobody).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+from pathlib import Path
+
+
+def _spark():
+    from stream_processing_test_spark.session import get_spark
+
+    return get_spark("stream-processing-cli")
+
+
+def cmd_list(_args: argparse.Namespace) -> int:
+    from stream_processing_test_spark.registry import all_queries
+
+    specs = all_queries()
+    width = max(len(n) for n in specs)
+    for name, spec in specs.items():
+        oracle = "oracle" if spec.oracle else "rows-only"
+        print(f"{name:<{width}}  [{oracle}]  {spec.survey_ops}")
+    print(f"\n{len(specs)} queries", file=sys.stderr)
+    return 0
+
+
+def cmd_run(args: argparse.Namespace) -> int:
+    from stream_processing_test_spark.registry import all_queries
+
+    specs = all_queries()
+    if args.query not in specs:
+        raise SystemExit(
+            f"unknown query {args.query!r} — `list` shows the registry"
+        )
+    spark = _spark()
+    df = specs[args.query].fn(spark, args.sf_dir)
+    if args.out:
+        if args.format == "csv":
+            df.coalesce(1).write.mode("overwrite").option(
+                "header", True
+            ).csv(args.out)
+        else:
+            df.write.mode("overwrite").parquet(args.out)
+        print(f"wrote {args.out}", file=sys.stderr)
+    else:
+        df.show(args.show, truncate=False)
+    return 0
+
+
+def cmd_day_close(args: argparse.Namespace) -> int:
+    """Fixture-shaped day-close: daily availability scores upserted
+    into a dimension parquet under --out, plus the failing-programs
+    and vendor-histogram report pages as markdown files (batch sizes
+    30 and 2 — StreamTest.cpp:516-518, 572-574)."""
+    from pyspark.sql import functions as F
+
+    from stream_processing_test_spark.operators.rollup import daily_scores
+    from stream_processing_test_spark.operators.programs import failing_programs
+    from stream_processing_test_spark.operators.vendor import vendor_flow_stats
+    from stream_processing_test_spark.sinks.reports import (
+        RecordingSink,
+        send_report_batches,
+    )
+    from stream_processing_test_spark.sinks.upsert import upsert_parquet
+
+    spark = _spark()
+    out = Path(args.out)
+    out.mkdir(parents=True, exist_ok=True)
+
+    scores = daily_scores(spark, args.sf_dir)
+    latest = (
+        scores.groupBy("user_id")
+        .agg(
+            F.max_by(
+                F.struct("day", "flow_score", "n_detection", "n_error"), "day"
+            ).alias("s")
+        )
+        .select(F.col("user_id").alias("id"), "s.*")
+    )
+    dim_path = str(out / "source_dim")
+    if not (out / "source_dim").exists():
+        latest.select("id").withColumn(
+            "day", F.lit(None).cast("string")
+        ).withColumn("flow_score", F.lit(None).cast("int")).withColumn(
+            "n_detection", F.lit(None).cast("long")
+        ).withColumn(
+            "n_error", F.lit(None).cast("long")
+        ).write.parquet(dim_path)
+    upsert_parquet(
+        spark, latest, dim_path, "id", always_set=("flow_score", "day")
+    )
+    n_scored = spark.read.parquet(dim_path).filter(
+        F.col("flow_score").isNotNull()
+    ).count()
+    print(f"upserted scores for {n_scored} sources -> {dim_path}")
+
+    for name, df, batch in (
+        ("failing_programs", failing_programs(spark, args.sf_dir), 30),
+        ("vendor_flow_stats", vendor_flow_stats(spark, args.sf_dir), 2),
+    ):
+        sink = RecordingSink()
+        n = send_report_batches(df, sink, batch_size=batch)
+        for i, msg in enumerate(sink.messages):
+            (out / f"{name}_page{i:03d}.md").write_text(msg + "\n")
+        print(f"{name}: {n} report page(s) -> {out}/{name}_page*.md")
+    return 0
+
+
+def cmd_bench(_args: argparse.Namespace) -> int:
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    import bench
+
+    bench.main()
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="stream_processing_test_spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    default_sf = os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"
+    )
+
+    sub.add_parser("list", help="list registered queries")
+
+    p_run = sub.add_parser("run", help="run one registered query")
+    p_run.add_argument("query")
+    p_run.add_argument("--sf-dir", default=default_sf)
+    p_run.add_argument("--show", type=int, default=20)
+    p_run.add_argument("--out", help="write result instead of showing")
+    p_run.add_argument("--format", choices=("parquet", "csv"), default="parquet")
+
+    p_dc = sub.add_parser("day-close", help="EP2 day-close pipeline")
+    p_dc.add_argument("--sf-dir", default=default_sf)
+    p_dc.add_argument("--out", required=True, help="output directory")
+
+    sub.add_parser("bench", help="headline benchmark (one JSON line)")
+
+    args = ap.parse_args(argv)
+    return {
+        "list": cmd_list,
+        "run": cmd_run,
+        "day-close": cmd_day_close,
+        "bench": cmd_bench,
+    }[args.cmd](args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

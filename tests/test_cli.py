@@ -1,0 +1,67 @@
+"""CLI surface tests: ``python -m stream_processing_test_spark``.
+
+Driven in-process through ``main(argv)`` (the subprocess path would
+pay a fresh JVM per test); the printed output contract is what an
+operator scripting against the CLI would parse.
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import pytest
+
+from stream_processing_test_spark.__main__ import main
+from tests.conftest import SF_SMALL
+
+
+def test_cli_list(capsys, spark):
+    assert main(["list"]) == 0
+    out = capsys.readouterr().out
+    lines = [l for l in out.splitlines() if l.strip()]
+    assert len(lines) == 95
+    assert any(l.startswith("q1_pricing_summary") for l in lines)
+    assert all("[oracle]" in l or "[rows-only]" in l for l in lines)
+
+
+def test_cli_run_show_and_write(capsys, spark, tmp_path):
+    assert main(["run", "vendor_flow_stats", "--sf-dir", SF_SMALL]) == 0
+    out = capsys.readouterr().out
+    assert "pct_80_100" in out  # schema surfaced in the shown table
+
+    dest = str(tmp_path / "vfs")
+    assert main(
+        ["run", "vendor_flow_stats", "--sf-dir", SF_SMALL, "--out", dest]
+    ) == 0
+    assert spark.read.parquet(dest).count() > 0
+
+
+def test_cli_run_unknown_query():
+    with pytest.raises(SystemExit, match="unknown query"):
+        main(["run", "no_such_query", "--sf-dir", SF_SMALL])
+
+
+def test_cli_day_close(capsys, spark, tmp_path):
+    out_dir = tmp_path / "close"
+    assert main(
+        ["day-close", "--sf-dir", SF_SMALL, "--out", str(out_dir)]
+    ) == 0
+    dim = spark.read.parquet(str(out_dir / "source_dim"))
+    assert dim.filter(dim.flow_score.isNotNull()).count() > 0
+    pages = sorted(out_dir.glob("*_page*.md"))
+    assert pages, "no report pages written"
+    first = pages[0].read_text()
+    assert first.startswith("|") and " --- " in first  # markdown table
+
+    # idempotence: a second close over the same day leaves the dim stable
+    before = sorted(map(tuple, dim.collect()))
+    assert main(
+        ["day-close", "--sf-dir", SF_SMALL, "--out", str(out_dir)]
+    ) == 0
+    after = sorted(
+        map(tuple, spark.read.parquet(str(out_dir / "source_dim")).collect())
+    )
+    assert before == after

@@ -23,19 +23,11 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from pyspark.sql import functions as F
 
-from stream_processing_test_spark.functions.scalars import (
-    blank_to_null,
-    classify_resolution,
-)
 from stream_processing_test_spark.schemas import (
     RESOLUTION_FHD_THRESHOLD,
     RESOLUTION_UNKNOWN,
 )
-from stream_processing_test_spark.sinks.reports import (
-    RecordingSink,
-    send_report_batches,
-)
-from stream_processing_test_spark.sinks.upsert import merge_upsert
+from stream_processing_test_spark.sinks.reports import RecordingSink
 from stream_processing_test_spark.sources.probe import probe_sources
 
 STAMP = datetime(2024, 1, 15, 8, 0, 0)
@@ -75,72 +67,23 @@ def _programs(spark):
 
 
 def test_full_lifecycle(spark):
+    """EP1 probe fan-out, then the public ``lifecycle.day_close``
+    composition (EP2 steps 1-5) — the "could the reference's operator
+    switch to this repo" check, driven through the library surface."""
+    from stream_processing_test_spark.lifecycle import day_close
+
     dim = _dimension(spark)
 
     # ---- EP1/EP3: probe fan-out -> one event per source -------------
     events = probe_sources(dim, created_time=STAMP)
     assert events.count() == N_SOURCES
 
-    # ---- EP2 step 1: per-source rollup (A3 pivoted counters + A4
-    # first-non-empty with the '' -> NULL normalization) ---------------
-    ev = events.withColumn(
-        "video_resolution_n", blank_to_null(F.col("video_resolution"))
-    )
-    rollup = ev.groupBy("url_id").agg(
-        F.count("*").alias("n_detection"),
-        F.sum(F.when(F.col("item") != 0, 1).otherwise(0)).alias("n_error"),
-        F.expr(
-            "min_by(video_resolution_n, url_id) FILTER (WHERE video_resolution_n IS NOT NULL)"
-        ).alias("video_resolution"),
-        F.first("target_matching", ignorenulls=True).alias("target_matching"),
-    )
+    # ---- EP2 steps 1-5 via the library call -------------------------
+    sink = RecordingSink()
+    result = day_close(dim, events, _programs(spark), report_sink=sink,
+                       batch_size=30)
 
-    # ---- EP2 step 2: score (A6) + resolution classify (F7) ----------
-    scored = rollup.select(
-        "url_id",
-        "target_matching",
-        F.coalesce(F.col("video_resolution"), F.lit("")).alias("video_resolution"),
-        classify_resolution(F.col("video_resolution")).alias("resolution_type"),
-        F.when(
-            F.col("n_detection") > 0,
-            F.greatest(
-                F.floor(
-                    (F.col("n_detection") - F.col("n_error")).cast("double")
-                    / F.col("n_detection")
-                    * 100
-                ),
-                F.lit(0),
-            ),
-        )
-        .otherwise(0)
-        .cast("int")
-        .alias("flow_score"),
-    )
-
-    # ---- EP2 step 3: program suffix-match join (J3) ------------------
-    programs = _programs(spark)
-    want_name = F.concat(
-        F.col("target_matching"),
-        F.when(
-            F.col("resolution_type") >= RESOLUTION_FHD_THRESHOLD, F.lit(" FHD")
-        ).otherwise(F.lit(" HD")),
-    )
-    matched = (
-        scored.withColumn("want_name", want_name)
-        .join(
-            F.broadcast(programs),
-            F.col("want_name") == programs.stream_name,
-            "left",
-        )
-        .select(
-            F.col("url_id").alias("id"),
-            "video_resolution",
-            "resolution_type",
-            "flow_score",
-            F.col("id").alias("matched_program_id"),
-        )
-    )
-    out = matched.collect()
+    out = result.scored.collect()
     assert len(out) == N_SOURCES
     # every probed source got a score in [0, 100]
     assert all(0 <= r["flow_score"] <= 100 for r in out)
@@ -150,23 +93,15 @@ def test_full_lifecycle(spark):
             prefix = 100 if r["resolution_type"] >= RESOLUTION_FHD_THRESHOLD else 200
             assert prefix <= int(r["matched_program_id"]) < prefix + 10
 
-    # ---- EP2 step 4: upsert write-back (S6/T8) -----------------------
-    updated = merge_upsert(
-        dim,
-        matched.select("id", "video_resolution", "resolution_type", "flow_score"),
-        "id",
-        always_set=("flow_score", "resolution_type"),
-    )
-    urows = {r["id"]: r for r in updated.collect()}
+    # ---- upsert write-back (S6/T8) -----------------------------------
+    urows = {r["id"]: r for r in result.updated_dim.collect()}
     assert len(urows) == N_SOURCES
     mrows = {r["id"]: r for r in out}
     for i, r in urows.items():
         assert r["flow_score"] == mrows[i]["flow_score"]
         assert r["url"].startswith("http://cdn")  # untouched column survives
 
-    # ---- EP2 step 5: paginated markdown report (S9/S10/W2) -----------
-    report = updated.select("id", "flow_score").orderBy("id")
-    sink = RecordingSink()
-    n_batches = send_report_batches(report, sink, batch_size=30)
-    assert n_batches == 4  # 120 rows / 30
+    # ---- paginated markdown report (S9/S10/W2) -----------------------
+    assert result.report_batches == 4  # 120 rows / 30
+    assert len(sink.messages) == 4
     assert all(m.startswith("| id | flow_score |") for m in sink.messages)
