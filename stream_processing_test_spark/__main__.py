@@ -54,6 +54,18 @@ def cmd_run(args: argparse.Namespace) -> int:
             f"unknown query {args.query!r} — `list` shows the registry"
         )
     spark = _spark()
+    if args.check:
+        from stream_processing_test_spark.oracle import (
+            check_query,
+            duckdb_connection,
+        )
+
+        spec = specs[args.query]
+        status, detail, n_rows = check_query(
+            spark, duckdb_connection(args.sf_dir), spec, args.sf_dir
+        )
+        print(f"{args.query}: {status} ({n_rows} rows) {detail}".rstrip())
+        return 0 if status in ("OK", "ROWS-ONLY") else 1
     df = specs[args.query].fn(spark, args.sf_dir)
     if args.out:
         if args.format == "csv":
@@ -150,6 +162,11 @@ def main(argv: list[str] | None = None) -> int:
     p_run.add_argument("--show", type=int, default=20)
     p_run.add_argument("--out", help="write result instead of showing")
     p_run.add_argument("--format", choices=("parquet", "csv"), default="parquet")
+    p_run.add_argument(
+        "--check",
+        action="store_true",
+        help="verify the result against the query's DuckDB oracle",
+    )
 
     p_dc = sub.add_parser("day-close", help="EP2 day-close pipeline")
     p_dc.add_argument("--sf-dir", default=default_sf)

@@ -65,3 +65,10 @@ def test_cli_day_close(capsys, spark, tmp_path):
         map(tuple, spark.read.parquet(str(out_dir / "source_dim")).collect())
     )
     assert before == after
+
+
+def test_cli_run_check_oracle(capsys, spark):
+    assert main(
+        ["run", "vendor_flow_stats", "--sf-dir", SF_SMALL, "--check"]
+    ) == 0
+    assert "vendor_flow_stats: OK" in capsys.readouterr().out
