@@ -136,6 +136,26 @@ def cmd_day_close(args: argparse.Namespace) -> int:
         for i, msg in enumerate(sink.messages):
             (out / f"{name}_page{i:03d}.md").write_text(msg + "\n")
         print(f"{name}: {n} report page(s) -> {out}/{name}_page*.md")
+
+    # S7: the full per-source rollup as a timestamped CSV (the
+    # reference's logs/<ts>.csv, StreamTest.cpp:23-35, 1260-1324) +
+    # the day-end summary line (StreamTest.cpp:1035-1046).
+    from datetime import datetime, timezone
+
+    from stream_processing_test_spark.operators.rollup import per_source_rollup
+    from stream_processing_test_spark.sinks.reports import write_csv
+
+    rollup = per_source_rollup(spark, args.sf_dir)
+    stamp = datetime.now(timezone.utc).strftime("%Y%m%d_%H%M%S")
+    csv_dir = str(out / f"rollup_{stamp}.csv")
+    write_csv(rollup, csv_dir)
+    n_sources = rollup.count()
+    summary = (
+        f"day-close complete: {n_sources} sources rolled up, "
+        f"{n_scored} scored, reports in {out}"
+    )
+    (out / "summary.txt").write_text(summary + "\n")
+    print(summary)
     return 0
 
 

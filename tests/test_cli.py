@@ -55,6 +55,11 @@ def test_cli_day_close(capsys, spark, tmp_path):
     assert pages, "no report pages written"
     first = pages[0].read_text()
     assert first.startswith("|") and " --- " in first  # markdown table
+    csvs = sorted(out_dir.glob("rollup_*.csv"))
+    assert csvs, "no S7 rollup CSV written"
+    rollup_back = spark.read.option("header", True).csv(str(csvs[0]))
+    assert rollup_back.count() > 0 and "user_id" in rollup_back.columns
+    assert "day-close complete" in (out_dir / "summary.txt").read_text()
 
     # idempotence: a second close over the same day leaves the dim stable
     before = sorted(map(tuple, dim.collect()))
