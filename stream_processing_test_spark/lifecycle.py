@@ -138,7 +138,14 @@ def day_close(
     updated = merge_upsert(
         dim,
         matched.select(
-            "id", "video_resolution", "resolution_type", "flow_score"
+            "id",
+            "video_resolution",
+            "resolution_type",
+            "flow_score",
+            # J3's write-back: a matched program id replaces the stored
+            # target_matching_id; no-match (NULL) keeps the old value
+            # via merge_upsert's coalesce — StreamTest.cpp:1016-1028.
+            F.col("matched_program_id").alias("target_matching_id"),
         ),
         "id",
         always_set=("flow_score", "resolution_type"),

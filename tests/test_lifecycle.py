@@ -100,6 +100,12 @@ def test_full_lifecycle(spark):
     for i, r in urows.items():
         assert r["flow_score"] == mrows[i]["flow_score"]
         assert r["url"].startswith("http://cdn")  # untouched column survives
+        # J3 write-back: matched sources carry the program id; unmatched
+        # keep the dimension's previous target_matching_id
+        if mrows[i]["matched_program_id"] is not None:
+            assert r["target_matching_id"] == mrows[i]["matched_program_id"]
+        else:
+            assert r["target_matching_id"] == str(int(i) % 10)
 
     # ---- paginated markdown report (S9/S10/W2) -----------------------
     assert result.report_batches == 4  # 120 rows / 30
