@@ -96,32 +96,36 @@ def cmd_day_close(args: argparse.Namespace) -> int:
     )
     from stream_processing_test_spark.sinks.upsert import upsert_parquet
 
+    from stream_processing_test_spark.streaming.pipeline import (
+        latest_per_source,
+    )
+
     spark = _spark()
     out = Path(args.out)
     out.mkdir(parents=True, exist_ok=True)
 
-    scores = daily_scores(spark, args.sf_dir)
-    latest = (
-        scores.groupBy("user_id")
-        .agg(
-            F.max_by(
-                F.struct("day", "flow_score", "n_detection", "n_error"), "day"
-            ).alias("s")
+    scores = daily_scores(spark, args.sf_dir).withColumnRenamed(
+        "user_id", "id"
+    )
+    # persist: the newest-day frame feeds the (optional) seed write AND
+    # the upsert's merge — without it the full events scan + shuffle
+    # behind daily_scores runs once per consumer.
+    latest = latest_per_source(scores).persist()
+    try:
+        dim_path = str(out / "source_dim")
+        if not (out / "source_dim").exists():
+            latest.select("id").withColumn(
+                "day", F.lit(None).cast("string")
+            ).withColumn("flow_score", F.lit(None).cast("int")).withColumn(
+                "n_detection", F.lit(None).cast("long")
+            ).withColumn(
+                "n_error", F.lit(None).cast("long")
+            ).write.parquet(dim_path)
+        upsert_parquet(
+            spark, latest, dim_path, "id", always_set=("flow_score", "day")
         )
-        .select(F.col("user_id").alias("id"), "s.*")
-    )
-    dim_path = str(out / "source_dim")
-    if not (out / "source_dim").exists():
-        latest.select("id").withColumn(
-            "day", F.lit(None).cast("string")
-        ).withColumn("flow_score", F.lit(None).cast("int")).withColumn(
-            "n_detection", F.lit(None).cast("long")
-        ).withColumn(
-            "n_error", F.lit(None).cast("long")
-        ).write.parquet(dim_path)
-    upsert_parquet(
-        spark, latest, dim_path, "id", always_set=("flow_score", "day")
-    )
+    finally:
+        latest.unpersist()
     n_scored = spark.read.parquet(dim_path).filter(
         F.col("flow_score").isNotNull()
     ).count()
@@ -145,11 +149,13 @@ def cmd_day_close(args: argparse.Namespace) -> int:
     from stream_processing_test_spark.operators.rollup import per_source_rollup
     from stream_processing_test_spark.sinks.reports import write_csv
 
-    rollup = per_source_rollup(spark, args.sf_dir)
     stamp = datetime.now(timezone.utc).strftime("%Y%m%d_%H%M%S")
     csv_dir = str(out / f"rollup_{stamp}.csv")
-    write_csv(rollup, csv_dir)
-    n_sources = rollup.count()
+    write_csv(per_source_rollup(spark, args.sf_dir), csv_dir)
+    # count from the CSV just written — not a second rollup computation
+    n_sources = (
+        spark.read.option("header", True).csv(csv_dir).count()
+    )
     summary = (
         f"day-close complete: {n_sources} sources rolled up, "
         f"{n_scored} scored, reports in {out}"

@@ -50,14 +50,21 @@ def day_rollup_scores(events: DataFrame) -> DataFrame:
     ev = events.withColumn(
         "video_resolution_n", blank_to_null(F.col("video_resolution"))
     )
+    # "First non-empty" made deterministic: the reference's order is DB
+    # heap order (any-non-empty); we pin (created_time, value) as the
+    # min_by ordering key so reruns agree even when one source emits
+    # several events with the same stamp (SURVEY §7 determinism note).
     rollup = ev.groupBy("url_id").agg(
         F.count("*").alias("n_detection"),
         F.sum(F.when(F.col("item") != 0, 1).otherwise(0)).alias("n_error"),
         F.expr(
-            "min_by(video_resolution_n, url_id) "
+            "min_by(video_resolution_n, struct(created_time, video_resolution_n)) "
             "FILTER (WHERE video_resolution_n IS NOT NULL)"
         ).alias("video_resolution"),
-        F.first("target_matching", ignorenulls=True).alias("target_matching"),
+        F.expr(
+            "min_by(target_matching, struct(created_time, target_matching)) "
+            "FILTER (WHERE target_matching IS NOT NULL)"
+        ).alias("target_matching"),
     )
     return rollup.select(
         "url_id",
@@ -95,11 +102,21 @@ def match_programs(scored: DataFrame, programs: DataFrame) -> DataFrame:
             F.col("resolution_type") >= RESOLUTION_FHD_THRESHOLD, F.lit(" FHD")
         ).otherwise(F.lit(" HD")),
     )
+    # "First match wins": the reference stops at the first program whose
+    # name matches (StreamTest.cpp:1007-1014). Its iteration order is
+    # the unordered SELECT result; we pin min(id) per stream_name
+    # (lexicographic — ids are strings in the reference schema) so a
+    # duplicate program name yields ONE deterministic match instead of
+    # multiplying rows through the join (which would also break
+    # merge_upsert's unique-key precondition downstream).
+    one_per_name = programs.groupBy("stream_name").agg(
+        F.min("id").alias("id")
+    )
     return (
         scored.withColumn("want_name", want_name)
         .join(
-            F.broadcast(programs),
-            F.col("want_name") == programs["stream_name"],
+            F.broadcast(one_per_name),
+            F.col("want_name") == one_per_name["stream_name"],
             "left",
         )
         .select(
@@ -107,7 +124,7 @@ def match_programs(scored: DataFrame, programs: DataFrame) -> DataFrame:
             "video_resolution",
             "resolution_type",
             "flow_score",
-            programs["id"].alias("matched_program_id"),
+            one_per_name["id"].alias("matched_program_id"),
         )
     )
 
@@ -139,7 +156,13 @@ def day_close(
         dim,
         matched.select(
             "id",
-            "video_resolution",
+            # Skip-empty write-back (StreamTest.cpp:151-171): a day with
+            # no real resolution observation must NOT blank the stored
+            # value — normalize '' -> NULL so merge_upsert's coalesce
+            # keeps the old one. ``scored`` keeps '' for display parity.
+            blank_to_null(F.col("video_resolution")).alias(
+                "video_resolution"
+            ),
             "resolution_type",
             "flow_score",
             # J3's write-back: a matched program id replaces the stored

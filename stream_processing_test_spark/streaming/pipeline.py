@@ -205,6 +205,23 @@ def streaming_daily_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(daily_rollup(ev), name)
 
 
+def latest_per_source(scores: DataFrame) -> DataFrame:
+    """Newest-day row per source from an (id, day, flow_score,
+    n_detection, n_error) frame — the reduction both the streaming
+    day-close (``finalize_to_dimension``) and the CLI day-close apply
+    before upserting, kept in ONE place so the two can't drift on
+    which fields they finalize."""
+    return (
+        scores.groupBy("id")
+        .agg(
+            F.max_by(
+                F.struct("day", "flow_score", "n_detection", "n_error"), "day"
+            ).alias("s")
+        )
+        .select("id", "s.*")
+    )
+
+
 def finalize_to_dimension(
     spark: SparkSession,
     events_path: str,
@@ -236,15 +253,7 @@ def finalize_to_dimension(
     )
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
-        latest = (
-            batch_df.groupBy("id")
-            .agg(
-                F.max_by(
-                    F.struct("day", "flow_score", "n_detection", "n_error"), "day"
-                ).alias("s")
-            )
-            .select("id", "s.*")
-        )
+        latest = latest_per_source(batch_df)
         # Newest-day-wins ACROSS batches, not just within one: update
         # mode re-emits any changed window, so a late update to an old
         # day can arrive after a newer day was already finalized (e.g.
@@ -255,15 +264,20 @@ def finalize_to_dimension(
         # (pinned by test_restart_recovers_aggregation_state). Ties
         # overwrite: the latest emission of a window carries its most
         # complete cumulative state.
-        current = (
-            batch_df.sparkSession.read.parquet(dim_path)
-            .select("id", F.col("day").alias("cur_day"))
-        )
-        latest = (
-            latest.join(current, "id", "left")
-            .filter(F.col("cur_day").isNull() | (F.col("day") >= F.col("cur_day")))
-            .drop("cur_day")
-        )
+        target = batch_df.sparkSession.read.parquet(dim_path)
+        if "day" in target.columns:
+            current = target.select("id", F.col("day").alias("cur_day"))
+            latest = (
+                latest.join(current, "id", "left")
+                .filter(
+                    F.col("cur_day").isNull()
+                    | (F.col("day") >= F.col("cur_day"))
+                )
+                .drop("cur_day")
+            )
+        # A dimension without a 'day' column never persisted the day, so
+        # there is nothing to regress — keep the pre-guard behavior
+        # (merge_upsert drops update columns absent from the target).
         upsert_parquet(
             batch_df.sparkSession,
             latest,

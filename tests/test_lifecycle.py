@@ -111,3 +111,79 @@ def test_full_lifecycle(spark):
     assert result.report_batches == 4  # 120 rows / 30
     assert len(sink.messages) == 4
     assert all(m.startswith("| id | flow_score |") for m in sink.messages)
+
+
+def test_day_close_blank_day_keeps_stored_resolution(spark):
+    """Skip-empty write-back (StreamTest.cpp:151-171): a day whose
+    events carry no real resolution must NOT blank the dimension's
+    stored value — and a '0x0' day must not either."""
+    import pandas as pd
+
+    from stream_processing_test_spark.lifecycle import day_close
+    from stream_processing_test_spark.schemas import RESOLUTION_UNKNOWN
+
+    dim = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "id": ["1", "2"],
+                "url": ["http://cdn0/1", "http://cdn0/2"],
+                "target_matching": ["Channel 1", "Channel 2"],
+                "target_matching_id": ["1", "2"],
+                "video_resolution": ["1920x1080", ""],
+                "resolution_type": [17, RESOLUTION_UNKNOWN],
+                "flow_score": [90, 0],
+            }
+        ),
+        "id STRING, url STRING, target_matching STRING, "
+        "target_matching_id STRING, video_resolution STRING, "
+        "resolution_type INT, flow_score INT",
+    )
+    events = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "url_id": ["1", "1", "2"],
+                "item": [1001, 0, 0],
+                "video_resolution": ["", "", "1280x720"],
+                "target_matching": ["Channel 1", "Channel 1", "Channel 2"],
+                "created_time": ["2024-01-15 08:00:00"] * 3,
+            }
+        )
+    )
+    result = day_close(dim, events, _programs(spark))
+    rows = {r["id"]: r for r in result.updated_dim.collect()}
+    # source 1: only blank observations today -> stored 1920x1080 kept
+    assert rows["1"]["video_resolution"] == "1920x1080"
+    # source 2: real observation overwrites the stored ''
+    assert rows["2"]["video_resolution"] == "1280x720"
+    # scores always written (always_set), even for the blank-day source
+    assert rows["1"]["flow_score"] == 50
+    assert rows["2"]["flow_score"] == 100
+
+
+def test_match_programs_duplicate_name_first_match_wins(spark):
+    """J3 'first match wins' (StreamTest.cpp:1007-1014): a duplicate
+    program name must yield ONE deterministic match (min id), never
+    multiply scored rows through the join."""
+    import pandas as pd
+
+    from stream_processing_test_spark.lifecycle import match_programs
+
+    scored = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "url_id": ["7"],
+                "target_matching": ["Channel 3"],
+                "video_resolution": ["1920x1080"],
+                "resolution_type": [17],
+                "flow_score": [88],
+            }
+        )
+    )
+    programs = spark.createDataFrame(
+        pd.DataFrame(
+            {"id": ["150", "100"], "stream_name": ["Channel 3 FHD"] * 2}
+        )
+    )
+    out = match_programs(scored, programs).collect()
+    assert len(out) == 1
+    assert out[0]["matched_program_id"] == "100"  # min id, deterministic
