@@ -87,6 +87,7 @@ HEADLINE = [
     "user_value_percentiles",
     "skew_salted_rollup",
     "dup_clusters_star",
+    "leakage_safe_split",
     # streaming_session_windows is oracle-checked but deliberately NOT a
     # headline query: its wall time is dominated by the sentinel-replay
     # rewrite (test harness, not engine work); streaming perf is

@@ -363,3 +363,74 @@ def with_keep_verdict(docs: DataFrame, comp: DataFrame) -> DataFrame:
         component.alias("component"),
         (component == F.col("doc_id")).alias("keep"),
     )
+
+
+TRAIN_PCT = 90  # train share of the 0-99 hash gate
+
+_SPLIT_ORACLE = f"""
+WITH RECURSIVE {NGRAM_PAIR_CTES},
+edges AS (SELECT doc_a AS e_src, doc_b AS e_dst FROM pairs
+          UNION ALL
+          SELECT doc_b, doc_a FROM pairs),
+nodes AS (SELECT DISTINCT e_src AS node FROM edges),
+walk(node, lbl) AS (
+    SELECT node, node FROM nodes
+    UNION
+    SELECT e.e_dst, w.lbl FROM walk w JOIN edges e ON e.e_src = w.node
+),
+comp AS (SELECT node AS doc_id, MIN(lbl) AS component FROM walk GROUP BY node),
+alldocs AS (
+    SELECT d.doc_id,
+           COALESCE(c.component, d.doc_id) AS component
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(component AS BIGINT) AS component,
+       CASE WHEN {{gate}} % 100 < {TRAIN_PCT} THEN 'train' ELSE 'val' END
+           AS split
+FROM alldocs
+"""
+
+
+@register(
+    "leakage_safe_split",
+    oracle=_SPLIT_ORACLE.format(
+        gate="CAST('0x' || substr(md5('split:' || CAST(component AS VARCHAR)), 1, 15) AS BIGINT)"
+    ),
+    survey_ops="§7-dedup,J1,F10",
+    tier=2,
+)
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val split that cannot leak near-duplicates across sides:
+    every document maps to its duplicate component (transitive closure
+    of the n-gram-Jaccard pairs; singletons map to themselves), and the
+    split gate hashes the COMPONENT id, not the doc id — so all members
+    of a dup cluster land on the same side by construction. The gate is
+    the repo's portable md5-derived hash (llm/hashing.py), so the
+    DuckDB oracle replays the exact assignment, and re-running on a
+    grown corpus keeps previous assignments stable (deterministic,
+    seedless — same property as llm/sampling.py).
+
+    Scale: one near-dup index build + component closure (shared
+    machinery with ``dup_clusters``), then a map-side hash — the split
+    itself adds no shuffle beyond the keep-verdict broadcast join.
+    """
+    from stream_processing_test_spark.llm.dedup import dedup_ngram_jaccard
+    from stream_processing_test_spark.llm.hashing import phash
+    from stream_processing_test_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    pairs = dedup_ngram_jaccard(spark, sf_dir)
+    comp = connected_components(pairs, src="doc_a", dst="doc_b")
+    joined = docs.join(
+        F.broadcast(comp), docs["doc_id"] == comp["node"], "left"
+    )
+    component = F.coalesce(F.col("component"), F.col("doc_id"))
+    gate = phash(F.concat(F.lit("split:"), component.cast("string"))) % 100
+    return joined.select(
+        docs["doc_id"],
+        component.alias("component"),
+        F.when(gate < TRAIN_PCT, F.lit("train"))
+        .otherwise(F.lit("val"))
+        .alias("split"),
+    )

@@ -41,8 +41,12 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # this round (star components, skew-salted rollup, the attribute
 # 0x0-overwrite semantics fix, the codec hardening, behavior/windows
 # de-broadcast) — then (1) the 37 queries whose newest driver row is
-# r3. 13 + 37 = 50 exactly. Unlisted queries keep ``10 + tier``;
-# all of them have green r4 rows for unchanged code.
+# r3. With ``leakage_safe_split`` (added mid-r5, must be tier 0) the
+# count is 14 + 37 = 51, so the alphabetically-last tier-1 query
+# (``substring_dup_coverage`` — unchanged since r3, green r3 row =
+# exactly two rounds old, still inside the freshness bar) falls to
+# position 51 and rotates back in r6. Unlisted queries keep
+# ``10 + tier``; all of them have green r4 rows for unchanged code.
 _ROTATION_TIERS: dict[str, int] = {
     # (0) never driver-checked (registered after r4's freeze)
     "cohort_retention": 0,
@@ -59,6 +63,7 @@ _ROTATION_TIERS: dict[str, int] = {
     "multimodal_preprocess": 0,
     "dedup_keep_canonical": 0,
     "corpus_curation_pipeline": 0,
+    "leakage_safe_split": 0,  # new in r5 — must get a driver row now
     # (1) newest driver row is r3
     "ann_lsh_topk": 1,
     "balance_quartiles": 1,
@@ -146,6 +151,7 @@ PLAN_OPAQUE_QUERIES: dict[str, str] = {
     "dedup_simhash": "fingerprints materialized in fn()",
     "dup_clusters": "connected-components loop materialized in fn()",
     "dup_clusters_star": "star-contraction loop materialized in fn()",
+    "leakage_safe_split": "connected-components loop materialized in fn()",
     "streaming_click_purchase_join": "streaming sink",
     "streaming_daily_scores": "streaming sink",
     "streaming_dedup": "streaming sink",

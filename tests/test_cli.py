@@ -22,7 +22,7 @@ def test_cli_list(capsys, spark):
     assert main(["list"]) == 0
     out = capsys.readouterr().out
     lines = [l for l in out.splitlines() if l.strip()]
-    assert len(lines) == 95
+    assert len(lines) == 96
     assert any(l.startswith("q1_pricing_summary") for l in lines)
     assert all("[oracle]" in l or "[rows-only]" in l for l in lines)
 

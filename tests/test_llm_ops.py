@@ -501,3 +501,26 @@ def test_connected_components_empty_and_kmeans_tiny(spark):
     # no more lists than vectors; every assignment references a list
     lists = {r["list_id"] for r in cents.collect()}
     assert {r["list_id"] for r in assign.collect()} <= lists
+
+
+def test_leakage_safe_split_component_coherence(spark):
+    """The whole point of the leakage-safe split: every member of a
+    duplicate component is on the SAME side, the gate is deterministic
+    across runs, and the train share is near TRAIN_PCT."""
+    from stream_processing_test_spark.llm.cluster import (
+        TRAIN_PCT,
+        leakage_safe_split,
+    )
+    from tests.conftest import SF_SMALL
+
+    rows = leakage_safe_split(spark, SF_SMALL).collect()
+    assert len(rows) > 0
+    by_comp = {}
+    for r in rows:
+        by_comp.setdefault(r["component"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_comp.values()), "split leaked a cluster"
+    train = sum(1 for r in rows if r["split"] == "train")
+    share = 100.0 * train / len(rows)
+    assert abs(share - TRAIN_PCT) < 10  # md5 gate ≈ uniform
+    again = leakage_safe_split(spark, SF_SMALL).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
