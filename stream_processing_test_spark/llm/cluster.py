@@ -46,17 +46,28 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
-    algorithm: str = "minlabel",
+    algorithm: str = "auto",
+    minlabel_budget: int = 8,
 ) -> DataFrame:
     """(node, component) for every node in ``edges``; component = min
     node id reachable. Edges are undirected (one direction given).
-    ``algorithm="star"`` dispatches to the O(log n)-round
-    large-star/small-star variant (same contract, same result).
 
-    Raises RuntimeError if not converged within ``max_iter`` rounds
-    (each round = TWO propagation passes; see below) — silent
-    truncation would mislabel components, and a dup graph whose
-    diameter exceeds ``2 * max_iter`` hops deserves loud attention.
+    ``algorithm``:
+
+    - ``"auto"`` (default): min-label propagation — cheapest per round
+      on the dense little cliques near-dup graphs are — but if it has
+      not converged within ``minlabel_budget`` rounds (16 hops: far
+      beyond any realistic dup-cluster diameter), fall back to the
+      O(log d) large-star/small-star path instead of burning
+      diameter-many driver barriers. Same result either way (both
+      compute min-reachable-id), so the fallback is a physical choice,
+      not a semantic one.
+    - ``"minlabel"``: pure min-label; raises RuntimeError after
+      ``max_iter`` rounds (each round = TWO propagation passes) —
+      silent truncation would mislabel components, and callers that
+      pin this path want the loud failure.
+    - ``"star"``: pure large-star/small-star (see
+      :func:`star_components`).
 
     Exactly ONE Spark job per round, and each round advances labels by
     TWO hops: the first propagation stays lazy inside the second's
@@ -76,8 +87,9 @@ def connected_components(
     if algorithm == "star":
         labels, _ = star_components(edges, src=src, dst=dst, max_iter=max_iter)
         return labels
-    if algorithm != "minlabel":
-        raise ValueError(f"unknown algorithm {algorithm!r}: minlabel|star")
+    if algorithm not in ("minlabel", "auto"):
+        raise ValueError(f"unknown algorithm {algorithm!r}: auto|minlabel|star")
+    budget = minlabel_budget if algorithm == "auto" else max_iter
     sym = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .union(edges.select(F.col(dst).alias("src"), F.col(src).alias("dst")))
@@ -111,7 +123,7 @@ def connected_components(
 
     try:
         prev_cp = labels  # round N's blocks are read by round N+1's
-        for _ in range(max_iter):  # action; release them one round late
+        for _ in range(budget):  # action; release them one round late
             mid = propagate(labels).select("node", "component")
             stepped = propagate(mid).localCheckpoint(eager=False)
             changed = stepped.filter(
@@ -122,6 +134,12 @@ def connected_components(
             prev_cp = stepped
             if changed == 0:
                 return labels
+        if algorithm == "auto":
+            # high-diameter graph: stop paying a barrier per 2 hops and
+            # collapse it in O(log d) star rounds instead
+            release_local_checkpoint(prev_cp)
+            out, _ = star_components(edges, src=src, dst=dst, max_iter=max_iter)
+            return out
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds"
         )

@@ -235,12 +235,15 @@ def test_connected_components_matches_union_find(spark):
 
 
 def test_connected_components_nonconvergence_is_loud(spark):
+    """Explicitly-pinned minlabel raises past max_iter (the default
+    'auto' mode instead falls back to the star path — covered in
+    test_scale_layout)."""
     from stream_processing_test_spark.llm.cluster import connected_components
 
     chain = [(i, i + 1) for i in range(6)]  # diameter 6 > max_iter
     df = spark.createDataFrame(pd.DataFrame(chain, columns=["src", "dst"]))
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(df, max_iter=2)
+        connected_components(df, max_iter=2, algorithm="minlabel")
 
 
 def test_dup_clusters_transitive(spark):

@@ -565,3 +565,23 @@ def test_cc_rounds_release_superseded_checkpoints(spark):
     assert after - before <= 3, (
         f"{after - before} checkpoints pinned after {rounds} rounds"
     )
+
+
+def test_cc_auto_falls_back_to_star_on_long_chains(spark):
+    """algorithm='auto' (the default): dense near-dup graphs converge
+    inside the min-label budget; a pathological high-diameter chain
+    falls back to the O(log d) star path and still labels correctly —
+    while explicitly-pinned minlabel stays loud and raises."""
+    import pytest
+
+    from stream_processing_test_spark.llm.cluster import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 64)], "src LONG, dst LONG"
+    )
+    labels = connected_components(edges)  # default auto
+    got = {(r["node"], r["component"]) for r in labels.collect()}
+    assert got == {(i, 1) for i in range(1, 65)}
+
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, algorithm="minlabel", max_iter=5)
