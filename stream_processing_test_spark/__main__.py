@@ -61,7 +61,7 @@ def cmd_run(args: argparse.Namespace) -> int:
         )
 
         spec = specs[args.query]
-        status, detail, n_rows = check_query(
+        status, detail, n_rows, _t = check_query(
             spark, duckdb_connection(args.sf_dir), spec, args.sf_dir
         )
         print(f"{args.query}: {status} ({n_rows} rows) {detail}".rstrip())
@@ -137,6 +137,10 @@ def cmd_day_close(args: argparse.Namespace) -> int:
     ):
         sink = RecordingSink()
         n = send_report_batches(df, sink, batch_size=batch)
+        # a rerun with fewer pages must not leave stale pages from the
+        # previous close interleaved with fresh ones
+        for old in out.glob(f"{name}_page*.md"):
+            old.unlink()
         for i, msg in enumerate(sink.messages):
             (out / f"{name}_page{i:03d}.md").write_text(msg + "\n")
         print(f"{name}: {n} report page(s) -> {out}/{name}_page*.md")

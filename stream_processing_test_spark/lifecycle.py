@@ -50,17 +50,23 @@ def day_rollup_scores(events: DataFrame) -> DataFrame:
     ev = events.withColumn(
         "video_resolution_n", blank_to_null(F.col("video_resolution"))
     )
-    # "First non-empty" made deterministic: the reference's order is DB
-    # heap order (any-non-empty); we pin (created_time, value) as the
-    # min_by ordering key so reruns agree even when one source emits
-    # several events with the same stamp (SURVEY §7 determinism note).
+    # A4's resolution rule (StreamTest.cpp:847-910): first non-empty
+    # value, where a provisional '0x0' is replaced by any later real
+    # observation — i.e. a REAL resolution always beats '0x0', and
+    # '0x0' survives only when the day saw nothing better. Made
+    # deterministic with (created_time, value) as the min_by ordering
+    # key (the reference's order is DB heap order; SURVEY §7 note).
     rollup = ev.groupBy("url_id").agg(
         F.count("*").alias("n_detection"),
         F.sum(F.when(F.col("item") != 0, 1).otherwise(0)).alias("n_error"),
         F.expr(
             "min_by(video_resolution_n, struct(created_time, video_resolution_n)) "
-            "FILTER (WHERE video_resolution_n IS NOT NULL)"
-        ).alias("video_resolution"),
+            "FILTER (WHERE video_resolution_n IS NOT NULL "
+            "AND video_resolution_n != '0x0')"
+        ).alias("real_resolution"),
+        F.max(
+            F.when(F.col("video_resolution_n") == "0x0", F.lit("0x0"))
+        ).alias("zero_resolution"),
         F.expr(
             "min_by(target_matching, struct(created_time, target_matching)) "
             "FILTER (WHERE target_matching IS NOT NULL)"
@@ -69,9 +75,9 @@ def day_rollup_scores(events: DataFrame) -> DataFrame:
     return rollup.select(
         "url_id",
         "target_matching",
-        F.coalesce(F.col("video_resolution"), F.lit("")).alias(
-            "video_resolution"
-        ),
+        F.coalesce(
+            F.col("real_resolution"), F.col("zero_resolution"), F.lit("")
+        ).alias("video_resolution"),
         classify_resolution(F.col("video_resolution")).alias("resolution_type"),
         F.when(
             F.col("n_detection") > 0,
@@ -156,10 +162,12 @@ def day_close(
         dim,
         matched.select(
             "id",
-            # Skip-empty write-back (StreamTest.cpp:151-171): a day with
-            # no real resolution observation must NOT blank the stored
-            # value — normalize '' -> NULL so merge_upsert's coalesce
-            # keeps the old one. ``scored`` keeps '' for display parity.
+            # Skip-EMPTY write-back (StreamTest.cpp:151-171): the
+            # reference's conditional SET skips only empty strings, so
+            # '' -> NULL keeps the stored value while a non-empty
+            # '0x0' (a day that saw nothing better) IS written through
+            # — exactly the reference's behavior. ``scored`` keeps ''
+            # for display parity.
             blank_to_null(F.col("video_resolution")).alias(
                 "video_resolution"
             ),
@@ -175,6 +183,10 @@ def day_close(
     )
     n_batches = 0
     if report_sink is not None:
+        # The report collects ``updated`` and the caller will
+        # materialize it again (write/collect) — checkpoint once so the
+        # events scan + merge run a single time, not per consumer.
+        updated = updated.localCheckpoint(eager=True)
         report = updated.select("id", "flow_score").orderBy("id")
         n_batches = send_report_batches(
             report, report_sink, batch_size=batch_size

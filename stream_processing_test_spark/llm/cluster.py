@@ -37,6 +37,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from stream_processing_test_spark.llm.dedup import NGRAM_PAIR_CTES
+from stream_processing_test_spark.llm.hashing import phash, phash_sql
 from stream_processing_test_spark.registry import register
 from stream_processing_test_spark.session import release_local_checkpoint
 
@@ -412,8 +413,10 @@ FROM alldocs
 
 @register(
     "leakage_safe_split",
+    # the phash twin (llm/hashing.py) — NOT hand-rolled SQL, so a
+    # PHASH_HEX change updates engine and oracle in lockstep
     oracle=_SPLIT_ORACLE.format(
-        gate="CAST('0x' || substr(md5('split:' || CAST(component AS VARCHAR)), 1, 15) AS BIGINT)"
+        gate=phash_sql("'split:' || CAST(component AS VARCHAR)")
     ),
     survey_ops="§7-dedup,J1,F10",
     tier=2,
@@ -434,20 +437,21 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     itself adds no shuffle beyond the keep-verdict broadcast join.
     """
     from stream_processing_test_spark.llm.dedup import dedup_ngram_jaccard
-    from stream_processing_test_spark.llm.hashing import phash
     from stream_processing_test_spark.tables import load
 
     docs = load(spark, sf_dir, "documents").select("doc_id")
     pairs = dedup_ngram_jaccard(spark, sf_dir)
     comp = connected_components(pairs, src="doc_a", dst="doc_b")
-    joined = docs.join(
-        F.broadcast(comp), docs["doc_id"] == comp["node"], "left"
+    # with_keep_verdict owns the broadcast-left-join + singleton
+    # coalesce rule — one definition shared with dedup_keep_canonical
+    verdict = with_keep_verdict(docs, comp)
+    gate = (
+        phash(F.concat(F.lit("split:"), F.col("component").cast("string")))
+        % 100
     )
-    component = F.coalesce(F.col("component"), F.col("doc_id"))
-    gate = phash(F.concat(F.lit("split:"), component.cast("string"))) % 100
-    return joined.select(
-        docs["doc_id"],
-        component.alias("component"),
+    return verdict.select(
+        "doc_id",
+        "component",
         F.when(gate < TRAIN_PCT, F.lit("train"))
         .otherwise(F.lit("val"))
         .alias("split"),

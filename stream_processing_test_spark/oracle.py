@@ -63,13 +63,22 @@ def compare_to_oracle(
     return "OK", ""
 
 
-def check_query(spark, con, spec, sf_dir: str) -> tuple[str, str, int]:
+def check_query(
+    spark, con, spec, sf_dir: str
+) -> tuple[str, str, int, float]:
     """Run one QuerySpec on both engines and compare. Returns
-    (status, detail, spark_row_count); status "ROWS-ONLY" when the
-    spec has no oracle (the driver's weaker check)."""
+    (status, detail, spark_row_count, spark_seconds); status
+    "ROWS-ONLY" when the spec has no oracle (the driver's weaker
+    check). ``spark_seconds`` times ONLY the Spark execution — oracle
+    replay and comparison are excluded so per-query times stay
+    comparable with earlier rounds' gate output."""
+    import time
+
+    t0 = time.time()
     sdf = spec.fn(spark, sf_dir).toPandas()
+    t_spark = time.time() - t0
     if spec.oracle is None:
-        return "ROWS-ONLY", "", len(sdf)
+        return "ROWS-ONLY", "", len(sdf), t_spark
     ddf = con.execute(spec.oracle).df()
     status, detail = compare_to_oracle(sdf, ddf)
-    return status, detail, len(sdf)
+    return status, detail, len(sdf), t_spark

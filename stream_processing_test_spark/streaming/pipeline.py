@@ -275,9 +275,22 @@ def finalize_to_dimension(
                 )
                 .drop("cur_day")
             )
-        # A dimension without a 'day' column never persisted the day, so
-        # there is nothing to regress — keep the pre-guard behavior
-        # (merge_upsert drops update columns absent from the target).
+        else:
+            # A dimension without a 'day' column cannot be guarded:
+            # merge_upsert drops the update's day column, so there is
+            # no stored day to compare and a late re-emission of an
+            # old window CAN overwrite a newer score (always_set).
+            # Keep the pre-guard behavior but say so loudly — callers
+            # who want order-independence add a 'day' column.
+            import warnings
+
+            warnings.warn(
+                f"finalize_to_dimension: target {dim_path} has no 'day' "
+                "column; newest-day-wins cannot be enforced and "
+                "out-of-order window re-emissions may overwrite newer "
+                "scores",
+                stacklevel=2,
+            )
         upsert_parquet(
             batch_df.sparkSession,
             latest,

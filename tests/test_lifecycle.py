@@ -114,9 +114,15 @@ def test_full_lifecycle(spark):
 
 
 def test_day_close_blank_day_keeps_stored_resolution(spark):
-    """Skip-empty write-back (StreamTest.cpp:151-171): a day whose
-    events carry no real resolution must NOT blank the dimension's
-    stored value — and a '0x0' day must not either."""
+    """Resolution write-back parity with the reference:
+
+    - skip-EMPTY (StreamTest.cpp:151-171): a day whose events carry
+      only '' must NOT blank the dimension's stored value;
+    - a real observation always beats a provisional '0x0' from the
+      same day (StreamTest.cpp:898-910);
+    - a day that saw ONLY '0x0' writes it through — the reference's
+      conditional SET skips empty strings only, and '0x0' is
+      non-empty (StreamTest.cpp:151-171)."""
     import pandas as pd
 
     from stream_processing_test_spark.lifecycle import day_close
@@ -141,11 +147,21 @@ def test_day_close_blank_day_keeps_stored_resolution(spark):
     events = spark.createDataFrame(
         pd.DataFrame(
             {
-                "url_id": ["1", "1", "2"],
-                "item": [1001, 0, 0],
-                "video_resolution": ["", "", "1280x720"],
-                "target_matching": ["Channel 1", "Channel 1", "Channel 2"],
-                "created_time": ["2024-01-15 08:00:00"] * 3,
+                "url_id": ["1", "1", "2", "2"],
+                "item": [1001, 0, 0, 0],
+                "video_resolution": ["", "", "0x0", "1280x720"],
+                "target_matching": [
+                    "Channel 1",
+                    "Channel 1",
+                    "Channel 2",
+                    "Channel 2",
+                ],
+                "created_time": [
+                    "2024-01-15 08:00:00",
+                    "2024-01-15 08:00:00",
+                    "2024-01-15 08:00:00",
+                    "2024-01-15 09:00:00",
+                ],
             }
         )
     )
@@ -153,11 +169,28 @@ def test_day_close_blank_day_keeps_stored_resolution(spark):
     rows = {r["id"]: r for r in result.updated_dim.collect()}
     # source 1: only blank observations today -> stored 1920x1080 kept
     assert rows["1"]["video_resolution"] == "1920x1080"
-    # source 2: real observation overwrites the stored ''
+    # source 2: the real observation beats the earlier '0x0'
     assert rows["2"]["video_resolution"] == "1280x720"
     # scores always written (always_set), even for the blank-day source
     assert rows["1"]["flow_score"] == 50
     assert rows["2"]["flow_score"] == 100
+
+    # a day that saw ONLY '0x0' writes it through (reference parity:
+    # the conditional SET skips empty strings only)
+    only_zero = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "url_id": ["1"],
+                "item": [0],
+                "video_resolution": ["0x0"],
+                "target_matching": ["Channel 1"],
+                "created_time": ["2024-01-16 08:00:00"],
+            }
+        )
+    )
+    result2 = day_close(dim, only_zero, _programs(spark))
+    rows2 = {r["id"]: r for r in result2.updated_dim.collect()}
+    assert rows2["1"]["video_resolution"] == "0x0"
 
 
 def test_match_programs_duplicate_name_first_match_wins(spark):

@@ -300,3 +300,32 @@ def test_restart_recovers_aggregation_state(spark, tmp_path):
     want = sorted(map(tuple, spark.read.parquet(dim_full).collect()))
     got = sorted(map(tuple, spark.read.parquet(dim_two).collect()))
     assert got == want
+
+
+def test_finalize_warns_on_dayless_dimension(spark, tmp_path):
+    """A target dimension without a 'day' column cannot enforce
+    newest-day-wins: finalize must still work (pre-guard contract) but
+    say so loudly."""
+    import warnings
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    ev = _write_event_chunks(spark, src, n=1)
+    user_ids = sorted(
+        r["user_id"] for r in ev.select("user_id").distinct().collect()
+    )
+    dim_path = str(tmp_path / "dim_dayless")
+    pd.DataFrame(
+        {"id": user_ids, "flow_score": [None] * len(user_ids)}
+    ).pipe(
+        lambda pdf: spark.createDataFrame(pdf, "id LONG, flow_score INT")
+    ).write.parquet(dim_path)
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        finalize_to_dimension(
+            spark, f"{src}/chunk*/", dim_path, str(tmp_path / "ck")
+        )
+    assert any("no 'day' column" in str(w.message) for w in caught)
+    dim = spark.read.parquet(dim_path)
+    assert dim.filter(dim.flow_score.isNotNull()).count() > 0

@@ -12,7 +12,6 @@ Usage: python tools/check_oracle.py [sf_dir] [query ...]
 from __future__ import annotations
 
 import sys
-import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
@@ -33,9 +32,7 @@ def main() -> int:
     for name, spec in sorted(all_queries().items()):
         if only and name not in only:
             continue
-        t0 = time.time()
-        status, detail, n_rows = check_query(spark, con, spec, sf_dir)
-        t_spark = time.time() - t0
+        status, detail, n_rows, t_spark = check_query(spark, con, spec, sf_dir)
         if status == "ROWS-ONLY":
             print(f"  {name:28s} rows-only: {n_rows:7d} rows  [{t_spark:5.1f}s]")
             continue
