@@ -111,3 +111,50 @@ def test_day_close_predicate_property(ts, wait):
     )
     want = ts + timedelta(minutes=wait) >= next_midnight
     assert got == want
+
+
+def test_phash_three_twins_agree(spark):
+    """The portability contract every LSH oracle rests on: the Spark
+    expression, the DuckDB SQL fragment, and driver Python compute the
+    IDENTICAL 60-bit hash for the same string — including unicode,
+    quotes, backslashes and whitespace (UTF-8 md5 in all three)."""
+    import duckdb
+
+    from stream_processing_test_spark.llm.hashing import (
+        PHASH_HEX,
+        phash,
+        phash_py,
+    )
+
+    samples = [
+        "",
+        "a",
+        "hello world",
+        "shingle one two three four five",
+        "流质量检测评分",
+        "emoji 🎬🎥",
+        "it's \"quoted\" and back\\slashed",
+        "line\nbreak\ttab",
+        "0x0",
+        "1920x1080",
+        "x" * 500,
+    ]
+    py = [phash_py(s) for s in samples]
+
+    sdf = spark.createDataFrame([(s,) for s in samples], "s STRING")
+    from pyspark.sql import functions as F
+
+    got_spark = [
+        r["h"] for r in sdf.select(phash(F.col("s")).alias("h")).collect()
+    ]
+    assert got_spark == py
+
+    con = duckdb.connect()
+    got_duck = [
+        con.execute(
+            f"SELECT CAST('0x' || substr(md5(?), 1, {PHASH_HEX}) AS BIGINT)",
+            [s],
+        ).fetchone()[0]
+        for s in samples
+    ]
+    assert got_duck == py
