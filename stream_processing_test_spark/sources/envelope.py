@@ -4,7 +4,7 @@ The reference emits each probe outcome as a JSON object
 (StreamTest.cpp:283-299) that is INSERTed into MySQL; the JSON is a
 transport envelope, not a storage format (SURVEY §1). This adapter
 accepts that envelope from any of the formats a real deployment lands
-events in — JSON-lines, CSV, or parquet — and applies the §1.3 edge
+events in — JSON-lines, CSV, parquet, or ORC — and applies the §1.3 edge
 normalization in ONE place:
 
 - explicit ``PROBE_EVENT_SCHEMA`` (never inferSchema: inference scans
@@ -31,7 +31,7 @@ from pyspark.sql import types as T
 
 from stream_processing_test_spark.schemas import PROBE_EVENT_SCHEMA
 
-_FORMATS = ("json", "csv", "parquet")
+_FORMATS = ("json", "csv", "parquet", "orc")
 
 # In transport formats the timestamp travels as its reference string
 # form; the typed schema applies after parsing in _normalize.
@@ -63,7 +63,8 @@ def _normalize(df: DataFrame) -> DataFrame:
 def _read(reader, fmt: str, path: str) -> DataFrame:
     if fmt not in _FORMATS:
         raise ValueError(f"unknown format {fmt!r}; expected one of {_FORMATS}")
-    schema = PROBE_EVENT_SCHEMA if fmt == "parquet" else TRANSPORT_SCHEMA
+    typed = fmt in ("parquet", "orc")  # columnar formats carry the typed ts
+    schema = PROBE_EVENT_SCHEMA if typed else TRANSPORT_SCHEMA
     reader = reader.format(fmt).schema(schema)
     if fmt == "csv":
         reader = reader.option("header", "true")
@@ -74,7 +75,7 @@ def read_probe_events(
     spark: SparkSession, path: str, fmt: str = "json"
 ) -> DataFrame:
     """Batch read of envelope events from ``path`` in ``fmt``
-    (json = JSON-lines, csv, parquet), schema-enforced and
+    (json = JSON-lines, csv, parquet, orc), schema-enforced and
     edge-normalized."""
     return _read(spark.read, fmt, path)
 

@@ -49,6 +49,7 @@ def envelope_dirs(spark, tmp_path_factory):
     (base / "csv").mkdir()
     pdf.to_csv(base / "csv" / "events.csv", index=False)
     events.write.parquet(str(base / "parquet"))
+    events.write.orc(str(base / "orc"))
     return base, events
 
 
@@ -68,8 +69,10 @@ def test_batch_formats_land_identically(spark, envelope_dirs):
     )
     got_json = _canon(read_probe_events(spark, str(base / "json"), fmt="json"))
     got_csv = _canon(read_probe_events(spark, str(base / "csv"), fmt="csv"))
+    got_orc = _canon(read_probe_events(spark, str(base / "orc"), fmt="orc"))
     assert got_json == want
     assert got_csv == want
+    assert got_orc == want
     assert len(want) == events.count()
 
 
