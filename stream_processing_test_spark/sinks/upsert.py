@@ -100,8 +100,22 @@ def upsert_parquet(
     merged = merge_upsert(target, updates, key, always_set)
     staging = f"{target_path.rstrip('/')}__staging_{uuid.uuid4().hex[:8]}"
     merged.write.mode("overwrite").parquet(staging)
-    old = f"{target_path.rstrip('/')}__old_{uuid.uuid4().hex[:8]}"
+    swap_directory(spark, staging, target_path)
 
+
+def swap_directory(spark: SparkSession, staging: str, target_path: str) -> None:
+    """Swap a fully-written staging directory into place of
+    ``target_path`` via two Hadoop FileSystem renames (shared by the
+    parquet upsert and the lake compactor).
+
+    Crash contract: a failure between the renames leaves no target
+    directory but DOES leave the ``__old_*`` sibling intact — recovery
+    is renaming it back. Readers between the renames can observe a
+    missing directory; a table format (Delta/Iceberg) removes the
+    caveat entirely."""
+    import uuid
+
+    old = f"{target_path.rstrip('/')}__old_{uuid.uuid4().hex[:8]}"
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path
     fs = hpath(target_path).getFileSystem(spark._jsc.hadoopConfiguration())
@@ -119,7 +133,7 @@ def upsert_parquet(
         # accumulation of __old_* siblings is how disks fill up
         import warnings
 
-        warnings.warn(f"failed to delete superseded upsert copy {old}")
+        warnings.warn(f"failed to delete superseded copy {old}")
 
 
 def _execute_driver_sql(

@@ -129,3 +129,59 @@ def test_upsert_parquet_idempotent(spark, tmp_path):
     assert first == second  # T8: day-end finalization is idempotent
     got = {r["id"]: r["flow_score"] for r in spark.read.parquet(path).collect()}
     assert got == {1: 50, 2: 99, 3: 70}
+
+
+def test_compact_parquet_dir_flat_and_partitioned(spark, tmp_path):
+    """Compaction: many tiny files -> bounded count, same rows; with
+    partition_by the hive layout (and pruning) survives."""
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+
+    from stream_processing_test_spark.sinks.compact import compact_parquet_dir
+    from tests.conftest import SF_SMALL
+
+    from stream_processing_test_spark.tables import load
+
+    ev = load(spark, SF_SMALL, "events")
+
+    # flat: fragment into ~20 files, compact to 2
+    flat = str(tmp_path / "flat")
+    ev.repartition(20).write.parquet(flat)
+    n_files = len(list(Path(flat).glob("part-*")))
+    assert n_files >= 20
+    before = sorted(map(tuple, spark.read.parquet(flat).collect()))
+    n = compact_parquet_dir(spark, flat, target_files=2)
+    assert n == len(before)
+    assert len(list(Path(flat).glob("part-*"))) <= 2
+    assert sorted(map(tuple, spark.read.parquet(flat).collect())) == before
+
+    # partitioned: compacted lake keeps day= dirs and partition pruning
+    lake = str(tmp_path / "lake")
+    ev.withColumn("day", F.to_date("ts")).repartition(16).write.partitionBy(
+        "day"
+    ).parquet(lake)
+    total = spark.read.parquet(lake).count()
+    n = compact_parquet_dir(spark, lake, target_files=1, partition_by=("day",))
+    assert n == total
+    days = [p for p in Path(lake).iterdir() if p.name.startswith("day=")]
+    assert days, "hive partitioning lost"
+    one_day = spark.read.parquet(lake).filter(
+        F.col("day") == days[0].name.split("=", 1)[1]
+    )
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        one_day.explain("formatted")
+    assert "PartitionFilters" in buf.getvalue()
+
+
+def test_compact_rejects_bad_target(spark, tmp_path):
+    import pytest
+
+    from stream_processing_test_spark.sinks.compact import compact_parquet_dir
+
+    with pytest.raises(ValueError, match="target_files"):
+        compact_parquet_dir(spark, str(tmp_path), target_files=0)
