@@ -7,10 +7,19 @@ the NameNode/listing pressure, not bytes. ``compact_parquet_dir``
 rewrites a directory to a bounded file count with the same rows,
 using the crash-safe staging-swap the upsert sink already uses.
 
-Partition-aware: with ``partition_by`` the rewrite preserves (or
-introduces) hive-style partitioning — the layout SURVEY §7 prescribes
-for the events lake (``day=...``) — and each partition is coalesced
-independently, so partition pruning still works after compaction.
+Concurrency contract: the input file list is PINNED at the start, and
+the directory listing is re-checked immediately before the swap — if a
+writer appended files mid-compaction the rewrite ABORTS loudly (stage
+cleaned up, original untouched) instead of silently deleting the new
+files with the old directory. Callers either quiesce the writer or
+retry on ``ConcurrentAppendError``.
+
+Partition-aware: with ``partition_by`` the rewrite preserves the
+hive-style layout (each partition ends with at most ``target_files``
+files via a deterministic salt, so partition pruning and write
+parallelism both survive). Partition-column type inference is disabled
+for the rewrite so numeric-looking string partition values (e.g.
+``id=05``) are not coerced and rewritten as different directory names.
 """
 
 from __future__ import annotations
@@ -18,8 +27,34 @@ from __future__ import annotations
 import uuid
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 from stream_processing_test_spark.sinks.upsert import swap_directory
+
+
+class ConcurrentAppendError(RuntimeError):
+    """The lake gained files while compaction ran; retry after quiesce."""
+
+
+def _list_data_files(spark: SparkSession, path: str) -> list[str]:
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    fs = hpath(path).getFileSystem(spark._jsc.hadoopConfiguration())
+    out = []
+    it = fs.listFiles(hpath(path), True)  # recursive: hive partitions
+    while it.hasNext():
+        f = it.next()
+        name = f.getPath().getName()
+        if not name.startswith(("_", ".")):
+            out.append(f.getPath().toString())
+    return sorted(out)
+
+
+def _delete(spark: SparkSession, path: str) -> None:
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    fs = hpath(path).getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(hpath(path), True)
 
 
 def compact_parquet_dir(
@@ -29,29 +64,48 @@ def compact_parquet_dir(
     partition_by: tuple[str, ...] = (),
 ) -> int:
     """Rewrite the parquet directory at ``path`` down to
-    ``target_files`` files (per partition when ``partition_by`` is
-    given), atomically-ish via staging + swap. Returns the row count
-    (sanity: asserted equal before the swap — a compaction that loses
-    rows must never replace the original)."""
+    ``target_files`` files (PER hive partition when ``partition_by``
+    is given), via staging + swap. Returns the row count (asserted
+    unchanged before the swap — a lossy rewrite never replaces the
+    original; a concurrent append aborts with ConcurrentAppendError)."""
     if target_files < 1:
         raise ValueError(f"target_files must be >= 1, got {target_files}")
-    df = spark.read.parquet(path)
-    n_before = df.count()
+    files_before = _list_data_files(spark, path)
+
+    infer_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    old_infer = spark.conf.get(infer_key)
+    spark.conf.set(infer_key, "false")
     staging = f"{path.rstrip('/')}__staging_{uuid.uuid4().hex[:8]}"
-    writer = df.repartition(target_files, *partition_by) if partition_by else df.coalesce(target_files)
-    w = writer.write.mode("overwrite")
-    if partition_by:
-        w = w.partitionBy(*partition_by)
-    w.parquet(staging)
-    n_after = spark.read.parquet(staging).count()
-    if n_after != n_before:
-        # never swap in a lossy rewrite; leave the original untouched
-        jvm = spark._jvm
-        hpath = jvm.org.apache.hadoop.fs.Path
-        fs = hpath(staging).getFileSystem(spark._jsc.hadoopConfiguration())
-        fs.delete(hpath(staging), True)
-        raise RuntimeError(
-            f"compaction row mismatch: {n_before} -> {n_after}; aborted"
-        )
+    try:
+        df = spark.read.parquet(path)
+        n_before = df.count()
+        if partition_by:
+            # deterministic salt bounds files PER partition at
+            # target_files while keeping days × target_files write tasks
+            salt = F.pmod(
+                F.xxhash64(*[c for c in df.columns]), F.lit(target_files)
+            )
+            writer = df.repartition(
+                *[F.col(c) for c in partition_by], salt
+            ).write.mode("overwrite").partitionBy(*partition_by)
+        else:
+            writer = df.coalesce(target_files).write.mode("overwrite")
+        writer.parquet(staging)
+        n_after = spark.read.parquet(staging).count()
+        if n_after != n_before:
+            raise RuntimeError(
+                f"compaction row mismatch: {n_before} -> {n_after}; aborted"
+            )
+        if _list_data_files(spark, path) != files_before:
+            raise ConcurrentAppendError(
+                f"{path} gained/lost files during compaction; aborted "
+                "(quiesce the writer or retry)"
+            )
+    except BaseException:
+        # never orphan the staging dir, whatever failed above
+        _delete(spark, staging)
+        raise
+    finally:
+        spark.conf.set(infer_key, old_infer)
     swap_directory(spark, staging, path)
     return n_after

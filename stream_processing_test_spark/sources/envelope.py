@@ -4,23 +4,26 @@ The reference emits each probe outcome as a JSON object
 (StreamTest.cpp:283-299) that is INSERTed into MySQL; the JSON is a
 transport envelope, not a storage format (SURVEY §1). This adapter
 accepts that envelope from any of the formats a real deployment lands
-events in — JSON-lines, CSV, parquet, or ORC — and applies the §1.3 edge
-normalization in ONE place:
+events in — JSON-lines, CSV, parquet, or ORC — and applies the §1.3
+edge normalization in ONE place:
 
-- explicit ``PROBE_EVENT_SCHEMA`` (never inferSchema: inference scans
-  data and guesses types per-file — a schema-drift hazard at 100 TB);
-- ``'' -> NULL`` on every attribute string column (the reference uses
-  the empty string as its missing-value sentinel; engine-side the
-  sentinel is NULL, re-materialized as ``''`` only at MySQL-compatible
-  edges). CSV's parser already maps empty fields to NULL — the
-  ``nullif`` pass is idempotent, so all three formats land identically;
-- ``created_time`` parsed to a timestamp from the reference's
-  ``%Y-%m-%d %H:%M:%S`` UTC strings (transport formats carry it as a
-  string; parquet may already be typed — handled by dtype).
+- explicit ``PROBE_EVENT_SCHEMA`` for the text formats, parsed in
+  ``FAILFAST`` mode — a truncated JSON line or a wrong-column-count CSV
+  row fails the read loudly instead of PERMISSIVE's silent all-NULL row
+  (which downstream '' -> NULL semantics could not distinguish from a
+  legitimately-empty event). CSV reads ``multiLine`` so quoted fields
+  carrying embedded newlines (ffmpeg error text) stay one record;
+- columnar formats (parquet/ORC) are self-describing: read natively,
+  then every attribute column is cast to its schema type — so a lake
+  that landed ``created_time`` as a transport string still ingests
+  (parsed by dtype), and one that landed it typed passes through;
+- ``'' -> NULL`` on every attribute string column via the shared
+  :func:`functions.scalars.blank_to_null` (the single definition of the
+  reference's empty-string missing-value sentinel).
 
 Both batch (``read_probe_events``) and Structured Streaming
-(``stream_probe_events``) share the schema and normalization through
-the same helpers, so the two paths cannot drift.
+(``stream_probe_events``) share the schema, options and normalization
+through the same helpers, so the two paths cannot drift.
 """
 
 from __future__ import annotations
@@ -29,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from stream_processing_test_spark.functions.scalars import blank_to_null
 from stream_processing_test_spark.schemas import PROBE_EVENT_SCHEMA
 
 _FORMATS = ("json", "csv", "parquet", "orc")
@@ -46,16 +50,21 @@ TRANSPORT_SCHEMA = T.StructType(
 
 
 def _normalize(df: DataFrame) -> DataFrame:
-    """§1.3 edge normalization: '' -> NULL on attribute strings, and
-    created_time parsed to TimestampType when it arrived as a string."""
+    """§1.3 edge normalization: '' -> NULL on attribute strings, every
+    column cast to its PROBE_EVENT_SCHEMA type, and created_time parsed
+    from the reference's UTC string form when it arrived as a string."""
     cols = []
     for f in PROBE_EVENT_SCHEMA.fields:
         c = F.col(f.name)
         if f.name == "created_time":
             if isinstance(df.schema["created_time"].dataType, T.StringType):
                 c = F.to_timestamp(c, "yyyy-MM-dd HH:mm:ss")
+            else:
+                c = c.cast(f.dataType)
         elif isinstance(f.dataType, T.StringType):
-            c = F.nullif(c, F.lit(""))
+            c = blank_to_null(c.cast("string"))
+        else:
+            c = c.cast(f.dataType)
         cols.append(c.alias(f.name))
     return df.select(*cols)
 
@@ -63,11 +72,13 @@ def _normalize(df: DataFrame) -> DataFrame:
 def _read(reader, fmt: str, path: str) -> DataFrame:
     if fmt not in _FORMATS:
         raise ValueError(f"unknown format {fmt!r}; expected one of {_FORMATS}")
-    typed = fmt in ("parquet", "orc")  # columnar formats carry the typed ts
-    schema = PROBE_EVENT_SCHEMA if typed else TRANSPORT_SCHEMA
-    reader = reader.format(fmt).schema(schema)
+    reader = reader.format(fmt)
+    if fmt in ("json", "csv"):
+        # text formats: explicit schema + loud parse failures
+        reader = reader.schema(TRANSPORT_SCHEMA).option("mode", "FAILFAST")
     if fmt == "csv":
-        reader = reader.option("header", "true")
+        reader = reader.option("header", "true").option("multiLine", "true")
+    # parquet/orc: self-describing — _normalize casts to the schema
     return _normalize(reader.load(path))
 
 
@@ -85,4 +96,12 @@ def stream_probe_events(
 ) -> DataFrame:
     """Streaming twin of :func:`read_probe_events` — same schema, same
     options, same normalization, file-source micro-batches."""
+    if fmt in ("parquet", "orc"):
+        # a file STREAM cannot self-describe (schema must exist before
+        # data) — pin the typed schema up front
+        return _normalize(
+            spark.readStream.format(fmt)
+            .schema(PROBE_EVENT_SCHEMA)
+            .load(path)
+        )
     return _read(spark.readStream, fmt, path)

@@ -110,3 +110,33 @@ def test_unknown_format_is_loud(spark, envelope_dirs):
     base, _ = envelope_dirs
     with pytest.raises(ValueError, match="unknown format"):
         read_probe_events(spark, str(base / "json"), fmt="avro")
+
+
+def test_columnar_string_timestamp_still_ingests(spark, envelope_dirs, tmp_path):
+    """A lake that landed created_time as the transport STRING in
+    parquet must still ingest (parsed by dtype) and equal the typed
+    parquet read."""
+    base, _ = envelope_dirs
+    typed = read_probe_events(spark, str(base / "parquet"), fmt="parquet")
+    from pyspark.sql import functions as F
+
+    stringly = str(tmp_path / "stringly")
+    typed.withColumn(
+        "created_time",
+        F.date_format("created_time", "yyyy-MM-dd HH:mm:ss"),
+    ).write.parquet(stringly)
+    got = _canon(read_probe_events(spark, stringly, fmt="parquet"))
+    assert got == _canon(typed)
+
+
+def test_malformed_json_fails_loudly(spark, tmp_path):
+    """FAILFAST contract: a truncated JSON line must raise, never
+    become a silent all-NULL row."""
+    bad = tmp_path / "bad"
+    bad.mkdir()
+    (bad / "events.jsonl").write_text(
+        '{"url_id": "1", "item": 0, "created_time": "2024-01-15 08:00:00"}\n'
+        '{"url_id": "2", "item": 1001, "created_ti\n'
+    )
+    with pytest.raises(Exception, match="(?i)malformed|FAILFAST"):
+        read_probe_events(spark, str(bad), fmt="json").collect()

@@ -120,11 +120,7 @@ def test_phash_three_twins_agree(spark):
     quotes, backslashes and whitespace (UTF-8 md5 in all three)."""
     import duckdb
 
-    from stream_processing_test_spark.llm.hashing import (
-        PHASH_HEX,
-        phash,
-        phash_py,
-    )
+    from stream_processing_test_spark.llm.hashing import phash, phash_py
 
     samples = [
         "",
@@ -150,11 +146,12 @@ def test_phash_three_twins_agree(spark):
     assert got_spark == py
 
     con = duckdb.connect()
+    # execute the SHIPPED fragment (phash_sql), not a re-derivation —
+    # a drift in the twin breaks this test, not a distant oracle
+    from stream_processing_test_spark.llm.hashing import phash_sql
+
     got_duck = [
-        con.execute(
-            f"SELECT CAST('0x' || substr(md5(?), 1, {PHASH_HEX}) AS BIGINT)",
-            [s],
-        ).fetchone()[0]
+        con.execute(f"SELECT {phash_sql('?')}", [s]).fetchone()[0]
         for s in samples
     ]
     assert got_duck == py

@@ -185,3 +185,47 @@ def test_compact_rejects_bad_target(spark, tmp_path):
 
     with pytest.raises(ValueError, match="target_files"):
         compact_parquet_dir(spark, str(tmp_path), target_files=0)
+
+
+def test_compact_aborts_on_concurrent_append(spark, tmp_path):
+    """A file appended mid-compaction must abort the rewrite loudly —
+    never vanish with the swapped-out directory. Simulated by
+    monkeypatching the post-write listing check's view of 'before'."""
+    import pytest
+
+    from stream_processing_test_spark.sinks.compact import (
+        ConcurrentAppendError,
+        compact_parquet_dir,
+        _list_data_files,
+    )
+    from stream_processing_test_spark.tables import load
+    from tests.conftest import SF_SMALL
+
+    ev = load(spark, SF_SMALL, "events").limit(100)
+    lake = str(tmp_path / "lake")
+    ev.repartition(4).write.parquet(lake)
+    files = sorted(str(p) for p in __import__("pathlib").Path(lake).glob("part-*"))
+
+    import stream_processing_test_spark.sinks.compact as C
+
+    real = C._list_data_files
+    calls = {"n": 0}
+
+    def racy(spark_, path_):
+        calls["n"] += 1
+        out = real(spark_, path_)
+        if calls["n"] == 1:
+            return out[:-1]  # pretend one file appeared later
+        return out
+
+    C._list_data_files = racy
+    try:
+        with pytest.raises(ConcurrentAppendError):
+            compact_parquet_dir(spark, lake, target_files=1)
+    finally:
+        C._list_data_files = real
+    # original untouched, no staging orphans
+    from pathlib import Path
+
+    assert sorted(str(p) for p in Path(lake).glob("part-*")) == files
+    assert not list(Path(lake).parent.glob("lake__staging_*"))
