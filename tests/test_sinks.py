@@ -166,6 +166,10 @@ def test_compact_parquet_dir_flat_and_partitioned(spark, tmp_path):
     assert n == total
     days = [p for p in Path(lake).iterdir() if p.name.startswith("day=")]
     assert days, "hive partitioning lost"
+    # the per-partition bound the salt delivers: <= target_files files
+    # in EVERY day directory
+    for d in days:
+        assert len(list(d.glob("part-*"))) <= 1, d
     one_day = spark.read.parquet(lake).filter(
         F.col("day") == days[0].name.split("=", 1)[1]
     )
