@@ -91,6 +91,33 @@ def read_probe_events(
     return _read(spark.read, fmt, path)
 
 
+def write_probe_events(
+    df: DataFrame, path: str, fmt: str = "json", mode: str = "append"
+) -> None:
+    """S5 append-sink twin of :func:`read_probe_events`: land envelope
+    events at ``path`` in ``fmt``. Text formats serialize
+    ``created_time`` back to the reference's UTC string form and
+    re-materialize NULL attributes as ``''`` (the MySQL-compatible
+    edge, SURVEY §1.3) so a write→read roundtrip through ANY format is
+    the identity after normalization."""
+    if fmt not in _FORMATS:
+        raise ValueError(f"unknown format {fmt!r}; expected one of {_FORMATS}")
+    if fmt in ("json", "csv"):
+        cols = []
+        for f in PROBE_EVENT_SCHEMA.fields:
+            c = F.col(f.name)
+            if f.name == "created_time":
+                c = F.date_format(c, "yyyy-MM-dd HH:mm:ss")
+            elif isinstance(f.dataType, T.StringType):
+                c = F.coalesce(c, F.lit(""))
+            cols.append(c.alias(f.name))
+        df = df.select(*cols)
+    writer = df.write.mode(mode).format(fmt)
+    if fmt == "csv":
+        writer = writer.option("header", "true")
+    writer.save(path)
+
+
 def stream_probe_events(
     spark: SparkSession, path: str, fmt: str = "json"
 ) -> DataFrame:

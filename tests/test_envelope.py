@@ -140,3 +140,20 @@ def test_malformed_json_fails_loudly(spark, tmp_path):
     )
     with pytest.raises(Exception, match="(?i)malformed|FAILFAST"):
         read_probe_events(spark, str(bad), fmt="json").collect()
+
+
+def test_write_read_roundtrip_all_formats(spark, envelope_dirs, tmp_path):
+    """write_probe_events -> read_probe_events is the identity for
+    every format (the S5 append edge re-materializes '' and the UTC
+    string form; the read edge normalizes them back)."""
+    from stream_processing_test_spark.sources.envelope import (
+        write_probe_events,
+    )
+
+    base, _ = envelope_dirs
+    want_df = read_probe_events(spark, str(base / "parquet"), fmt="parquet")
+    want = _canon(want_df)
+    for fmt in ("json", "csv", "parquet", "orc"):
+        dest = str(tmp_path / f"rt_{fmt}")
+        write_probe_events(want_df, dest, fmt=fmt)
+        assert _canon(read_probe_events(spark, dest, fmt=fmt)) == want, fmt
