@@ -169,6 +169,28 @@ def cmd_day_close(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_probe(args: argparse.Namespace) -> int:
+    """EP1: fan the source dimension out to probes (synthetic prober —
+    the ffmpeg prober is a pluggable ProbeFn) and append one outcome
+    event per source to the events lake in the chosen envelope format
+    (StreamTest.cpp:1083-1176 probe loop + :283-299 envelope)."""
+    from stream_processing_test_spark.sources.envelope import (
+        write_probe_events,
+    )
+    from stream_processing_test_spark.sources.probe import probe_sources
+
+    spark = _spark()
+    dim = spark.read.parquet(args.dim)
+    events = probe_sources(dim)
+    write_probe_events(events, args.out, fmt=args.fmt)
+    n = spark.read.parquet(args.out).count() if args.fmt == "parquet" else None
+    print(
+        f"probed {dim.count()} sources -> {args.out} ({args.fmt})"
+        + (f", {n} events" if n is not None else "")
+    )
+    return 0
+
+
 def cmd_bench(_args: argparse.Namespace) -> int:
     sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
     import bench
@@ -202,6 +224,19 @@ def main(argv: list[str] | None = None) -> int:
     p_dc.add_argument("--sf-dir", default=default_sf)
     p_dc.add_argument("--out", required=True, help="output directory")
 
+    p_pr = sub.add_parser(
+        "probe", help="EP1: probe a source dimension, append outcome events"
+    )
+    p_pr.add_argument(
+        "--dim",
+        required=True,
+        help="parquet dir with (id, url, target_matching, target_matching_id)",
+    )
+    p_pr.add_argument("--out", required=True, help="events output path")
+    p_pr.add_argument(
+        "--fmt", choices=("json", "csv", "parquet", "orc"), default="json"
+    )
+
     sub.add_parser("bench", help="headline benchmark (one JSON line)")
 
     args = ap.parse_args(argv)
@@ -209,6 +244,7 @@ def main(argv: list[str] | None = None) -> int:
         "list": cmd_list,
         "run": cmd_run,
         "day-close": cmd_day_close,
+        "probe": cmd_probe,
         "bench": cmd_bench,
     }[args.cmd](args)
 

@@ -77,3 +77,32 @@ def test_cli_run_check_oracle(capsys, spark):
         ["run", "vendor_flow_stats", "--sf-dir", SF_SMALL, "--check"]
     ) == 0
     assert "vendor_flow_stats: OK" in capsys.readouterr().out
+
+
+def test_cli_probe_appends_envelope_events(capsys, spark, tmp_path):
+    """EP1 via the CLI: probe a dimension parquet, append one outcome
+    event per source as JSON-lines, readable back through the envelope
+    adapter."""
+    import pandas as pd
+
+    from stream_processing_test_spark.sources.envelope import (
+        read_probe_events,
+    )
+
+    dim_path = str(tmp_path / "dim")
+    spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "id": [str(i) for i in range(12)],
+                "url": [f"http://cdn{i % 2}/s/{i}" for i in range(12)],
+                "target_matching": [f"Channel {i % 3}" for i in range(12)],
+                "target_matching_id": [str(i % 3) for i in range(12)],
+            }
+        )
+    ).write.parquet(dim_path)
+    out = str(tmp_path / "events")
+    assert main(["probe", "--dim", dim_path, "--out", out]) == 0
+    assert "probed 12 sources" in capsys.readouterr().out
+    ev = read_probe_events(spark, out, fmt="json")
+    assert ev.count() == 12
+    assert ev.filter(ev.created_time.isNull()).count() == 0
