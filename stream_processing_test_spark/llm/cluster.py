@@ -354,10 +354,10 @@ def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     This is the op a pipeline actually materializes — ``WHERE keep``
     is the deduplicated corpus; pair/cluster queries are its
-    evidence. One left join of the corpus against the (small)
-    clustered-node set — at 100 TB the component table is |nodes in
-    dup pairs| rows, typically orders of magnitude under |corpus|, so
-    the join broadcasts and the pass is map-side over the corpus scan.
+    evidence. One left join of the corpus against the clustered-node
+    set, broadcast only when the measured node count fits the session
+    broadcast budget (see :func:`with_keep_verdict` — at web-scale dup
+    rates the node set is corpus-order and must shuffle-join instead).
     """
     from stream_processing_test_spark.llm.dedup import dedup_ngram_jaccard
     from stream_processing_test_spark.tables import load
@@ -368,14 +368,50 @@ def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_keep_verdict(docs, comp).select("doc_id", "component", "keep")
 
 
+_VERDICT_ROW_BYTES = 64  # (node, component) UnsafeRow + HashedRelation overhead
+
+
+def _auto_broadcast_threshold_bytes(spark: SparkSession) -> int:
+    """The session's ``spark.sql.autoBroadcastJoinThreshold`` in bytes
+    (<= 0 means broadcasting is disabled). Conf values arrive as plain
+    byte counts or with a b/k/m/g/t suffix (``10MB``, ``10485760b``)."""
+    import re
+
+    raw = str(
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    ).strip().lower()
+    m = re.fullmatch(r"(-?\d+)\s*([kmgt]?b?)", raw)
+    if m is None:
+        return 0  # unparseable -> treat as disabled, never force a hint
+    mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}.get(
+        m.group(2)[:1], 1
+    )
+    return int(m.group(1)) * mult
+
+
 def with_keep_verdict(docs: DataFrame, comp: DataFrame) -> DataFrame:
-    """Append (component, keep) to a corpus frame via a broadcast left
-    join against the clustered-node set — the map-side verdict shared
-    by ``dedup_keep_canonical`` and the fused curation pipeline. At
-    100 TB the component table is |nodes in dup pairs| rows, orders of
-    magnitude under |corpus|, so the join broadcasts and the verdict
-    costs no corpus shuffle."""
-    joined = docs.join(F.broadcast(comp), docs["doc_id"] == comp["node"], "left")
+    """Append (component, keep) to a corpus frame via a left join
+    against the clustered-node set — the map-side verdict shared by
+    ``dedup_keep_canonical``, ``leakage_safe_split`` and the fused
+    curation pipeline.
+
+    The broadcast hint is size-GATED, never assumed: on real web-scale
+    corpora near-dup dedup removes 30-50% of documents, so the
+    clustered-node set is the SAME order as the corpus — a forced
+    broadcast of it would OOM every executor. ``comp`` is already
+    materialized (the component loop local-checkpoints it), so its row
+    count is a cheap block scan; the hint is applied only when the
+    measured size fits the session's own auto-broadcast byte budget
+    (``spark.sql.autoBroadcastJoinThreshold`` — needed because the
+    planner sees a LogicalRDD with unknown stats and would never
+    broadcast on its own). Over budget — or with broadcasting disabled
+    — the join is left to the planner/AQE as an ordinary shuffle join.
+    Layout-asserted for all three callers in test_scale_layout
+    (hint under default conf, shuffle join with the threshold off)."""
+    thr = _auto_broadcast_threshold_bytes(docs.sparkSession)
+    if thr > 0 and comp.count() * _VERDICT_ROW_BYTES <= thr:
+        comp = F.broadcast(comp)
+    joined = docs.join(comp, docs["doc_id"] == comp["node"], "left")
     component = F.coalesce(F.col("component"), F.col("doc_id"))
     return joined.select(
         *[docs[c] for c in docs.columns],
@@ -434,7 +470,7 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one near-dup index build + component closure (shared
     machinery with ``dup_clusters``), then a map-side hash — the split
-    itself adds no shuffle beyond the keep-verdict broadcast join.
+    itself adds no shuffle beyond the size-gated keep-verdict join.
     """
     from stream_processing_test_spark.llm.dedup import dedup_ngram_jaccard
     from stream_processing_test_spark.tables import load

@@ -218,7 +218,9 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     DataFrame-join composition: quality features and the sampling gate
     evaluate inside the ONE corpus scan (no per-stage rescan, no
     doc_id shuffle joins between stages), the dedup verdict is a
-    broadcast left join against the (small) clustered-node set, and
+    size-gated left join against the clustered-node set (broadcast
+    only while the measured node count fits the session broadcast
+    budget — ``cluster.with_keep_verdict``), and
     the only wide stage of the whole pipeline is the final
     (source, lang) aggregation — partial-agg combinable, cardinality =
     |sources| x |langs|. (The earlier DataFrame-join form produced two

@@ -353,13 +353,53 @@ def test_curation_pipeline_fuses_into_one_scan(spark):
 
 def test_keep_canonical_verdict_is_broadcast(spark):
     """dedup_keep_canonical's corpus pass must be a broadcast left
-    join of the clustered-node set — never a corpus-vs-corpus shuffle
-    join."""
+    join of the clustered-node set WHEN the measured node count fits
+    the session broadcast budget (the fixture's does) — never a
+    corpus-vs-corpus shuffle join in that regime."""
     from stream_processing_test_spark.llm.cluster import dedup_keep_canonical
 
     plan = _plan(dedup_keep_canonical(spark, SF_SMALL))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_keep_verdict_broadcast_is_size_gated(spark):
+    """The verdict join's broadcast hint must be GATED, not forced: at
+    real web dup rates (30-50% of docs in dup pairs) the clustered-node
+    set is corpus-order and a forced broadcast OOMs every executor.
+    Piecewise layout assertion for ALL THREE callers — including
+    ``leakage_safe_split``, whose plan the registry sweep never sees
+    (PLAN_OPAQUE) — under both regimes:
+
+    - broadcasting disabled (threshold -1): NO BroadcastExchange
+      anywhere in the verdict plan — the gate must refuse the hint and
+      leave an ordinary shuffle join;
+    - a threshold smaller than the measured node set: same refusal —
+      proving the gate compares MEASURED size, not a planner guess;
+    - default budget: the hint applies (previous test).
+    """
+    from stream_processing_test_spark.llm.cluster import (
+        dedup_keep_canonical,
+        leakage_safe_split,
+    )
+    from stream_processing_test_spark.llm.corpus import corpus_curation_pipeline
+
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    for thr in ("-1", "64b"):  # disabled; smaller than any node set
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+        try:
+            for fn in (
+                dedup_keep_canonical,
+                corpus_curation_pipeline,
+                leakage_safe_split,
+            ):
+                plan = _plan(fn(spark, SF_SMALL))
+                assert "BroadcastExchange" not in plan, (
+                    f"{fn.__name__}: verdict join still broadcasts with "
+                    f"autoBroadcastJoinThreshold={thr}"
+                )
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
 
 
 def test_connected_components_one_job_per_round(spark):
@@ -403,9 +443,6 @@ def test_connected_components_one_job_per_round(spark):
 # 100 TB no matter how small it is in this fixture.
 _FORCED_BROADCAST_ALLOWED = {
     "ann_cosine_topk": "k-row query-vector set (crossJoin seed)",
-    "corpus_curation_pipeline": "clustered-node verdict set (|dup nodes| "
-    "<< |corpus| by design; the fused one-scan plan depends on it)",
-    "dedup_keep_canonical": "clustered-node verdict set (same as above)",
     "error_labels": "17-row error-code taxonomy dim",
     "failing_programs": "program dim + its HAVING-filtered subset",
     "program_match": "program-name dim (live_broadcast_details)",
