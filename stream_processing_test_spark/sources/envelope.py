@@ -37,47 +37,102 @@ from stream_processing_test_spark.schemas import PROBE_EVENT_SCHEMA
 
 _FORMATS = ("json", "csv", "parquet", "orc")
 
-# In transport formats the timestamp travels as its reference string
-# form; the typed schema applies after parsing in _normalize.
+# In transport formats every non-string-typed field travels as its
+# reference string form — the reference envelope emits item and
+# return_value via std::to_string and created_time as a UTC string
+# (StreamTest.cpp:283-299) — so the transport schema is all-strings
+# and the typed PROBE_EVENT_SCHEMA applies after parsing in
+# _normalize. (An int-typed transport `item` would make a FAILFAST
+# read of an actual reference-emitted envelope, where the value is the
+# JSON string "0", fail with CANNOT_PARSE_JSON_FIELD.)
 TRANSPORT_SCHEMA = T.StructType(
     [
         f
-        if f.name != "created_time"
-        else T.StructField("created_time", T.StringType(), True)
+        if isinstance(f.dataType, T.StringType)
+        else T.StructField(f.name, T.StringType(), True)
         for f in PROBE_EVENT_SCHEMA.fields
     ]
 )
 
 
+def _parse_or_fail(raw, parsed, what: str):
+    """No-silent-nulls contract: a transport string that fails to parse
+    into its typed form must fail the read loudly — with ANSI off,
+    to_timestamp/cast would otherwise yield NULL, indistinguishable
+    from a legitimately-missing value and corrupting downstream
+    ordering/rollups."""
+    return F.when(
+        raw.isNotNull() & parsed.isNull(),
+        F.raise_error(F.concat(F.lit(f"unparseable {what}: "), raw)),
+    ).otherwise(parsed)
+
+
 def _normalize(df: DataFrame) -> DataFrame:
     """§1.3 edge normalization: '' -> NULL on attribute strings, every
-    column cast to its PROBE_EVENT_SCHEMA type, and created_time parsed
-    from the reference's UTC string form when it arrived as a string."""
+    column cast to its PROBE_EVENT_SCHEMA type, and typed fields
+    (created_time, item) parsed LOUDLY from their reference string
+    forms when they arrived as strings."""
     cols = []
     for f in PROBE_EVENT_SCHEMA.fields:
         c = F.col(f.name)
+        arrived_string = isinstance(df.schema[f.name].dataType, T.StringType)
         if f.name == "created_time":
-            if isinstance(df.schema["created_time"].dataType, T.StringType):
-                c = F.to_timestamp(c, "yyyy-MM-dd HH:mm:ss")
+            if arrived_string:
+                c = _parse_or_fail(
+                    c, F.to_timestamp(c, "yyyy-MM-dd HH:mm:ss"), f.name
+                )
             else:
                 c = c.cast(f.dataType)
         elif isinstance(f.dataType, T.StringType):
             c = blank_to_null(c.cast("string"))
+        elif arrived_string:
+            # typed field carried in its transport string form; '' is
+            # the missing-value sentinel, anything else must parse
+            s = blank_to_null(c)
+            c = _parse_or_fail(s, s.cast(f.dataType), f.name)
         else:
             c = c.cast(f.dataType)
         cols.append(c.alias(f.name))
     return df.select(*cols)
 
 
-def _read(reader, fmt: str, path: str) -> DataFrame:
+def _csv_transport_schema(spark: SparkSession, path: str) -> T.StructType:
+    """CSV binds an explicit schema BY POSITION (header names are
+    ignored under enforceSchema), so an externally-produced file with
+    reordered columns would silently scramble the string-typed
+    attribute fields. Read the header names first (cheap: Spark reads
+    only the first file's header to derive columns) and return the
+    transport schema permuted into the file's column order — unknown
+    or missing columns fail loudly. _normalize re-selects canonical
+    order afterwards."""
+    header = spark.read.format("csv").option("header", "true").load(path).columns
+    by_name = {f.name: f for f in TRANSPORT_SCHEMA.fields}
+    if list(by_name) == header:
+        return TRANSPORT_SCHEMA
+    if set(header) != set(by_name):
+        missing = sorted(set(by_name) - set(header))
+        extra = sorted(set(header) - set(by_name))
+        raise ValueError(
+            f"CSV header at {path} does not match the envelope schema: "
+            f"missing {missing}, unexpected {extra}"
+        )
+    return T.StructType([by_name[name] for name in header])
+
+
+def _read(reader, fmt: str, path: str, spark: SparkSession) -> DataFrame:
     if fmt not in _FORMATS:
         raise ValueError(f"unknown format {fmt!r}; expected one of {_FORMATS}")
     reader = reader.format(fmt)
-    if fmt in ("json", "csv"):
+    if fmt == "json":
         # text formats: explicit schema + loud parse failures
         reader = reader.schema(TRANSPORT_SCHEMA).option("mode", "FAILFAST")
-    if fmt == "csv":
-        reader = reader.option("header", "true").option("multiLine", "true")
+    elif fmt == "csv":
+        reader = (
+            reader.schema(_csv_transport_schema(spark, path))
+            .option("mode", "FAILFAST")
+            .option("header", "true")
+            .option("multiLine", "true")
+        )
     # parquet/orc: self-describing — _normalize casts to the schema
     return _normalize(reader.load(path))
 
@@ -88,7 +143,7 @@ def read_probe_events(
     """Batch read of envelope events from ``path`` in ``fmt``
     (json = JSON-lines, csv, parquet, orc), schema-enforced and
     edge-normalized."""
-    return _read(spark.read, fmt, path)
+    return _read(spark.read, fmt, path, spark)
 
 
 def write_probe_events(
@@ -110,6 +165,10 @@ def write_probe_events(
                 c = F.date_format(c, "yyyy-MM-dd HH:mm:ss")
             elif isinstance(f.dataType, T.StringType):
                 c = F.coalesce(c, F.lit(""))
+            else:
+                # typed fields travel in their reference string form
+                # (std::to_string; '' = the missing-value sentinel)
+                c = F.coalesce(c.cast("string"), F.lit(""))
             cols.append(c.alias(f.name))
         df = df.select(*cols)
     writer = df.write.mode(mode).format(fmt)
@@ -131,4 +190,4 @@ def stream_probe_events(
             .schema(PROBE_EVENT_SCHEMA)
             .load(path)
         )
-    return _read(spark.readStream, fmt, path)
+    return _read(spark.readStream, fmt, path, spark)

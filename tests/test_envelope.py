@@ -142,6 +142,99 @@ def test_malformed_json_fails_loudly(spark, tmp_path):
         read_probe_events(spark, str(bad), fmt="json").collect()
 
 
+def _reference_record(**overrides):
+    rec = {
+        "url_id": "1",
+        "flow_address": "http://cdn0/stream/1",
+        "item": 0,
+        "return_value": "0",
+        "lag_details": "",
+        "streaming_protocol": "hls",
+        "bitrate": "",
+        "stream_length": "",
+        "video_format": "",
+        "video_resolution": "",
+        "audio_format": "",
+        "audio_sampling_rate": "",
+        "created_time": "2024-01-15 08:00:00",
+        "target_matching_id": "1",
+        "target_matching": "Channel 1",
+    }
+    rec.update(overrides)
+    return rec
+
+
+def test_reference_string_typed_item_ingests(spark, tmp_path):
+    """The reference envelope emits item via std::to_string
+    (StreamTest.cpp ~285) — the JSON string "1001", not the number.
+    Both spellings must ingest to the same typed int; garbage must
+    fail loudly, never silently NULL."""
+    d = tmp_path / "json"
+    d.mkdir()
+    (d / "e.jsonl").write_text(
+        json.dumps(_reference_record(url_id="1", item=0))
+        + "\n"
+        + json.dumps(_reference_record(url_id="2", item="1001"))
+        + "\n"
+    )
+    got = {
+        r["url_id"]: r["item"]
+        for r in read_probe_events(spark, str(d), fmt="json").collect()
+    }
+    assert got == {"1": 0, "2": 1001}
+
+    (d / "e.jsonl").write_text(
+        json.dumps(_reference_record(item="not-a-code")) + "\n"
+    )
+    with pytest.raises(Exception, match="unparseable item"):
+        read_probe_events(spark, str(d), fmt="json").collect()
+
+
+def test_unparseable_created_time_is_loud(spark, tmp_path):
+    """With ANSI off, to_timestamp yields NULL for a non-matching
+    string — the adapter must instead fail loudly (an ISO-8601 stamp
+    silently becoming NULL would corrupt min_by(created_time)
+    ordering downstream)."""
+    d = tmp_path / "json"
+    d.mkdir()
+    (d / "e.jsonl").write_text(
+        json.dumps(_reference_record(created_time="2024-01-15T08:00:00Z"))
+        + "\n"
+    )
+    with pytest.raises(Exception, match="unparseable created_time"):
+        read_probe_events(spark, str(d), fmt="json").collect()
+
+
+def test_csv_reordered_columns_bind_by_name(spark, tmp_path):
+    """CSV schemas bind by POSITION, so an externally-produced file
+    with reordered columns must be detected via its header and read
+    by name — not silently scrambled into the wrong fields."""
+    import pandas as pd
+
+    d = tmp_path / "csv"
+    d.mkdir()
+    rec = {k: str(v) for k, v in _reference_record().items()}
+    pdf = pd.DataFrame([rec])[list(reversed(list(rec)))]
+    pdf.to_csv(d / "e.csv", index=False)
+    got = read_probe_events(spark, str(d), fmt="csv").collect()[0]
+    assert got["url_id"] == "1"
+    assert got["item"] == 0
+    assert got["target_matching"] == "Channel 1"
+    assert str(got["created_time"]) == "2024-01-15 08:00:00"
+
+
+def test_csv_wrong_header_is_loud(spark, tmp_path):
+    import pandas as pd
+
+    d = tmp_path / "csv"
+    d.mkdir()
+    rec = {k: str(v) for k, v in _reference_record().items()}
+    pdf = pd.DataFrame([rec]).rename(columns={"bitrate": "bitrot"})
+    pdf.to_csv(d / "e.csv", index=False)
+    with pytest.raises(ValueError, match="missing \\['bitrate'\\]"):
+        read_probe_events(spark, str(d), fmt="csv")
+
+
 def test_write_read_roundtrip_all_formats(spark, envelope_dirs, tmp_path):
     """write_probe_events -> read_probe_events is the identity for
     every format (the S5 append edge re-materializes '' and the UTC
