@@ -34,74 +34,71 @@ class QuerySpec:
 
 _REGISTRY: dict[str, QuerySpec] = {}
 
-# Round-5 rotation (VERDICT r4 item 1): the driver checks a 50-query
-# prefix, so put (0) the five queries registered late in r4 that have
-# NEVER had a driver row, plus dup_clusters (rotated out of r4 while
-# its loop changed), plus everything new or implementation-changed
-# this round (star components, skew-salted rollup, the attribute
-# 0x0-overwrite semantics fix, the codec hardening, behavior/windows
-# de-broadcast) — then (1) the 37 queries whose newest driver row is
-# r3. With ``leakage_safe_split`` (added mid-r5, must be tier 0) the
-# count is 14 + 37 = 51, so the alphabetically-last tier-1 query
-# (``substring_dup_coverage`` — unchanged since r3, green r3 row =
-# exactly two rounds old, still inside the freshness bar) falls to
-# position 51 and rotates back in r6. Unlisted queries keep
-# ``10 + tier``; all of them have green r4 rows for unchanged code.
+# Round-6 rotation (VERDICT r5 item 2): the driver checks a 50-query
+# prefix. Tier (0) = owed a fresh row THIS round: the one query whose
+# newest row is r3 (``substring_dup_coverage`` — fell to position 51
+# of r5's window, scheduled back here), the new ``envelope_rollup``,
+# the three queries through the r6 size-gated keep-verdict join, and
+# ``streaming_failure_streaks`` (state-transition sort reworked r6).
+# Tier (1) = the 44 remaining queries whose newest row is r4 — two
+# rounds old after r6, so backfilling ALL of them now means every
+# registered query ends the round with a row no older than one round
+# (r5 or r6): 6 + 44 = exactly the 50-slot window, and the 47 queries
+# left outside it all hold green r5 rows on unchanged code. Unlisted
+# queries keep ``10 + tier``.
 _ROTATION_TIERS: dict[str, int] = {
-    # (0) never driver-checked (registered after r4's freeze)
-    "cohort_retention": 0,
-    "funnel_conversion": 0,
-    "decayed_user_scores": 0,
-    "user_value_percentiles": 0,
-    "streaming_session_windows": 0,
-    # (0) owed a post-change row / new or changed in r5
-    "dup_clusters": 0,
-    "dup_clusters_star": 0,
-    "skew_salted_rollup": 0,
-    "attribute_rollup": 0,
-    "multimodal_features": 0,
-    "multimodal_preprocess": 0,
+    # (0) new or implementation-changed in r6, plus the r3 straggler
+    "substring_dup_coverage": 0,
+    "envelope_rollup": 0,
     "dedup_keep_canonical": 0,
     "corpus_curation_pipeline": 0,
-    "leakage_safe_split": 0,  # new in r5 — must get a driver row now
-    # (1) newest driver row is r3
-    "ann_lsh_topk": 1,
-    "balance_quartiles": 1,
-    "decontaminate_overlap": 1,
-    "dedup_embedding_lsh": 1,
-    "dedup_minhash_lsh": 1,
-    "dedup_simhash": 1,
-    "doc_repetition_stats": 1,
-    "pii_redact": 1,
-    "price_percentiles": 1,
-    "q10_returned_items": 1,
-    "q11_important_parts": 1,
-    "q12_priority_shipping": 1,
-    "q13_order_count_distribution": 1,
-    "q14_promo_revenue_share": 1,
-    "q15_top_supplier": 1,
-    "q16_part_supplier_variety": 1,
-    "q17_small_quantity_revenue": 1,
-    "q18_large_orders": 1,
-    "q19_disjunctive_revenue": 1,
-    "q1_pricing_summary": 1,
-    "q20_excess_suppliers": 1,
-    "q21_blocking_suppliers": 1,
-    "q22_idle_customers": 1,
-    "q2_min_cost_supplier": 1,
-    "q3_shipping_priority": 1,
-    "q4_order_priority": 1,
-    "q5_region_revenue": 1,
-    "q6_forecast_revenue": 1,
-    "q7_nation_trade_volume": 1,
-    "q8_market_share": 1,
-    "q9_product_profit": 1,
-    "quantity_grouping_sets": 1,
-    "revenue_cube": 1,
-    "rich_accounts_union": 1,
-    "stats_moments": 1,
-    "substring_dup_coverage": 1,
-    "vendor_flow_stats": 1,
+    "leakage_safe_split": 0,
+    "streaming_failure_streaks": 0,
+    # (1) newest driver row is r4
+    "active_sources": 1,
+    "ann_cosine_topk": 1,
+    "ann_ivf_topk": 1,
+    "asof_click_attribution": 1,
+    "daily_report_pipeline": 1,
+    "daily_scores": 1,
+    "day_close_trigger": 1,
+    "dedup_embedding_cosine": 1,
+    "dedup_exact": 1,
+    "dedup_ngram_jaccard": 1,
+    "doc_chunking": 1,
+    "doc_fingerprint": 1,
+    "doc_quality_score": 1,
+    "embedding_centroids": 1,
+    "embedding_norm_stats": 1,
+    "engaged_users_setops": 1,
+    "error_labels": 1,
+    "failing_programs": 1,
+    "lang_id_ngram": 1,
+    "monotonic_violations": 1,
+    "per_source_rollup": 1,
+    "probe_source_events": 1,
+    "program_match": 1,
+    "props_json_stats": 1,
+    "range_join_error_context": 1,
+    "records_in_window": 1,
+    "report_batches": 1,
+    "resolution_classify": 1,
+    "revenue_rollup": 1,
+    "rolling_user_stats": 1,
+    "session_windows": 1,
+    "source_mixing": 1,
+    "sql_daily_event_summary": 1,
+    "stratified_sample": 1,
+    "streaming_click_purchase_join": 1,
+    "streaming_daily_scores": 1,
+    "streaming_dedup": 1,
+    "suppliers_with_bulk_items": 1,
+    "tfidf_top_terms": 1,
+    "token_count": 1,
+    "top_events_per_user": 1,
+    "user_cardinality": 1,
+    "user_cardinality_approx": 1,
+    "users_without_big_purchase": 1,
 }
 
 
@@ -177,7 +174,7 @@ def all_queries() -> dict[str, QuerySpec]:
         vendor,
         windows,
     )
-    from stream_processing_test_spark.sources import probe  # noqa: F401
+    from stream_processing_test_spark.sources import envelope, probe  # noqa: F401
     from stream_processing_test_spark.llm import (  # noqa: F401
         cluster,
         corpus,

@@ -177,6 +177,132 @@ def write_probe_events(
     writer.save(path)
 
 
+# ---------------------------------------------------------------------------
+# Driver-gate coverage: envelope ingest end-to-end (S5/S11/§1.3)
+# ---------------------------------------------------------------------------
+# Option lists shared by the Spark derivation and the DuckDB oracle —
+# single source of truth, like the probe connector's (probe.py).
+_ENV_PROTOCOLS = ("hls", "mpegts", "flv", "")
+_ENV_RESOLUTIONS = ("1920x1080", "1280x720", "0x0", "")
+_ENV_BASE_EPOCH = 1_705_276_800  # 2024-01-15 00:00:00 UTC
+
+
+def _envelope_oracle() -> str:
+    """DuckDB replay of the deterministic envelope derivation + rollup.
+    The Spark side routes the SAME derived events through an actual
+    JSON-lines write -> FAILFAST read -> normalize cycle, so a value
+    mismatch here means the adapter corrupted something in transit."""
+    from stream_processing_test_spark.llm.hashing import phash_sql
+
+    protos = ", ".join(f"'{p}'" for p in _ENV_PROTOCOLS)
+    res = ", ".join(f"'{r}'" for r in _ENV_RESOLUTIONS)
+    key = "CAST(c_custkey AS VARCHAR)"
+    h0, h1, h2, h3 = (phash_sql(f"'env{i}:' || {key}") for i in range(4))
+    return f"""
+WITH hh AS (
+    SELECT {h0} AS h0, {h1} AS h1, {h2} AS h2, {h3} AS h3 FROM customer
+), ev AS (
+    SELECT CASE WHEN h0 % 10 < 8 THEN 0
+                ELSE 1001 + CAST(h0 % 16 AS INT) END AS item,
+           NULLIF(([{protos}])[CAST(h1 % {len(_ENV_PROTOCOLS)} AS INT) + 1], '')
+               AS streaming_protocol,
+           NULLIF(([{res}])[CAST(h2 % {len(_ENV_RESOLUTIONS)} AS INT) + 1], '')
+               AS video_resolution,
+           TIMESTAMP '2024-01-15 00:00:00' + (h3 % 86400) * INTERVAL 1 SECOND
+               AS created_time
+    FROM hh)
+SELECT CAST(item AS INT) AS item,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(streaming_protocol) AS BIGINT) AS n_with_protocol,
+       CAST(SUM(CASE WHEN video_resolution IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_missing_resolution,
+       strftime(MIN(created_time), '%Y-%m-%d %H:%M:%S') AS min_created,
+       strftime(MAX(created_time), '%Y-%m-%d %H:%M:%S') AS max_created
+FROM ev GROUP BY item
+"""
+
+
+def _register_envelope_rollup() -> None:
+    from stream_processing_test_spark.llm.hashing import phash
+    from stream_processing_test_spark.registry import register
+    from stream_processing_test_spark.tables import load
+
+    @register(
+        "envelope_rollup",
+        oracle=_envelope_oracle(),
+        survey_ops="S5,S11,T1,A3,F9",
+        tier=0,
+    )
+    def envelope_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """S5 multi-format ingest, driver-checked end-to-end: derive
+        deterministic reference-shaped envelope events from the
+        customer table (portable-hash outcomes, like
+        ``probe_source_events``), land them as an actual JSON-lines
+        envelope via :func:`write_probe_events` (created_time/item
+        serialized to their reference string forms, NULLs
+        re-materialized as ``''``), ingest them back through
+        :func:`read_probe_events` (FAILFAST, loud typed-field parse,
+        '' -> NULL), and roll up per error code. The DuckDB oracle
+        replays the derivation + rollup WITHOUT the write/read cycle —
+        a hash mismatch means the adapter corrupted a value in
+        transit."""
+        import os
+        import tempfile
+
+        def pick(h, options):
+            arr = F.array(*[F.lit(o) for o in options])
+            return F.element_at(arr, (h % len(options) + 1).cast("int"))
+
+        key = F.col("c_custkey").cast("string")
+        hs = [
+            phash(F.concat(F.lit(f"env{i}:"), key)) for i in range(4)
+        ]
+        ev = load(spark, sf_dir, "customer").select(
+            key.alias("url_id"),
+            F.concat(F.lit("http://stream/"), key).alias("flow_address"),
+            F.when(hs[0] % 10 < 8, 0)
+            .otherwise(1001 + (hs[0] % 16))
+            .cast("int")
+            .alias("item"),
+            F.lit("0").alias("return_value"),
+            F.lit("").alias("lag_details"),
+            pick(hs[1], _ENV_PROTOCOLS).alias("streaming_protocol"),
+            F.lit("").alias("bitrate"),
+            F.lit("").alias("stream_length"),
+            F.lit("").alias("video_format"),
+            pick(hs[2], _ENV_RESOLUTIONS).alias("video_resolution"),
+            F.lit("").alias("audio_format"),
+            F.lit("").alias("audio_sampling_rate"),
+            F.timestamp_seconds(F.lit(_ENV_BASE_EPOCH) + hs[3] % 86400).alias(
+                "created_time"
+            ),
+            key.alias("target_matching_id"),
+            F.lit("").alias("target_matching"),
+        )
+        out = os.path.join(
+            tempfile.gettempdir(),
+            f"envelope_rollup_{abs(hash(sf_dir)) % 10**8}",
+        )
+        write_probe_events(ev, out, fmt="json", mode="overwrite")
+        landed = read_probe_events(spark, out, fmt="json")
+        return landed.groupBy("item").agg(
+            F.count("*").alias("n_events"),
+            F.count("streaming_protocol").alias("n_with_protocol"),
+            F.sum(
+                F.when(F.col("video_resolution").isNull(), 1).otherwise(0)
+            ).alias("n_missing_resolution"),
+            F.date_format(F.min("created_time"), "yyyy-MM-dd HH:mm:ss").alias(
+                "min_created"
+            ),
+            F.date_format(F.max("created_time"), "yyyy-MM-dd HH:mm:ss").alias(
+                "max_created"
+            ),
+        )
+
+
+_register_envelope_rollup()
+
+
 def stream_probe_events(
     spark: SparkSession, path: str, fmt: str = "json"
 ) -> DataFrame:
