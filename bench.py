@@ -88,11 +88,55 @@ HEADLINE = [
     "skew_salted_rollup",
     "dup_clusters_star",
     "leakage_safe_split",
-    # streaming_session_windows is oracle-checked but deliberately NOT a
-    # headline query: its wall time is dominated by the sentinel-replay
-    # rewrite (test harness, not engine work); streaming perf is
-    # represented by streaming_daily_scores / streaming_failure_streaks.
 ]
+
+# Every registered query is either in HEADLINE or here, with the reason
+# it is excluded — the partition is total and pinned by
+# tests/test_registry_coverage.py. Two structural constraints bound the
+# headline size: the driver's bench artifact truncates stdout at 2000
+# chars (~66 printed per-query entries), and each slot costs 3 timed
+# repeats per round — so a slot goes to the query that adds a DISTINCT
+# physical shape at fact scale, not to dim-bounded or shape-duplicate
+# twins.
+BENCH_EXCLUDED = {
+    # dim-bounded / sub-second by construction (cost scale-invariant)
+    "active_sources": "S1 dim scan over the <=1.5k-row source dim; scan cost is a fixture constant",
+    "program_match": "suffix join of two broadcast-sized dims; scale-invariant by design",
+    "error_labels": "17-row taxonomy broadcast join; dim-bounded",
+    "rich_accounts_union": "union of two dim-side sub-aggregates; sub-second, dim-bounded",
+    "balance_quartiles": "ntile over the customer dim; fact-scale percentile cost is timed by price_percentiles + user_value_percentiles",
+    "report_batches": "paginated report op; output bounded at 30 rows by contract (driver-side formatting, not engine throughput)",
+    # same physical shape as a headline query on the same tables
+    "user_cardinality_approx": "approx_count_distinct twin of headline user_cardinality: same scan, strictly cheaper agg",
+    "records_in_window": "time-range count; the P2 pushed-predicate scan is timed by q6_forecast_revenue",
+    "monotonic_violations": "lag window over events; window-frame cost timed by rolling_user_stats",
+    "resolution_classify": "per-row CASE dispatch; same map stage as headline per_source_rollup",
+    "doc_fingerprint": "single JVM map pass over documents; same shape as token_count / lang_id_ngram",
+    "pii_redact": "single regexp map pass over documents; same shape as lang_id_ngram",
+    "doc_repetition_stats": "explode -> keyed partial agg on documents; same stage shape as tfidf_top_terms",
+    "quantity_grouping_sets": "grouping-sets twin of headline revenue_cube; identical rollup machinery",
+    "engaged_users_setops": "INTERSECT/EXCEPT over per-user aggregates; same distinct-exchange shape as user_cardinality",
+    "substring_dup_coverage": "hashed-gram inverted index on documents; same shingle-index stages as headline dedup_ngram_jaccard",
+    # TPC-H variants whose join+agg pattern duplicates a headline query
+    "q4_order_priority": "EXISTS semi-join + agg; shape timed by q21_blocking_suppliers",
+    "q11_important_parts": "scalar-subquery share filter over partsupp dims; shape timed by q16_part_supplier_variety",
+    "q12_priority_shipping": "lineitem join + conditional agg; shape timed by q10_returned_items",
+    "q14_promo_revenue_share": "join + CASE ratio agg; shape timed by q9_product_profit",
+    "q15_top_supplier": "scalar-subquery max; shape timed by q2_min_cost_supplier",
+    "q17_small_quantity_revenue": "correlated per-key threshold; shape timed by q18_large_orders",
+    "q19_disjunctive_revenue": "disjunctive pushed-predicate scan; shape timed by q6_forecast_revenue",
+    "q20_excess_suppliers": "semi-join + scalar threshold; shape timed by q16_part_supplier_variety",
+    "q22_idle_customers": "anti-join + agg over customer; shape timed by q13_order_count_distribution",
+    # wall time dominated by harness/stub work, not engine stages
+    "probe_source_events": "wall time is the synthetic prober loop (stub), not engine stages; connector timed end-to-end by its pytest contract",
+    "envelope_rollup": "wall time is the local tempdir JSON write of its own fixture; the ingest edges are pinned by the driver correctness row",
+    "multimodal_features": "3-row binary fixture through stub codecs; measures Arrow setup, not engine throughput",
+    "multimodal_preprocess": "2-row binary fixture through stub codecs; same",
+    "dedup_embedding_cosine": "guarded quadratic ORACLE TWIN, hard-capped at 1M rows; the scale path timed is dedup_embedding_lsh",
+    "streaming_click_purchase_join": "micro-batch harness setup dominates; streaming perf represented by streaming_daily_scores + streaming_failure_streaks",
+    "streaming_dedup": "micro-batch harness setup dominates; same representatives",
+    "streaming_session_windows": "wall time dominated by the sentinel-replay rewrite (test harness, not engine work); same representatives",
+}
 
 
 def main() -> None:

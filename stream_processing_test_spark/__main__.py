@@ -183,11 +183,9 @@ def cmd_probe(args: argparse.Namespace) -> int:
     dim = spark.read.parquet(args.dim)
     events = probe_sources(dim)
     write_probe_events(events, args.out, fmt=args.fmt)
-    n = spark.read.parquet(args.out).count() if args.fmt == "parquet" else None
-    print(
-        f"probed {dim.count()} sources -> {args.out} ({args.fmt})"
-        + (f", {n} events" if n is not None else "")
-    )
+    # one event per source by contract, so the appended-event count IS
+    # the dim count — one cheap dim-scan job, no re-read of the lake
+    print(f"probed {dim.count()} sources -> {args.out} ({args.fmt})")
     return 0
 
 

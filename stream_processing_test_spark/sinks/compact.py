@@ -16,8 +16,10 @@ retry on ``ConcurrentAppendError``.
 
 Partition-aware: with ``partition_by`` the rewrite preserves the
 hive-style layout (each partition ends with at most ``target_files``
-files via a deterministic salt, so partition pruning and write
-parallelism both survive). Partition-column type inference is disabled
+files via a deterministic salt — plus any extra files the
+``max_records_per_file`` length cap rolls over for skewed
+partitions — so partition pruning and write parallelism both
+survive). Partition-column type inference is disabled
 for the rewrite so numeric-looking string partition values (e.g.
 ``id=05``) are not coerced and rewritten as different directory names.
 """
@@ -62,14 +64,32 @@ def compact_parquet_dir(
     path: str,
     target_files: int = 1,
     partition_by: tuple[str, ...] = (),
+    max_records_per_file: int | None = None,
 ) -> int:
     """Rewrite the parquet directory at ``path`` down to
     ``target_files`` files (PER hive partition when ``partition_by``
     is given), via staging + swap. Returns the row count (asserted
     unchanged before the swap — a lossy rewrite never replaces the
-    original; a concurrent append aborts with ConcurrentAppendError)."""
+    original; a concurrent append aborts with ConcurrentAppendError).
+
+    Size-aware: the salt bounds file COUNT, but a skewed partition
+    would still pack its whole hot key into one giant file.
+    ``max_records_per_file`` (default: the session's
+    ``spark.sql.files.maxRecordsPerFile`` when set, else unbounded)
+    caps file LENGTH — Spark's writer rolls a task's output into
+    additional files past the cap, so a skewed partition bin-packs
+    into ceil(rows / cap) bounded files instead; the ``target_files``
+    bound applies to the unskewed case. The unpartitioned path uses a
+    round-robin ``repartition`` (not ``coalesce``): the rewrite keeps
+    cluster-wide write parallelism and equal-sized outputs at the cost
+    of one shuffle — at lake scale the shuffle is cheap next to a
+    ``target_files``-task rewrite of everything."""
     if target_files < 1:
         raise ValueError(f"target_files must be >= 1, got {target_files}")
+    if max_records_per_file is None:
+        max_records_per_file = int(
+            spark.conf.get("spark.sql.files.maxRecordsPerFile", "0")
+        )
     files_before = _list_data_files(spark, path)
 
     infer_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
@@ -89,7 +109,9 @@ def compact_parquet_dir(
                 *[F.col(c) for c in partition_by], salt
             ).write.mode("overwrite").partitionBy(*partition_by)
         else:
-            writer = df.coalesce(target_files).write.mode("overwrite")
+            writer = df.repartition(target_files).write.mode("overwrite")
+        if max_records_per_file > 0:
+            writer = writer.option("maxRecordsPerFile", max_records_per_file)
         writer.parquet(staging)
         n_after = spark.read.parquet(staging).count()
         if n_after != n_before:

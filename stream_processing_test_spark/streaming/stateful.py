@@ -62,14 +62,34 @@ def _streak_fn(
 
     out: list[dict[str, Any]] = []
     # applyInPandasWithState may deliver one key's micro-batch as several
-    # unordered Arrow chunks (~10k rows each); sorting per-chunk would
-    # split streaks that span a chunk boundary. Materialize the whole
-    # key-batch first, then sort once. State stays O(1); the transient
-    # buffer is bounded by one key's rows in one micro-batch.
+    # Arrow chunks (~10k rows each) with no ordering guarantee; sorting
+    # per-chunk would split streaks that span a chunk boundary, so the
+    # whole key-batch must be ordered before the walk. Cost discipline
+    # (this ordering fix was the one measured r2->r3 perf regression,
+    # BENCH_NOTES): only the two needed columns leave pandas (numpy
+    # views, no full-frame concat/sort_values), and the O(n log n)
+    # argsort runs ONLY when a boundary is actually violated — chunk
+    # concatenation order is already correct for in-order sources (file
+    # replay, Kafka per-partition), making the common case one O(n)
+    # monotonicity scan. State stays O(1); the transient arrays are
+    # bounded by one key's rows in one micro-batch.
+    import numpy as np
+
     chunks = [pdf for pdf in pdfs if len(pdf)]
     if chunks:
-        batch = pd.concat(chunks, ignore_index=True).sort_values("event_id")
-        for eid, etype in zip(batch["event_id"], batch["event_type"]):
+        if len(chunks) == 1:
+            eids = chunks[0]["event_id"].to_numpy()
+            etypes = chunks[0]["event_type"].to_numpy()
+        else:
+            eids = np.concatenate([c["event_id"].to_numpy() for c in chunks])
+            etypes = np.concatenate(
+                [c["event_type"].to_numpy() for c in chunks]
+            )
+        if len(eids) > 1 and not (eids[1:] >= eids[:-1]).all():
+            order = np.argsort(eids, kind="stable")
+            eids = eids[order]
+            etypes = etypes[order]
+        for eid, etype in zip(eids, etypes):
             if etype == "error":
                 if streak_len == 0:
                     start_id = int(eid)

@@ -22,7 +22,9 @@ def test_cli_list(capsys, spark):
     assert main(["list"]) == 0
     out = capsys.readouterr().out
     lines = [l for l in out.splitlines() if l.strip()]
-    assert len(lines) == 96
+    from stream_processing_test_spark.registry import all_queries
+
+    assert len(lines) == len(all_queries())
     assert any(l.startswith("q1_pricing_summary") for l in lines)
     assert all("[oracle]" in l or "[rows-only]" in l for l in lines)
 

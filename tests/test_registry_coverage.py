@@ -80,3 +80,24 @@ def test_query_names_unique_and_callable():
     for name, spec in qs.items():
         assert callable(spec.fn), name
         assert spec.name == name
+
+
+def test_bench_headline_and_exclusions_partition_registry():
+    """Every registered query appears in EXACTLY one of: the bench
+    headline list, or the documented exclusion dict (with a reason).
+    A new query cannot silently skip benchmarking — registering it
+    forces a decision, recorded either as a headline slot or a
+    one-line exclusion rationale (VERDICT r5 item 5)."""
+    import bench
+
+    headline = set(bench.HEADLINE)
+    excluded = set(bench.BENCH_EXCLUDED)
+    reg = set(all_queries())
+    assert headline & excluded == set(), sorted(headline & excluded)
+    assert headline | excluded == reg, (
+        f"unpartitioned: {sorted(reg - headline - excluded)}; "
+        f"stale entries: {sorted((headline | excluded) - reg)}"
+    )
+    assert all(
+        isinstance(r, str) and r for r in bench.BENCH_EXCLUDED.values()
+    )

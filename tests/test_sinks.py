@@ -182,6 +182,58 @@ def test_compact_parquet_dir_flat_and_partitioned(spark, tmp_path):
     assert "PartitionFilters" in buf.getvalue()
 
 
+def test_compact_skewed_partition_bin_packs(spark, tmp_path):
+    """A skewed hive partition must not compact into one giant file:
+    with max_records_per_file the writer rolls extra files past the
+    cap, so EVERY data file is length-bounded — while the quiet
+    partition keeps the plain target_files bound. Rows unchanged."""
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+
+    from stream_processing_test_spark.sinks.compact import compact_parquet_dir
+
+    lake = str(tmp_path / "skewlake")
+    hot = spark.range(5000).select(
+        F.lit("hot").alias("day"), F.col("id").alias("v")
+    )
+    cold = spark.range(20).select(
+        F.lit("cold").alias("day"), (F.col("id") + 10_000).alias("v")
+    )
+    hot.unionAll(cold).repartition(16).write.partitionBy("day").parquet(lake)
+    total = spark.read.parquet(lake).count()
+
+    n = compact_parquet_dir(
+        spark,
+        lake,
+        target_files=1,
+        partition_by=("day",),
+        max_records_per_file=1000,
+    )
+    assert n == total
+    for d in (Path(lake) / "day=hot", Path(lake) / "day=cold"):
+        files = list(d.glob("part-*"))
+        assert files, d
+        for f in files:
+            assert spark.read.parquet(str(f)).count() <= 1000, f
+    # skewed partition bin-packed into ~rows/cap files, not one blob
+    assert len(list((Path(lake) / "day=hot").glob("part-*"))) >= 5
+    assert len(list((Path(lake) / "day=cold").glob("part-*"))) == 1
+    # flat path: round-robin repartition + cap -> balanced bounded files
+    flat = str(tmp_path / "skewflat")
+    spark.range(3000).select(F.col("id").alias("v")).repartition(8).write.parquet(
+        flat
+    )
+    n = compact_parquet_dir(
+        spark, flat, target_files=2, max_records_per_file=1000
+    )
+    assert n == 3000
+    flat_files = list(Path(flat).glob("part-*"))
+    assert 2 <= len(flat_files) <= 4
+    for f in flat_files:
+        assert spark.read.parquet(str(f)).count() <= 1000, f
+
+
 def test_compact_rejects_bad_target(spark, tmp_path):
     import pytest
 

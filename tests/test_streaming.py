@@ -127,6 +127,54 @@ def test_finalize_to_dimension_upserts_scores(spark, tmp_path):
     assert before == after
 
 
+def test_streak_fn_orders_out_of_order_chunks():
+    """applyInPandasWithState may deliver one key's micro-batch as
+    several Arrow chunks with no ordering guarantee. A streak whose
+    rows arrive split across out-of-order chunks must still be walked
+    in event_id order — per-chunk (or skipped) sorting would split it
+    at the boundary. Direct transition-function test: no Spark, so the
+    chunk layout is fully controlled."""
+    import pandas as pd
+
+    from stream_processing_test_spark.streaming.stateful import _streak_fn
+
+    class FakeState:
+        def __init__(self):
+            self._v = None
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+    # errors 2,3,4 closed by success 5 — but chunk 1 carries the TAIL
+    c1 = pd.DataFrame({"event_id": [4, 5], "event_type": ["error", "view"]})
+    c2 = pd.DataFrame({"event_id": [2, 3], "event_type": ["error", "error"]})
+    st = FakeState()
+    out = list(_streak_fn((7,), iter([c1, c2]), st))
+    assert len(out) == 1
+    row = out[0].iloc[0]
+    assert (
+        row["user_id"],
+        row["streak_len"],
+        row["start_event_id"],
+        row["end_event_id"],
+    ) == (7, 3, 2, 4)
+    assert st.get == (0, 0, 0)  # streak closed, state reset
+
+    # in-order delivery (the fast path that skips the argsort) must
+    # produce the identical result
+    st2 = FakeState()
+    out2 = list(_streak_fn((7,), iter([c2, c1]), st2))
+    assert out2[0].equals(out[0])
+
+
 def test_stateful_streaks_carry_across_micro_batches(spark, tmp_path):
     """A streak spanning micro-batch boundaries must be detected —
     state carries between batches (the whole point of
