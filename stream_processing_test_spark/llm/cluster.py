@@ -48,21 +48,29 @@ def connected_components(
     dst: str = "dst",
     max_iter: int = 25,
     algorithm: str = "auto",
-    minlabel_budget: int = 8,
+    minlabel_budget: int = 4,
 ) -> DataFrame:
     """(node, component) for every node in ``edges``; component = min
     node id reachable. Edges are undirected (one direction given).
 
     ``algorithm``:
 
-    - ``"auto"`` (default): min-label propagation — cheapest per round
-      on the dense little cliques near-dup graphs are — but if it has
-      not converged within ``minlabel_budget`` rounds (16 hops: far
-      beyond any realistic dup-cluster diameter), fall back to the
-      O(log d) large-star/small-star path instead of burning
-      diameter-many driver barriers. Same result either way (both
-      compute min-reachable-id), so the fallback is a physical choice,
-      not a semantic one.
+    - ``"auto"`` (default): min-label propagation — measured fastest
+      on the dense little cliques near-dup graphs are (sf0.1 real dup
+      graph: 4.34 s vs star's 5.06 s, BENCH_r05) — but if it has not
+      converged within ``minlabel_budget`` rounds (8 hops: covers any
+      diameter-8 component, far beyond realistic dup-cluster diameter
+      1-3), fall back to the O(log d) large-star/small-star path
+      instead of burning diameter-many driver barriers. The budget is
+      a MEASURED crossover, not a chosen constant
+      (BENCH_STAR_CROSSOVER.json, tools/star_crossover.py): on 50k-edge
+      chain forests star's wall time is flat (~5-6 s at every diameter)
+      while min-label grows linearly (9.2 s at d=8, 36 s at d=64), so
+      every budget round past the clique regime only adds waste — 4
+      rounds bounds that waste at roughly one extra star-run while
+      still converging every realistic dup graph without fallback.
+      Same result either way (both compute min-reachable-id), so the
+      fallback is a physical choice, not a semantic one.
     - ``"minlabel"``: pure min-label; raises RuntimeError after
       ``max_iter`` rounds (each round = TWO propagation passes) —
       silent truncation would mislabel components, and callers that
