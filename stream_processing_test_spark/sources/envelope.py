@@ -127,8 +127,18 @@ def _read(reader, fmt: str, path: str, spark: SparkSession) -> DataFrame:
         # text formats: explicit schema + loud parse failures
         reader = reader.schema(TRANSPORT_SCHEMA).option("mode", "FAILFAST")
     elif fmt == "csv":
+        try:
+            schema = _csv_transport_schema(spark, path)
+        except ValueError:
+            raise  # header mismatch: always loud
+        except Exception:
+            # no files yet (a stream defined before its first append):
+            # assume canonical column order — the batch path would have
+            # failed on the same empty dir anyway, so only streams land
+            # here, and their producers are this module's own writer
+            schema = TRANSPORT_SCHEMA
         reader = (
-            reader.schema(_csv_transport_schema(spark, path))
+            reader.schema(schema)
             .option("mode", "FAILFAST")
             .option("header", "true")
             .option("multiLine", "true")

@@ -363,6 +363,40 @@ def test_keep_canonical_verdict_is_broadcast(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_auto_broadcast_threshold_parser():
+    """The gate must understand every spelling Spark conf values use
+    — plain bytes, b/k/m/g suffixes, -1 — and treat garbage as
+    'disabled' (never force a hint on an unparseable budget)."""
+
+    class _FakeConf:
+        def __init__(self, v):
+            self.v = v
+
+        def get(self, key, default=None):
+            return self.v
+
+    class _FakeSpark:
+        def __init__(self, v):
+            self.conf = _FakeConf(v)
+
+    from stream_processing_test_spark.llm.cluster import (
+        _auto_broadcast_threshold_bytes,
+    )
+
+    for raw, want in [
+        ("10485760", 10485760),
+        ("10485760b", 10485760),
+        ("10MB", 10 * 1024 * 1024),
+        ("1g", 1 << 30),
+        ("512k", 512 * 1024),
+        ("-1", -1),
+        ("0", 0),
+        ("not-a-size", 0),
+        ("", 0),
+    ]:
+        assert _auto_broadcast_threshold_bytes(_FakeSpark(raw)) == want, raw
+
+
 def test_keep_verdict_broadcast_is_size_gated(spark):
     """The verdict join's broadcast hint must be GATED, not forced: at
     real web dup rates (30-50% of docs in dup pairs) the clustered-node
