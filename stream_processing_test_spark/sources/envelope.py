@@ -289,9 +289,13 @@ def _register_envelope_rollup() -> None:
             key.alias("target_matching_id"),
             F.lit("").alias("target_matching"),
         )
+        # keyed by (application, sf_dir): stable within a session (the
+        # overwrite below keeps reruns clean) yet collision-free across
+        # concurrent Spark sessions sharing /tmp
+        app = spark.sparkContext.applicationId
         out = os.path.join(
             tempfile.gettempdir(),
-            f"envelope_rollup_{abs(hash(sf_dir)) % 10**8}",
+            f"envelope_rollup_{app}_{abs(hash(sf_dir)) % 10**8}",
         )
         write_probe_events(ev, out, fmt="json", mode="overwrite")
         landed = read_probe_events(spark, out, fmt="json")
