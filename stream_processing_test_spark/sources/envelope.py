@@ -76,27 +76,28 @@ def _normalize(df: DataFrame) -> DataFrame:
     for f in PROBE_EVENT_SCHEMA.fields:
         c = F.col(f.name)
         arrived_string = isinstance(df.schema[f.name].dataType, T.StringType)
-        if f.name == "created_time":
-            if arrived_string:
-                c = _parse_or_fail(
-                    c, F.to_timestamp(c, "yyyy-MM-dd HH:mm:ss"), f.name
-                )
-            else:
-                c = c.cast(f.dataType)
-        elif isinstance(f.dataType, T.StringType):
+        if isinstance(f.dataType, T.StringType):
             c = blank_to_null(c.cast("string"))
         elif arrived_string:
             # typed field carried in its transport string form; '' is
-            # the missing-value sentinel, anything else must parse
+            # the missing-value sentinel (uniformly — created_time
+            # included), anything else must parse
             s = blank_to_null(c)
-            c = _parse_or_fail(s, s.cast(f.dataType), f.name)
+            parsed = (
+                F.to_timestamp(s, "yyyy-MM-dd HH:mm:ss")
+                if f.name == "created_time"
+                else s.cast(f.dataType)
+            )
+            c = _parse_or_fail(s, parsed, f.name)
         else:
             c = c.cast(f.dataType)
         cols.append(c.alias(f.name))
     return df.select(*cols)
 
 
-def _csv_transport_schema(spark: SparkSession, path: str) -> T.StructType:
+def _csv_transport_schema(
+    spark: SparkSession, path: str, allow_empty: bool = False
+) -> T.StructType:
     """CSV binds an explicit schema BY POSITION (header names are
     ignored under enforceSchema), so an externally-produced file with
     reordered columns would silently scramble the string-typed
@@ -104,8 +105,23 @@ def _csv_transport_schema(spark: SparkSession, path: str) -> T.StructType:
     only the first file's header to derive columns) and return the
     transport schema permuted into the file's column order — unknown
     or missing columns fail loudly. _normalize re-selects canonical
-    order afterwards."""
-    header = spark.read.format("csv").option("header", "true").load(path).columns
+    order afterwards.
+
+    ``allow_empty`` (streaming only): a stream may be defined before
+    its first file lands, so a path with no data yet falls back to the
+    canonical column order. The fallback triggers ONLY on the
+    no-files AnalysisException — any other probe failure propagates,
+    never silently degrading to positional binding."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        header = (
+            spark.read.format("csv").option("header", "true").load(path).columns
+        )
+    except AnalysisException:
+        if allow_empty:
+            return TRANSPORT_SCHEMA
+        raise
     by_name = {f.name: f for f in TRANSPORT_SCHEMA.fields}
     if list(by_name) == header:
         return TRANSPORT_SCHEMA
@@ -119,7 +135,9 @@ def _csv_transport_schema(spark: SparkSession, path: str) -> T.StructType:
     return T.StructType([by_name[name] for name in header])
 
 
-def _read(reader, fmt: str, path: str, spark: SparkSession) -> DataFrame:
+def _read(
+    reader, fmt: str, path: str, spark: SparkSession, streaming: bool = False
+) -> DataFrame:
     if fmt not in _FORMATS:
         raise ValueError(f"unknown format {fmt!r}; expected one of {_FORMATS}")
     reader = reader.format(fmt)
@@ -127,18 +145,10 @@ def _read(reader, fmt: str, path: str, spark: SparkSession) -> DataFrame:
         # text formats: explicit schema + loud parse failures
         reader = reader.schema(TRANSPORT_SCHEMA).option("mode", "FAILFAST")
     elif fmt == "csv":
-        try:
-            schema = _csv_transport_schema(spark, path)
-        except ValueError:
-            raise  # header mismatch: always loud
-        except Exception:
-            # no files yet (a stream defined before its first append):
-            # assume canonical column order — the batch path would have
-            # failed on the same empty dir anyway, so only streams land
-            # here, and their producers are this module's own writer
-            schema = TRANSPORT_SCHEMA
         reader = (
-            reader.schema(schema)
+            reader.schema(
+                _csv_transport_schema(spark, path, allow_empty=streaming)
+            )
             .option("mode", "FAILFAST")
             .option("header", "true")
             .option("multiLine", "true")
@@ -232,6 +242,14 @@ FROM ev GROUP BY item
 """
 
 
+# (applicationId, sf_dir) pairs whose envelope fixture is already on
+# disk this session — the derivation is deterministic and written with
+# overwrite, so one write per session serves every consumer (the
+# registry-wide plan sweep and bench repeats would otherwise re-run
+# the full derive+write job just to build the frame).
+_ENVELOPE_WRITTEN: set[tuple[str, str]] = set()
+
+
 def _register_envelope_rollup() -> None:
     from stream_processing_test_spark.llm.hashing import phash
     from stream_processing_test_spark.registry import register
@@ -289,15 +307,20 @@ def _register_envelope_rollup() -> None:
             key.alias("target_matching_id"),
             F.lit("").alias("target_matching"),
         )
-        # keyed by (application, sf_dir): stable within a session (the
-        # overwrite below keeps reruns clean) yet collision-free across
-        # concurrent Spark sessions sharing /tmp
+        # keyed by (application, sf_dir): collision-free across
+        # concurrent Spark sessions sharing /tmp, ONE write per session
+        # (deterministic content; overwrite keeps a stale dir clean).
+        # The dir is one bounded JSON copy of the derived event set per
+        # application, left to OS tempdir reaping — deleting it eagerly
+        # would break the returned frame's lazy scan.
         app = spark.sparkContext.applicationId
         out = os.path.join(
             tempfile.gettempdir(),
             f"envelope_rollup_{app}_{abs(hash(sf_dir)) % 10**8}",
         )
-        write_probe_events(ev, out, fmt="json", mode="overwrite")
+        if (app, sf_dir) not in _ENVELOPE_WRITTEN:
+            write_probe_events(ev, out, fmt="json", mode="overwrite")
+            _ENVELOPE_WRITTEN.add((app, sf_dir))
         landed = read_probe_events(spark, out, fmt="json")
         return landed.groupBy("item").agg(
             F.count("*").alias("n_events"),
@@ -330,4 +353,4 @@ def stream_probe_events(
             .schema(PROBE_EVENT_SCHEMA)
             .load(path)
         )
-    return _read(spark.readStream, fmt, path, spark)
+    return _read(spark.readStream, fmt, path, spark, streaming=True)

@@ -190,6 +190,21 @@ def test_reference_string_typed_item_ingests(spark, tmp_path):
         read_probe_events(spark, str(d), fmt="json").collect()
 
 
+def test_blank_created_time_is_the_null_sentinel(spark, tmp_path):
+    """'' is the reference's missing-value sentinel UNIFORMLY — a
+    blank created_time (or item) must normalize to NULL like every
+    other field, not fail the read; only non-blank garbage is loud."""
+    d = tmp_path / "json"
+    d.mkdir()
+    (d / "e.jsonl").write_text(
+        json.dumps(_reference_record(url_id="1", created_time="", item=""))
+        + "\n"
+    )
+    got = read_probe_events(spark, str(d), fmt="json").collect()[0]
+    assert got["created_time"] is None
+    assert got["item"] is None
+
+
 def test_unparseable_created_time_is_loud(spark, tmp_path):
     """With ANSI off, to_timestamp yields NULL for a non-matching
     string — the adapter must instead fail loudly (an ISO-8601 stamp
