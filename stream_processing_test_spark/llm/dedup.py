@@ -109,12 +109,17 @@ def shingles(
     and the candidate self-join all reuse this one exchange instead of
     re-shuffling the full shingle set two more times.
     """
+    from stream_processing_test_spark.session import parallelize_narrow_scan
+
     w = F.split(F.col(text_col), " ")
     grams = F.transform(
         F.sequence(F.lit(1), F.size(w) - (n - 1)),
         lambda i: F.array_join(F.slice(w, i, n), " "),
     )
-    out = doc.filter(F.size(w) >= n).select(
+    # the md5-per-gram expansion is the dedup family's hottest map
+    # stage; an under-partitioned doc scan (single-row-group file)
+    # would run it on one core — no-op at real scan widths
+    out = parallelize_narrow_scan(doc.filter(F.size(w) >= n)).select(
         "doc_id", F.explode(grams).alias("gram")
     ).select("doc_id", phash("gram").alias("shingle"))
     if not distinct:
@@ -607,7 +612,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     (WWW'07) sharding, a bounded equi-join instead of an all-pairs
     scan.
     """
-    docs = load(spark, sf_dir, "documents")
+    from stream_processing_test_spark.session import parallelize_narrow_scan
+
+    # md5 + 60 bit-votes per token: parallelize when the doc scan is a
+    # single row group (no-op at real scan widths)
+    docs = parallelize_narrow_scan(load(spark, sf_dir, "documents"))
     toks = (
         docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
         .filter(F.col("tok") != "")

@@ -101,6 +101,27 @@ def release_local_checkpoint(df) -> None:
         pass
 
 
+def parallelize_narrow_scan(df, min_partitions: int | None = None):
+    """Repartition a frame that feeds a COMPUTE-HEAVY narrow stage when
+    its scan is under-partitioned — otherwise return it untouched.
+
+    A parquet scan's parallelism is bounded by its row groups, not by
+    ``maxPartitionBytes``: a small fixture file (or a badly-compacted
+    lake region) yields ONE task, and a per-row md5/dot-product map
+    stage then runs on one core while the rest idle. At 100 TB a scan
+    carries thousands of row groups and this helper is a no-op (the
+    partition count is read off the plan; no job runs). The
+    repartition triggers only when the input has fewer partitions than
+    the session's parallelism, and it shuffles exactly the rows the
+    lone task would otherwise process serially — a favorable trade
+    whenever the downstream map work dominates one pass over the rows,
+    which is the only situation callers should use this for."""
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 _SHIPPED: set[int] = set()
 
 
