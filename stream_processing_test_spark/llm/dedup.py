@@ -612,11 +612,12 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     (WWW'07) sharding, a bounded equi-join instead of an all-pairs
     scan.
     """
-    from stream_processing_test_spark.session import parallelize_narrow_scan
-
-    # md5 + 60 bit-votes per token: parallelize when the doc scan is a
-    # single row group (no-op at real scan widths)
-    docs = parallelize_narrow_scan(load(spark, sf_dir, "documents"))
+    # NOT parallelize_narrow_scan'd: simhash's per-token work (one md5
+    # + bit tests, map-side-combined before the doc_id shuffle) is too
+    # light to pay back the raw-text round-robin exchange — measured
+    # 1.06x WORSE with it (BENCH_AB_r6_parallel.json), vs 0.65-0.80x
+    # better for the gram-expansion family
+    docs = load(spark, sf_dir, "documents")
     toks = (
         docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
         .filter(F.col("tok") != "")
