@@ -33,7 +33,10 @@ from stream_processing_test_spark.llm.hashing import (
     phash_sql,
 )
 from stream_processing_test_spark.registry import register
-from stream_processing_test_spark.session import finish_with
+from stream_processing_test_spark.session import (
+    finish_with,
+    parallelize_narrow_scan,
+)
 from stream_processing_test_spark.tables import load
 
 SHINGLE_N = 5
@@ -109,8 +112,6 @@ def shingles(
     and the candidate self-join all reuse this one exchange instead of
     re-shuffling the full shingle set two more times.
     """
-    from stream_processing_test_spark.session import parallelize_narrow_scan
-
     w = F.split(F.col(text_col), " ")
     grams = F.transform(
         F.sequence(F.lit(1), F.size(w) - (n - 1)),

@@ -102,21 +102,38 @@ def release_local_checkpoint(df) -> None:
 
 
 def parallelize_narrow_scan(df, min_partitions: int | None = None):
-    """Repartition a frame that feeds a COMPUTE-HEAVY narrow stage when
-    its scan is under-partitioned — otherwise return it untouched.
+    """Repartition a SCAN-ROOTED frame that feeds a COMPUTE-HEAVY
+    narrow stage when the scan is under-partitioned — otherwise return
+    it untouched.
 
     A parquet scan's parallelism is bounded by its row groups, not by
-    ``maxPartitionBytes``: a small fixture file (or a badly-compacted
-    lake region) yields ONE task, and a per-row md5/dot-product map
-    stage then runs on one core while the rest idle. At 100 TB a scan
-    carries thousands of row groups and this helper is a no-op (the
-    partition count is read off the plan; no job runs). The
-    repartition triggers only when the input has fewer partitions than
-    the session's parallelism, and it shuffles exactly the rows the
-    lone task would otherwise process serially — a favorable trade
-    whenever the downstream map work dominates one pass over the rows,
-    which is the only situation callers should use this for."""
-    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ``maxPartitionBytes``: a small fixture file yields ONE task, and a
+    per-row md5/dot-product map stage then runs on one core while the
+    rest idle. At 100 TB a scan carries thousands of row groups and
+    this helper is a no-op. The repartition triggers only when the
+    input has fewer partitions than the session's parallelism, and it
+    shuffles exactly the rows the lone task would otherwise process
+    serially — a favorable trade ONLY when the downstream map work
+    dominates one pass over the rows (measured boundary in
+    BENCH_NOTES: md5/dot-product folds yes, codegen'd arithmetic no).
+
+    Contract: the input must be scan-rooted (scan + filters/projects,
+    no joins/aggregates/exchanges upstream). Probing ``.rdd`` on an
+    exchange-bearing frame under AQE would MATERIALIZE the upstream
+    stages just to read the count, so the helper refuses (returns the
+    frame untouched) rather than probe one. Known limitation: the
+    probe counts byte-range file partitions, so one HUGE
+    single-row-group file that byte-splits into >= parallelism empty
+    ranges is not detected — this targets the small-file case, where
+    the count is honest."""
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    if any(k in analyzed for k in ("Join", "Aggregate", "Repartition", "Window")):
+        return df
+    target = (
+        min_partitions
+        if min_partitions is not None
+        else df.sparkSession.sparkContext.defaultParallelism
+    )
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)
