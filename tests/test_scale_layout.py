@@ -363,6 +363,31 @@ def test_keep_canonical_verdict_is_broadcast(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_parallelize_narrow_scan_contract(spark):
+    """The helper repartitions only under-partitioned SCAN-ROOTED
+    frames; exchange-bearing plans are refused untouched (probing
+    .rdd on them under AQE would materialize upstream stages), and an
+    explicit min_partitions=0 means never repartition."""
+    from stream_processing_test_spark.session import parallelize_narrow_scan
+    from stream_processing_test_spark.tables import load
+
+    docs = load(spark, SF_SMALL, "documents").select("doc_id", "text")
+    assert docs.rdd.getNumPartitions() == 1  # single-row-group fixture
+    out = parallelize_narrow_scan(docs)
+    assert (
+        out.rdd.getNumPartitions()
+        == spark.sparkContext.defaultParallelism
+    )
+    # already-wide input: untouched
+    assert parallelize_narrow_scan(out) is out
+    # exchange-bearing frame: refused, even though it has 1 partition's
+    # worth of rows
+    agg = docs.groupBy("doc_id").count()
+    assert parallelize_narrow_scan(agg) is agg
+    # explicit 0 disables
+    assert parallelize_narrow_scan(docs, min_partitions=0) is docs
+
+
 def test_auto_broadcast_threshold_parser():
     """The gate must understand every spelling Spark conf values use
     — plain bytes, b/k/m/g suffixes, -1 — and treat garbage as
