@@ -193,7 +193,15 @@ def write_probe_events(
         df = df.select(*cols)
     writer = df.write.mode(mode).format(fmt)
     if fmt == "csv":
-        writer = writer.option("header", "true")
+        # the CSV WRITER trims cell whitespace by default
+        # (ignore*WhiteSpace=true on write, unlike the reader) — which
+        # would silently mutate attribute strings like ffmpeg error
+        # text; keep the roundtrip byte-exact instead
+        writer = (
+            writer.option("header", "true")
+            .option("ignoreLeadingWhiteSpace", "false")
+            .option("ignoreTrailingWhiteSpace", "false")
+        )
     writer.save(path)
 
 

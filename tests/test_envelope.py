@@ -250,6 +250,72 @@ def test_csv_wrong_header_is_loud(spark, tmp_path):
         read_probe_events(spark, str(d), fmt="csv")
 
 
+def test_roundtrip_adversarial_strings_all_formats(spark, tmp_path):
+    """S5 fidelity under hostile attribute content: embedded commas,
+    quotes, newlines (CR and CRLF), tabs, backslashes, JSON
+    metacharacters, unicode, and leading/trailing whitespace must all
+    survive a write -> read roundtrip IDENTICALLY in every format
+    (ffmpeg error text routinely carries several of these). NULL and
+    '' collapse to NULL by the documented §1.3 edge; everything else
+    must be byte-exact."""
+    import pandas as pd
+
+    from stream_processing_test_spark.schemas import PROBE_EVENT_SCHEMA
+    from stream_processing_test_spark.sources.envelope import (
+        write_probe_events,
+    )
+
+    nasty = [
+        "plain",
+        "comma,inside",
+        'quote"inside',
+        "single'quote",
+        "newline\ninside",
+        "crlf\r\ninside",
+        "tab\tinside",
+        " leading",
+        "trailing ",
+        "  both  ",
+        "uni-ñ-中文-🚀",
+        "back\\slash",
+        'json}{chars:["',
+        'mixed "quote, comma"\nand newline',
+        "N/A",
+        None,
+    ]
+    n = len(nasty)
+    rows = []
+    for i, s in enumerate(nasty):
+        rows.append(
+            {
+                "url_id": str(i),
+                "flow_address": s,
+                "item": i if i % 3 else None,
+                "return_value": nasty[(i + 1) % n],
+                "lag_details": nasty[(i + 2) % n],
+                "streaming_protocol": nasty[(i + 3) % n],
+                "bitrate": nasty[(i + 4) % n],
+                "stream_length": nasty[(i + 5) % n],
+                "video_format": nasty[(i + 6) % n],
+                "video_resolution": nasty[(i + 7) % n],
+                "audio_format": nasty[(i + 8) % n],
+                "audio_sampling_rate": nasty[(i + 9) % n],
+                "created_time": datetime(2024, 1, 15, i % 24, i % 60, i % 60)
+                if i % 4
+                else None,
+                "target_matching_id": nasty[(i + 10) % n],
+                "target_matching": nasty[(i + 11) % n],
+            }
+        )
+    src = spark.createDataFrame(pd.DataFrame(rows), schema=PROBE_EVENT_SCHEMA)
+    want = _canon(src)
+    for fmt in ("json", "csv", "parquet", "orc"):
+        dest = str(tmp_path / f"adv_{fmt}")
+        write_probe_events(src, dest, fmt=fmt)
+        got = _canon(read_probe_events(spark, dest, fmt=fmt))
+        assert got == want, fmt
+
+
 def test_write_read_roundtrip_all_formats(spark, envelope_dirs, tmp_path):
     """write_probe_events -> read_probe_events is the identity for
     every format (the S5 append edge re-materializes '' and the UTC
