@@ -69,9 +69,11 @@ def cmd_run(args: argparse.Namespace) -> int:
     df = specs[args.query].fn(spark, args.sf_dir)
     if args.out:
         if args.format == "csv":
-            df.coalesce(1).write.mode("overwrite").option(
-                "header", True
-            ).csv(args.out)
+            # the shared S7 sink: one definition of the CSV write edge
+            # (header, no silent whitespace trimming)
+            from stream_processing_test_spark.sinks.reports import write_csv
+
+            write_csv(df, args.out)
         else:
             df.write.mode("overwrite").parquet(args.out)
         print(f"wrote {args.out}", file=sys.stderr)

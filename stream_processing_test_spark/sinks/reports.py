@@ -46,7 +46,16 @@ def write_csv(df: DataFrame, path: str, single_file: bool = True) -> None:
     reference's one-file report (coalesce(1) — fine for report-sized
     output); pass False to keep one file per partition at scale."""
     out = df.coalesce(1) if single_file else df
-    out.write.mode("overwrite").option("header", True).csv(path)
+    # the CSV writer trims cell whitespace by default (write-side
+    # ignore*WhiteSpace=true) — report fields carrying error text must
+    # land verbatim
+    (
+        out.write.mode("overwrite")
+        .option("header", True)
+        .option("ignoreLeadingWhiteSpace", "false")
+        .option("ignoreTrailingWhiteSpace", "false")
+        .csv(path)
+    )
 
 
 def rows_to_markdown(header: Sequence[str], rows: Sequence[Sequence]) -> str:
