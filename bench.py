@@ -135,6 +135,7 @@ BENCH_EXCLUDED = {
     "dedup_embedding_cosine": "guarded quadratic ORACLE TWIN, hard-capped at 1M rows; the scale path timed is dedup_embedding_lsh",
     "streaming_click_purchase_join": "micro-batch harness setup dominates; streaming perf represented by streaming_daily_scores + streaming_failure_streaks",
     "streaming_dedup": "micro-batch harness setup dominates; same representatives",
+    "streaming_envelope_rollup": "wall time is memory-sink micro-batch harness setup over the tiny envelope fixture; streaming perf represented by streaming_daily_scores + streaming_failure_streaks",
     "streaming_session_windows": "wall time dominated by the sentinel-replay rewrite (test harness, not engine work); same representatives",
 }
 

@@ -126,8 +126,25 @@ def parallelize_narrow_scan(df, min_partitions: int | None = None):
     single-row-group file that byte-splits into >= parallelism empty
     ranges is not detected — this targets the small-file case, where
     the count is honest."""
+    # refuse any exchange- or pipeline-breaking node, not just joins:
+    # Sort (orderBy), Deduplicate (dropDuplicates/distinct), Expand
+    # (rollup/cube), Generate (explode) and Sample all either bear a
+    # shuffle under AQE or change the row set the probe would count —
+    # matching is case-sensitive on the logical node names, so
+    # lower-case column names like `sort_key` cannot false-positive
     analyzed = df._jdf.queryExecution().analyzed().toString()
-    if any(k in analyzed for k in ("Join", "Aggregate", "Repartition", "Window")):
+    refused = (
+        "Join",
+        "Aggregate",
+        "Repartition",
+        "Window",
+        "Sort",
+        "Deduplicate",
+        "Expand",
+        "Generate",
+        "Sample",
+    )
+    if any(k in analyzed for k in refused):
         return df
     target = (
         min_partitions

@@ -107,11 +107,22 @@ def _csv_transport_schema(
     or missing columns fail loudly. _normalize re-selects canonical
     order afterwards.
 
+    Only the FIRST file's header is probed (that is all Spark's column
+    derivation reads) — a later file with yet another order is caught
+    at scan time instead: the read sets ``enforceSchema=false``, so
+    Spark validates EVERY file's header against the bound (permuted)
+    schema and fails loudly on a mismatch rather than binding it
+    positionally.
+
     ``allow_empty`` (streaming only): a stream may be defined before
     its first file lands, so a path with no data yet falls back to the
-    canonical column order. The fallback triggers ONLY on the
-    no-files AnalysisException — any other probe failure propagates,
-    never silently degrading to positional binding."""
+    canonical column order — with a warning, because files that later
+    land with a reordered header would only fail at scan time (via
+    enforceSchema), not rebind by name. The fallback triggers ONLY on
+    the no-files AnalysisException — any other probe failure
+    propagates, never silently degrading to positional binding."""
+    import warnings
+
     from pyspark.errors import AnalysisException
 
     try:
@@ -120,6 +131,15 @@ def _csv_transport_schema(
         )
     except AnalysisException:
         if allow_empty:
+            warnings.warn(
+                f"CSV stream source {path} is empty at definition time; "
+                "binding the canonical envelope column order. Files that "
+                "land with a REORDERED header will fail the scan loudly "
+                "(enforceSchema=false) instead of binding by name — "
+                "define the stream after the first file lands to bind "
+                "a non-canonical order.",
+                stacklevel=3,
+            )
             return TRANSPORT_SCHEMA
         raise
     by_name = {f.name: f for f in TRANSPORT_SCHEMA.fields}
@@ -136,7 +156,12 @@ def _csv_transport_schema(
 
 
 def _read(
-    reader, fmt: str, path: str, spark: SparkSession, streaming: bool = False
+    reader,
+    fmt: str,
+    path: str,
+    spark: SparkSession,
+    streaming: bool = False,
+    multiline: bool = True,
 ) -> DataFrame:
     if fmt not in _FORMATS:
         raise ValueError(f"unknown format {fmt!r}; expected one of {_FORMATS}")
@@ -151,19 +176,37 @@ def _read(
             )
             .option("mode", "FAILFAST")
             .option("header", "true")
-            .option("multiLine", "true")
+            .option("multiLine", str(multiline).lower())
+            # validate every file's header against the bound schema —
+            # a mismatched later file fails loudly instead of binding
+            # its columns positionally (the first-file probe above can
+            # only see one header)
+            .option("enforceSchema", "false")
         )
     # parquet/orc: self-describing — _normalize casts to the schema
     return _normalize(reader.load(path))
 
 
 def read_probe_events(
-    spark: SparkSession, path: str, fmt: str = "json"
+    spark: SparkSession,
+    path: str,
+    fmt: str = "json",
+    multiline: bool = True,
 ) -> DataFrame:
     """Batch read of envelope events from ``path`` in ``fmt``
     (json = JSON-lines, csv, parquet, orc), schema-enforced and
-    edge-normalized."""
-    return _read(spark.read, fmt, path, spark)
+    edge-normalized.
+
+    ``multiline`` (CSV only, default True): quoted fields carrying
+    embedded newlines — ffmpeg error text — must stay one record, which
+    requires ``multiLine`` parsing. SCALE BOUND: a multiLine CSV file is
+    NOT splittable — Spark assigns one task per file regardless of size
+    (pinned by test_envelope::test_multiline_csv_is_one_task_per_file),
+    so a single fat CSV reads serially. CSV lakes are many small files
+    in practice; producers that guarantee newline-free fields can pass
+    ``multiline=False`` to restore byte-range splitting. JSON-lines,
+    parquet and ORC paths are splittable regardless."""
+    return _read(spark.read, fmt, path, spark, multiline=multiline)
 
 
 def write_probe_events(
@@ -258,10 +301,92 @@ FROM ev GROUP BY item
 _ENVELOPE_WRITTEN: set[tuple[str, str]] = set()
 
 
-def _register_envelope_rollup() -> None:
+def _envelope_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Land the deterministic reference-shaped envelope fixture for
+    ``sf_dir`` as a JSON-lines dir under the OS tempdir and return its
+    path — shared by the batch (``envelope_rollup``) and streaming
+    (``streaming_envelope_rollup``) ingest queries.
+
+    Events derive from the customer table with portable-hash outcomes
+    (like ``probe_source_events``), serialized through the real S5
+    write edge (:func:`write_probe_events`: created_time/item in their
+    reference string forms, NULLs re-materialized as ``''``).
+
+    The dir key is a STABLE digest of ``sf_dir`` (md5, not Python's
+    per-process-salted ``hash``), so a re-run overwrites its
+    predecessor instead of orphaning a fresh tempdir per process; the
+    content is deterministic, so the overwrite is byte-equivalent.
+    ONE write per (application, sf_dir) per session; the dir is left to
+    OS tempdir reaping — deleting it eagerly would break consumers'
+    lazy scans. (Two processes racing the same overwrite could momentarily
+    unlink files under a concurrent reader — the driver and bench run
+    single-process, and the loser's rewrite restores identical content.)
+    """
+    import hashlib
+    import os
+    import tempfile
+
     from stream_processing_test_spark.llm.hashing import phash
-    from stream_processing_test_spark.registry import register
     from stream_processing_test_spark.tables import load
+
+    def pick(h, options):
+        arr = F.array(*[F.lit(o) for o in options])
+        return F.element_at(arr, (h % len(options) + 1).cast("int"))
+
+    key = F.col("c_custkey").cast("string")
+    hs = [phash(F.concat(F.lit(f"env{i}:"), key)) for i in range(4)]
+    ev = load(spark, sf_dir, "customer").select(
+        key.alias("url_id"),
+        F.concat(F.lit("http://stream/"), key).alias("flow_address"),
+        F.when(hs[0] % 10 < 8, 0)
+        .otherwise(1001 + (hs[0] % 16))
+        .cast("int")
+        .alias("item"),
+        F.lit("0").alias("return_value"),
+        F.lit("").alias("lag_details"),
+        pick(hs[1], _ENV_PROTOCOLS).alias("streaming_protocol"),
+        F.lit("").alias("bitrate"),
+        F.lit("").alias("stream_length"),
+        F.lit("").alias("video_format"),
+        pick(hs[2], _ENV_RESOLUTIONS).alias("video_resolution"),
+        F.lit("").alias("audio_format"),
+        F.lit("").alias("audio_sampling_rate"),
+        F.timestamp_seconds(F.lit(_ENV_BASE_EPOCH) + hs[3] % 86400).alias(
+            "created_time"
+        ),
+        key.alias("target_matching_id"),
+        F.lit("").alias("target_matching"),
+    )
+    digest = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    out = os.path.join(tempfile.gettempdir(), f"envelope_rollup_{digest}")
+    app = spark.sparkContext.applicationId
+    if (app, sf_dir) not in _ENVELOPE_WRITTEN:
+        write_probe_events(ev, out, fmt="json", mode="overwrite")
+        _ENVELOPE_WRITTEN.add((app, sf_dir))
+    return out
+
+
+def _envelope_rollup_agg(landed: DataFrame) -> DataFrame:
+    """The per-error-code rollup applied to a normalized envelope frame
+    — ONE definition shared by the batch and streaming twins, so the
+    two queries cannot drift on the aggregation they claim parity on."""
+    return landed.groupBy("item").agg(
+        F.count("*").alias("n_events"),
+        F.count("streaming_protocol").alias("n_with_protocol"),
+        F.sum(
+            F.when(F.col("video_resolution").isNull(), 1).otherwise(0)
+        ).alias("n_missing_resolution"),
+        F.date_format(F.min("created_time"), "yyyy-MM-dd HH:mm:ss").alias(
+            "min_created"
+        ),
+        F.date_format(F.max("created_time"), "yyyy-MM-dd HH:mm:ss").alias(
+            "max_created"
+        ),
+    )
+
+
+def _register_envelope_rollup() -> None:
+    from stream_processing_test_spark.registry import register
 
     @register(
         "envelope_rollup",
@@ -272,87 +397,62 @@ def _register_envelope_rollup() -> None:
     def envelope_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         """S5 multi-format ingest, driver-checked end-to-end: derive
         deterministic reference-shaped envelope events from the
-        customer table (portable-hash outcomes, like
-        ``probe_source_events``), land them as an actual JSON-lines
-        envelope via :func:`write_probe_events` (created_time/item
-        serialized to their reference string forms, NULLs
-        re-materialized as ``''``), ingest them back through
+        customer table, land them as an actual JSON-lines envelope via
+        :func:`write_probe_events`, ingest them back through
         :func:`read_probe_events` (FAILFAST, loud typed-field parse,
         '' -> NULL), and roll up per error code. The DuckDB oracle
         replays the derivation + rollup WITHOUT the write/read cycle —
         a hash mismatch means the adapter corrupted a value in
         transit."""
-        import os
-        import tempfile
-
-        def pick(h, options):
-            arr = F.array(*[F.lit(o) for o in options])
-            return F.element_at(arr, (h % len(options) + 1).cast("int"))
-
-        key = F.col("c_custkey").cast("string")
-        hs = [
-            phash(F.concat(F.lit(f"env{i}:"), key)) for i in range(4)
-        ]
-        ev = load(spark, sf_dir, "customer").select(
-            key.alias("url_id"),
-            F.concat(F.lit("http://stream/"), key).alias("flow_address"),
-            F.when(hs[0] % 10 < 8, 0)
-            .otherwise(1001 + (hs[0] % 16))
-            .cast("int")
-            .alias("item"),
-            F.lit("0").alias("return_value"),
-            F.lit("").alias("lag_details"),
-            pick(hs[1], _ENV_PROTOCOLS).alias("streaming_protocol"),
-            F.lit("").alias("bitrate"),
-            F.lit("").alias("stream_length"),
-            F.lit("").alias("video_format"),
-            pick(hs[2], _ENV_RESOLUTIONS).alias("video_resolution"),
-            F.lit("").alias("audio_format"),
-            F.lit("").alias("audio_sampling_rate"),
-            F.timestamp_seconds(F.lit(_ENV_BASE_EPOCH) + hs[3] % 86400).alias(
-                "created_time"
-            ),
-            key.alias("target_matching_id"),
-            F.lit("").alias("target_matching"),
-        )
-        # keyed by (application, sf_dir): collision-free across
-        # concurrent Spark sessions sharing /tmp, ONE write per session
-        # (deterministic content; overwrite keeps a stale dir clean).
-        # The dir is one bounded JSON copy of the derived event set per
-        # application, left to OS tempdir reaping — deleting it eagerly
-        # would break the returned frame's lazy scan.
-        app = spark.sparkContext.applicationId
-        out = os.path.join(
-            tempfile.gettempdir(),
-            f"envelope_rollup_{app}_{abs(hash(sf_dir)) % 10**8}",
-        )
-        if (app, sf_dir) not in _ENVELOPE_WRITTEN:
-            write_probe_events(ev, out, fmt="json", mode="overwrite")
-            _ENVELOPE_WRITTEN.add((app, sf_dir))
+        out = _envelope_fixture(spark, sf_dir)
         landed = read_probe_events(spark, out, fmt="json")
-        return landed.groupBy("item").agg(
-            F.count("*").alias("n_events"),
-            F.count("streaming_protocol").alias("n_with_protocol"),
-            F.sum(
-                F.when(F.col("video_resolution").isNull(), 1).otherwise(0)
-            ).alias("n_missing_resolution"),
-            F.date_format(F.min("created_time"), "yyyy-MM-dd HH:mm:ss").alias(
-                "min_created"
-            ),
-            F.date_format(F.max("created_time"), "yyyy-MM-dd HH:mm:ss").alias(
-                "max_created"
-            ),
+        return _envelope_rollup_agg(landed)
+
+    @register(
+        "streaming_envelope_rollup",
+        oracle=_envelope_oracle(),
+        survey_ops="S5,S11,T1,T3,A3,F9",
+        tier=0,
+    )
+    def streaming_envelope_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """The STREAMING half of the envelope adapter, driver-checked:
+        the same JSON-lines fixture ingested through
+        :func:`stream_probe_events` (file-source micro-batches, same
+        schema/options/normalization as the batch read by
+        construction), aggregated with the SAME rollup
+        (:func:`_envelope_rollup_agg`) in complete mode, against the
+        SAME DuckDB oracle as ``envelope_rollup`` — batch/stream ingest
+        parity proven by the driver, not just pytest.
+
+        Built on a cloned session so the memory-sink run's
+        state-partition override cannot leak to concurrent queries
+        (same pattern as ``streaming_daily_scores``)."""
+        from stream_processing_test_spark.streaming.pipeline import (
+            run_to_memory,
         )
+
+        out = _envelope_fixture(spark, sf_dir)
+        scoped = spark.newSession()
+        landed = stream_probe_events(scoped, out, fmt="json")
+        import hashlib
+
+        name = "stream_envelope_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        return run_to_memory(_envelope_rollup_agg(landed), name)
 
 
 _register_envelope_rollup()
 
 
 def stream_probe_events(
-    spark: SparkSession, path: str, fmt: str = "json"
+    spark: SparkSession,
+    path: str,
+    fmt: str = "json",
+    multiline: bool = True,
 ) -> DataFrame:
     """Streaming twin of :func:`read_probe_events` — same schema, same
-    options, same normalization, file-source micro-batches."""
+    options, same normalization, file-source micro-batches.
+    ``multiline`` carries the same CSV splittability trade-off as the
+    batch read (see :func:`read_probe_events`)."""
     if fmt in ("parquet", "orc"):
         # a file STREAM cannot self-describe (schema must exist before
         # data) — pin the typed schema up front
@@ -361,4 +461,6 @@ def stream_probe_events(
             .schema(PROBE_EVENT_SCHEMA)
             .load(path)
         )
-    return _read(spark.readStream, fmt, path, spark, streaming=True)
+    return _read(
+        spark.readStream, fmt, path, spark, streaming=True, multiline=multiline
+    )

@@ -316,6 +316,93 @@ def test_roundtrip_adversarial_strings_all_formats(spark, tmp_path):
         assert got == want, fmt
 
 
+def test_csv_mismatched_second_file_is_loud(spark, tmp_path):
+    """The header probe only sees the FIRST file; a LATER file whose
+    columns are ordered differently must fail the scan loudly
+    (enforceSchema=false validates every file's header) — never bind
+    positionally and silently scramble fields."""
+    import pandas as pd
+
+    d = tmp_path / "csv"
+    d.mkdir()
+    rec = {k: str(v) for k, v in _reference_record().items()}
+    pd.DataFrame([rec]).to_csv(d / "a.csv", index=False)
+    pd.DataFrame([rec])[list(reversed(list(rec)))].to_csv(
+        d / "z.csv", index=False
+    )
+    with pytest.raises(Exception, match="(?i)header|schema"):
+        read_probe_events(spark, str(d), fmt="csv").collect()
+
+
+def test_multiline_csv_is_one_task_per_file(spark, tmp_path):
+    """SCALE BOUND, pinned (VERDICT r6 item 4): multiLine CSV is not
+    splittable — one task per file regardless of size, so a single fat
+    CSV reads serially. ``multiline=False`` (for producers that
+    guarantee newline-free fields) restores byte-range splitting."""
+    import pandas as pd
+
+    d = tmp_path / "csv"
+    d.mkdir()
+    rec = {k: str(v) for k, v in _reference_record().items()}
+    rec["lag_details"] = "x" * 300  # fatten rows so files byte-split
+    pdf = pd.DataFrame([rec] * 3000)
+    pdf.to_csv(d / "a.csv", index=False)
+    pdf.to_csv(d / "b.csv", index=False)
+
+    prev_max = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    prev_open = spark.conf.get("spark.sql.files.openCostInBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "65536")
+    spark.conf.set("spark.sql.files.openCostInBytes", "0")
+    try:
+        fat = read_probe_events(spark, str(d), fmt="csv")
+        assert fat.rdd.getNumPartitions() == 2  # one task per FILE
+        split = read_probe_events(spark, str(d), fmt="csv", multiline=False)
+        assert split.rdd.getNumPartitions() > 2  # byte-range splits
+        assert split.count() == fat.count() == 6000
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prev_max)
+        spark.conf.set("spark.sql.files.openCostInBytes", prev_open)
+
+
+def test_envelope_fixture_dir_is_process_stable(spark):
+    """The fixture dir key is a stable digest of sf_dir (md5), not the
+    per-process-salted ``hash`` — so a re-run in a NEW process lands on
+    the same path and overwrites instead of orphaning tempdirs."""
+    import hashlib
+    import tempfile
+
+    from stream_processing_test_spark.sources.envelope import (
+        _envelope_fixture,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    p1 = _envelope_fixture(spark, sf)
+    assert p1 == _envelope_fixture(spark, sf)
+    digest = hashlib.md5(sf.encode()).hexdigest()[:8]
+    assert p1 == f"{tempfile.gettempdir()}/envelope_rollup_{digest}"
+    # no applicationId in the path: a new process computes the same dir
+    assert spark.sparkContext.applicationId not in p1
+
+
+def test_streaming_envelope_rollup_matches_batch(spark):
+    """Driver-gate twin check (VERDICT r6 item 3): the streamed
+    envelope fixture must roll up IDENTICALLY to the batch ingest —
+    same fixture, same aggregation, so any difference is the streaming
+    read path."""
+    from stream_processing_test_spark.registry import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    specs = all_queries()
+    batch = sorted(
+        map(tuple, specs["envelope_rollup"].fn(spark, sf).collect())
+    )
+    streamed = sorted(
+        map(tuple, specs["streaming_envelope_rollup"].fn(spark, sf).collect())
+    )
+    assert streamed == batch
+    assert len(batch) > 0
+
+
 def test_write_read_roundtrip_all_formats(spark, envelope_dirs, tmp_path):
     """write_probe_events -> read_probe_events is the identity for
     every format (the S5 append edge re-materializes '' and the UTC

@@ -384,6 +384,19 @@ def test_parallelize_narrow_scan_contract(spark):
     # worth of rows
     agg = docs.groupBy("doc_id").count()
     assert parallelize_narrow_scan(agg) is agg
+    # other exchange- or row-set-bearing roots are refused too (ADVICE
+    # r6): Sort, Deduplicate, Generate, Sample all either shuffle under
+    # AQE or change the rows the .rdd probe would count
+    srt = docs.orderBy("doc_id")
+    assert parallelize_narrow_scan(srt) is srt
+    ddup = docs.dropDuplicates(["doc_id"])
+    assert parallelize_narrow_scan(ddup) is ddup
+    from pyspark.sql import functions as F
+
+    gen = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    assert parallelize_narrow_scan(gen) is gen
+    smp = docs.sample(0.5, seed=1)
+    assert parallelize_narrow_scan(smp) is smp
     # explicit 0 disables
     assert parallelize_narrow_scan(docs, min_partitions=0) is docs
 
