@@ -140,6 +140,21 @@ BENCH_EXCLUDED = {
 }
 
 
+def _calibration_probe(spark) -> float:
+    """Fixed-cost, data-independent CPU probe: a codegen'd xxhash64
+    fold over a literal range — no I/O, no shuffle, no cache effects.
+    Timed once right after warm-up and once after the last repeat;
+    the end/start ratio is the run's own measure of host-throttle
+    drift, so a cross-round comparison can separate 'the host slowed
+    down' from 'a query regressed' mechanically instead of by prose
+    (VERDICT r6 item 6)."""
+    t0 = time.time()
+    spark.range(0, 150_000_000, 1, 32).selectExpr(
+        "sum(xxhash64(id)) AS s"
+    ).write.format("noop").mode("overwrite").save()
+    return round(time.time() - t0, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -160,6 +175,8 @@ def main() -> None:
     # one throttle window can't poison all samples of one query); the
     # per-query minimum is the best available estimate of true cost.
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+    _calibration_probe(spark)  # JIT the probe itself (first run ~4x)
+    cal_start = _calibration_probe(spark)
     samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
     for _ in range(repeats):
         for name in HEADLINE:
@@ -168,6 +185,7 @@ def main() -> None:
             t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             samples[name].append(round(time.time() - t0, 3))
+    cal_end = _calibration_probe(spark)
 
     timings = {name: min(ts) for name, ts in samples.items()}
     # per-query [min, median, max]: throttle noise shows up as a
@@ -190,6 +208,14 @@ def main() -> None:
         "samples": samples,
         "repeats": repeats,
         "sf": sf_num,
+        # host-throttle drift probe: same fixed-cost job at run start
+        # and end; end/start >> 1 means the host slowed during the run
+        "calibration": {
+            "probe": "sum(xxhash64(id)) over range(150e6), 32 tasks",
+            "start_sec": cal_start,
+            "end_sec": cal_end,
+            "drift_ratio": round(cal_end / cal_start, 3) if cal_start else None,
+        },
     }
     try:
         Path(__file__).resolve().parent.joinpath("BENCH_DETAIL.json").write_text(
@@ -209,6 +235,7 @@ def main() -> None:
                 "metric": "headline_queries_total_wall",
                 "unit": "sec",
                 "sf": sf_num,
+                "cal": [cal_start, cal_end],
                 "value": total,
             },
             separators=(",", ":"),
