@@ -1,0 +1,310 @@
+"""Scale-stress the dedup ladder on self-generated data (VERDICT r6
+item 1): turn the repo's 100 TB plan assertions into measurements.
+
+Generates a scratch corpus with a controlled near-dup rate (the regime
+the size-gated keep-verdict join exists for), then times the ladder
+``dedup_ngram_jaccard -> dup_clusters -> dedup_keep_canonical ->
+leakage_safe_split`` at three tiers:
+
+- ``x1``   — sf0.1-sized (5 000 docs): anchors the ratios.
+- ``x10``  — 10x docs: the scaling measurement. Every stage of the
+  ladder is designed linear (shingle expansion, df-capped inverted
+  index, constant-round component closure), so wall time should grow
+  ~10x or less (fixed session/job overheads amortize).
+- ``overbudget`` — sized so the clustered-node set EXCEEDS the session
+  broadcast budget (spark.sql.autoBroadcastJoinThreshold / 64 B per
+  row ≈ 164 k nodes at the 10 MB default): the keep-verdict gate
+  (llm/cluster.py `with_keep_verdict`) must take its no-hint path and
+  the join must COMPLETE — a real over-budget run, not a plan assert.
+  The tier runs the `dedup_keep_canonical` computation statement by
+  statement so the gate inputs (measured node count, threshold, hint
+  decision) and the executed join node land in the artifact.
+
+Corpus construction (deterministic, seeded; NOT under /root/testdata):
+random-token docs over a 30 k-token vocabulary (cross-doc shingle
+collisions ~0), of which ``dup_rate`` are near-copies of a random base
+doc with 0-2 token substitutions — at doc length >= 100 tokens the
+worst case (2 interior mutations) keeps 5-gram Jaccard >= 0.81, above
+the 0.8 threshold, so every intended pair IS a dup edge. Copies of the
+same base form clusters of size 2-4 linked through the base (dup-dup
+similarity may fall below threshold; transitivity closes them).
+
+Usage:
+  python tools/scale_stress.py [--tiers x1,x10,overbudget]
+      [--scratch DIR] [--out BENCH_SCALE.json] [--repeats 2]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+VOCAB_SIZE = 30_000
+DOC_LEN = (100, 160)  # inclusive token-length bounds; >=100 keeps
+#                       2-mutation pairs above the 0.8 Jaccard threshold
+SEED = 20260814
+
+TIERS = {
+    # name: (n_docs, dup_rate)
+    "x1": (5_000, 0.4),
+    "x10": (50_000, 0.4),
+    # 420k docs @ 40% dups -> ~290k clustered nodes (168k copies +
+    # ~123k distinct bases hit) -> gate estimate ~18.6 MB >> the 10 MB
+    # default budget: the gate must refuse the broadcast hint. (AQE may
+    # still runtime-convert: the node set's ACTUAL shuffle bytes at
+    # this size measure ~5 MB — see overbudget_xl for the tier where
+    # even the runtime size exceeds the threshold.)
+    "overbudget": (420_000, 0.4),
+    # 1.68M docs -> ~1.16M clustered nodes; runtime shuffle bytes of
+    # the node set exceed the 10 MB AQE threshold too, so the verdict
+    # join executes as a genuine shuffle join end-to-end
+    "overbudget_xl": (1_680_000, 0.4),
+}
+
+
+def gen_corpus(out_dir: str, n_docs: int, dup_rate: float, seed: int = SEED) -> dict:
+    """Write ``{out_dir}/documents.parquet`` (driver-table schema) and
+    return generation stats. Chunked so the file carries multiple row
+    groups (honest scan parallelism) and generation stays in bounded
+    memory."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(seed)
+    vocab = np.array([f"tok{i:05d}" for i in range(VOCAB_SIZE)])
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, "documents.parquet")
+
+    schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("text", pa.string()),
+            ("lang", pa.string()),
+            ("source", pa.string()),
+            ("n_chars", pa.int64()),
+        ]
+    )
+    chunk = 30_000
+    n_dup_total = 0
+    writer = pq.ParquetWriter(path, schema)
+    try:
+        for start in range(0, n_docs, chunk):
+            c = min(chunk, n_docs - start)
+            n_dup = int(c * dup_rate)
+            n_base = c - n_dup
+            lengths = rng.integers(DOC_LEN[0], DOC_LEN[1] + 1, size=n_base)
+            bases = [
+                rng.integers(0, VOCAB_SIZE, size=ln) for ln in lengths
+            ]
+            docs = list(bases)
+            # near-copies: random base from THIS chunk, 0-2 substitutions
+            base_pick = rng.integers(0, n_base, size=n_dup)
+            n_mut = rng.integers(0, 3, size=n_dup)
+            for b, k in zip(base_pick, n_mut):
+                d = bases[b].copy()
+                if k:
+                    pos = rng.choice(len(d), size=k, replace=False)
+                    d[pos] = rng.integers(0, VOCAB_SIZE, size=k)
+                docs.append(d)
+            texts = [" ".join(vocab[d]) for d in docs]
+            ids = np.arange(start, start + c, dtype=np.int64)
+            writer.write_table(
+                pa.table(
+                    {
+                        "doc_id": ids,
+                        "text": texts,
+                        "lang": ["en"] * c,
+                        "source": [f"src{i % 10}" for i in range(start, start + c)],
+                        "n_chars": np.array([len(t) for t in texts], dtype=np.int64),
+                    },
+                    schema=schema,
+                )
+            )
+            n_dup_total += n_dup
+    finally:
+        writer.close()
+    return {
+        "path": path,
+        "n_docs": n_docs,
+        "n_near_dups": n_dup_total,
+        "dup_rate": dup_rate,
+        "vocab": VOCAB_SIZE,
+        "doc_len": list(DOC_LEN),
+        "seed": seed,
+        "bytes": os.path.getsize(path),
+    }
+
+
+LADDER = [
+    "dedup_ngram_jaccard",
+    "dup_clusters",
+    "dedup_keep_canonical",
+    "leakage_safe_split",
+]
+
+
+def time_query(spark, name: str, sf_dir: str, repeats: int) -> dict:
+    from stream_processing_test_spark.registry import all_queries
+
+    fn = all_queries()[name].fn
+    samples, rows = [], None
+    for _ in range(repeats):
+        spark.catalog.clearCache()
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        samples.append(round(time.time() - t0, 2))
+        if rows is None:
+            rows = df.count()
+    return {"wall_sec": min(samples), "samples": samples, "rows": rows}
+
+
+def overbudget_staged(spark, sf_dir: str) -> dict:
+    """`dedup_keep_canonical` statement by statement, so the gate's
+    inputs and the executed join node are recorded alongside the wall
+    time. This IS the registered query's computation (same calls in the
+    same order) — staged only to expose the gate evidence."""
+    from stream_processing_test_spark.llm.cluster import (
+        _VERDICT_ROW_BYTES,
+        _auto_broadcast_threshold_bytes,
+        connected_components,
+        with_keep_verdict,
+    )
+    from stream_processing_test_spark.llm.dedup import dedup_ngram_jaccard
+    from stream_processing_test_spark.tables import load
+
+    out: dict = {}
+    t0 = time.time()
+    pairs = dedup_ngram_jaccard(spark, sf_dir)
+    out["pairs_rows"] = pairs.count()
+    out["pairs_sec"] = round(time.time() - t0, 2)
+
+    t0 = time.time()
+    comp = connected_components(pairs, src="doc_a", dst="doc_b")
+    n_nodes = comp.count()
+    out["components_sec"] = round(time.time() - t0, 2)
+    thr = _auto_broadcast_threshold_bytes(spark)
+    out["gate"] = {
+        "clustered_nodes": n_nodes,
+        "est_bytes": n_nodes * _VERDICT_ROW_BYTES,
+        "threshold_bytes": thr,
+        "broadcast_hint_applied": bool(thr > 0 and n_nodes * _VERDICT_ROW_BYTES <= thr),
+    }
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    t0 = time.time()
+    verdict = with_keep_verdict(docs, comp).select("doc_id", "component", "keep")
+    # collect() executes the frame's OWN QueryExecution (count()/noop
+    # write would wrap it in a different one), so the finalized
+    # adaptive plan read below is the plan that actually ran
+    rows = verdict.collect()
+    out["verdict_sec"] = round(time.time() - t0, 2)
+    out["verdict_rows_total"] = len(rows)
+    out["verdict_rows_kept"] = sum(1 for r in rows if r["keep"])
+    del rows
+    plan = verdict._jdf.queryExecution().executedPlan().toString()
+    out["verdict_join_node"] = next(
+        (
+            n
+            for n in (
+                "BroadcastHashJoin",
+                "SortMergeJoin",
+                "ShuffledHashJoin",
+                "BroadcastNestedLoopJoin",
+            )
+            if n in plan
+        ),
+        "unknown",
+    )
+    out["total_sec"] = round(
+        out["pairs_sec"] + out["components_sec"] + out["verdict_sec"], 2
+    )
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tiers", default="x1,x10,overbudget")
+    ap.add_argument(
+        "--scratch",
+        default=os.environ.get("SPARK_GRAFT_SCALE_DIR", "/tmp/spark_graft_scale"),
+    )
+    ap.add_argument(
+        "--out", default=str(Path(__file__).resolve().parent.parent / "BENCH_SCALE.json")
+    )
+    ap.add_argument("--repeats", type=int, default=2)
+    args = ap.parse_args()
+
+    # the 53M-row shingle persist at the overbudget tier wants headroom
+    # beyond the 8g test default; spill-safe either way
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
+    from stream_processing_test_spark.session import get_spark
+
+    spark = get_spark("scale-stress")
+    spark.range(1000).count()
+    # JIT warm-up: one untimed pass of the full ladder on a small
+    # corpus — the first execution of each operator family pays
+    # codegen/JIT (measured ~4-10x on this host), which would land
+    # entirely on tier x1's first query and corrupt every ratio
+    wdir = os.path.join(args.scratch, "warmup")
+    gen_corpus(wdir, 2_000, 0.4)
+    for q in LADDER:
+        time_query(spark, q, wdir, 1)
+    print("[warmup] ladder JIT pass done", flush=True)
+
+    result: dict = {
+        "metric": "dedup_ladder_scale_stress",
+        "host_parallelism": spark.sparkContext.defaultParallelism,
+        "broadcast_threshold": spark.conf.get(
+            "spark.sql.autoBroadcastJoinThreshold"
+        ),
+        "tiers": {},
+    }
+    for tier in args.tiers.split(","):
+        n_docs, dup_rate = TIERS[tier]
+        tdir = os.path.join(args.scratch, tier)
+        t0 = time.time()
+        stats = gen_corpus(tdir, n_docs, dup_rate)
+        stats["gen_sec"] = round(time.time() - t0, 2)
+        entry: dict = {"corpus": stats, "queries": {}}
+        print(f"[{tier}] corpus: {stats}", flush=True)
+        if tier.startswith("overbudget"):
+            entry["keep_canonical_staged"] = overbudget_staged(spark, tdir)
+            print(f"[{tier}] staged: {entry['keep_canonical_staged']}", flush=True)
+        else:
+            for q in LADDER:
+                entry["queries"][q] = time_query(spark, q, tdir, args.repeats)
+                print(f"[{tier}] {q}: {entry['queries'][q]}", flush=True)
+        result["tiers"][tier] = entry
+
+    # merge with a previous run's artifact so tiers can be (re)run
+    # individually without losing the others
+    out_path = Path(args.out)
+    if out_path.exists():
+        try:
+            prev = json.loads(out_path.read_text())
+            result["tiers"] = {**prev.get("tiers", {}), **result["tiers"]}
+        except (OSError, ValueError):
+            pass
+    t1, t10 = result["tiers"].get("x1"), result["tiers"].get("x10")
+    if t1 and t10:
+        result["scaling_ratio_x10_over_x1"] = {
+            q: round(
+                t10["queries"][q]["wall_sec"] / t1["queries"][q]["wall_sec"], 2
+            )
+            for q in LADDER
+            if q in t1["queries"] and q in t10["queries"]
+        }
+    out_path.write_text(json.dumps(result, indent=1) + "\n")
+    print(json.dumps(result, indent=1))
+
+
+if __name__ == "__main__":
+    main()
