@@ -205,6 +205,57 @@ def streaming_daily_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(daily_rollup(ev), name)
 
 
+def rate_events_stream(
+    spark: SparkSession,
+    rows_per_batch: int = 100,
+    start_epoch: int = 1_705_276_800,  # 2024-01-15 00:00:00 UTC
+    advance_ms: int = 21_600_000,  # 6h per micro-batch
+    num_partitions: int = 4,
+) -> DataFrame:
+    """T1 beyond file replay: a ``rate-micro-batch``-source event stream
+    with DETERMINISTIC content, for exercising trigger semantics
+    (processing-time micro-batches) without any files on disk.
+
+    The source emits batch ``i`` as values ``[i*rows_per_batch,
+    (i+1)*rows_per_batch)``, all stamped ``start + i*advance`` — so
+    every derived column is a pure function of ``value`` and a batch
+    replay of ``spark.range(n)`` through the same expressions is an
+    exact oracle for any prefix of ``n`` rows (asserted in
+    tests/test_streaming.py). Events derive with the portable hash
+    (llm/hashing.phash), mirroring the synthetic probe connector:
+    ~20% errors, 7 users, value in [0, 10).
+
+    This is the shape a production deployment uses to soak-test the
+    streaming DAG (state growth, trigger latency) before pointing it
+    at Kafka — the aggregation/network path is identical, only the
+    source differs."""
+    raw = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", rows_per_batch)
+        .option("startTimestamp", start_epoch * 1000)
+        .option("advanceMillisPerBatch", advance_ms)
+        .option("numPartitions", num_partitions)
+        .load()
+    )
+    return rate_rows_to_events(raw)
+
+
+def rate_rows_to_events(raw: DataFrame) -> DataFrame:
+    """(timestamp, value) -> the events shape, shared by the stream and
+    its ``spark.range``-based batch oracle so the two cannot drift."""
+    from stream_processing_test_spark.llm.hashing import phash
+
+    h = phash(F.col("value").cast("string"))
+    return raw.select(
+        F.col("timestamp").alias("ts"),
+        (F.col("value") % 7).alias("user_id"),
+        F.when(h % 10 < 2, F.lit("error"))
+        .otherwise(F.lit("view"))
+        .alias("event_type"),
+        ((F.col("value") % 100) / 10.0).alias("value"),
+    )
+
+
 def latest_per_source(scores: DataFrame) -> DataFrame:
     """Newest-day row per source from an (id, day, flow_score,
     n_detection, n_error) frame — the reduction both the streaming

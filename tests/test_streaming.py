@@ -377,3 +377,93 @@ def test_finalize_warns_on_dayless_dimension(spark, tmp_path):
     assert any("no 'day' column" in str(w.message) for w in caught)
     dim = spark.read.parquet(dim_path)
     assert dim.filter(dim.flow_score.isNotNull()).count() > 0
+
+
+def test_rate_source_daily_scores_bounded(spark):
+    """T1 trigger semantics beyond file replay (VERDICT r6 stretch):
+    the rate-micro-batch source drives daily_rollup through REAL
+    processing-time micro-batches (no files on disk), stopped after a
+    few epochs. The source's content is deterministic — batch i is
+    values [i*rpb, (i+1)*rpb) stamped start + i*advance — so a
+    spark.range batch replay through the SAME derivation
+    (rate_rows_to_events) is an exact oracle for whatever prefix of
+    batches committed before stop()."""
+    import time
+
+    from stream_processing_test_spark.streaming.pipeline import (
+        rate_events_stream,
+        rate_rows_to_events,
+    )
+
+    RPB, START, ADV_MS = 50, 1_705_276_800, 21_600_000
+    scoped = spark.newSession()
+    prev = scoped.conf.get("spark.sql.shuffle.partitions")
+    scoped.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        ev = rate_events_stream(
+            scoped, rows_per_batch=RPB, start_epoch=START, advance_ms=ADV_MS
+        )
+        q = (
+            daily_rollup(ev)
+            .writeStream.format("memory")
+            .queryName("rate_scores")
+            .outputMode("complete")
+            .trigger(processingTime="50 milliseconds")
+            .start()
+        )
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            n = scoped.sql(
+                "SELECT coalesce(sum(n_detection), 0) FROM rate_scores"
+            ).collect()[0][0]
+            if n >= 4 * RPB:  # at least 4 committed micro-batches
+                break
+            time.sleep(0.2)
+        q.stop()
+        q.awaitTermination(60)
+    finally:
+        scoped.conf.set("spark.sql.shuffle.partitions", prev)
+
+    got_df = scoped.table("rate_scores")
+    got = sorted(map(tuple, got_df.collect()))
+    # committed rows: every committed batch is exactly RPB rows
+    n_rows = sum(r[2] for r in got)  # n_detection column
+    assert n_rows >= 4 * RPB and n_rows % RPB == 0, n_rows
+
+    # exact batch oracle over the same prefix, same derivation exprs
+    raw = scoped.range(n_rows).select(
+        F.timestamp_millis(
+            F.lit(START * 1000) + (F.col("id") / RPB).cast("long") * ADV_MS
+        ).alias("timestamp"),
+        F.col("id").alias("value"),
+    )
+    want_df = (
+        rate_rows_to_events(raw)
+        .groupBy(F.window("ts", "1 day").alias("win"), "user_id")
+        .agg(
+            F.count("*").alias("n_detection"),
+            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias(
+                "n_error"
+            ),
+        )
+        .select(
+            "user_id",
+            F.date_format(F.col("win.start"), "yyyy-MM-dd").alias("day"),
+            "n_detection",
+            "n_error",
+            F.greatest(
+                F.floor(
+                    (F.col("n_detection") - F.col("n_error")).cast("double")
+                    / F.col("n_detection")
+                    * 100
+                ),
+                F.lit(0),
+            )
+            .cast("int")
+            .alias("flow_score"),
+        )
+    )
+    want = sorted(map(tuple, want_df.collect()))
+    assert got == want
+    # the 6h advance must have crossed at least one UTC day boundary
+    assert len({r[1] for r in got}) >= 2 or n_rows < 5 * RPB
