@@ -259,6 +259,10 @@ def main() -> None:
         time_query(spark, q, wdir, 1)
     print("[warmup] ladder JIT pass done", flush=True)
 
+    from bench import _calibration_probe
+
+    _calibration_probe(spark)  # JIT the probe
+    cal_start = _calibration_probe(spark)
     result: dict = {
         "metric": "dedup_ladder_scale_stress",
         "host_parallelism": spark.sparkContext.defaultParallelism,
@@ -278,12 +282,29 @@ def main() -> None:
         if tier.startswith("overbudget"):
             entry["keep_canonical_staged"] = overbudget_staged(spark, tdir)
             print(f"[{tier}] staged: {entry['keep_canonical_staged']}", flush=True)
+            # full-query walls (min-of-repeats) for the ladder rungs,
+            # so the large-tier scaling ratios rest on repeated samples
+            # — the single-shot staged run above is the GATE evidence,
+            # not the timing source (host-throttle windows on this box
+            # can inflate a lone sample ~2x; see the calibration probe)
+            for q in ("dedup_ngram_jaccard", "dup_clusters", "leakage_safe_split"):
+                entry["queries"][q] = time_query(spark, q, tdir, args.repeats)
+                print(f"[{tier}] {q}: {entry['queries'][q]}", flush=True)
         else:
             for q in LADDER:
                 entry["queries"][q] = time_query(spark, q, tdir, args.repeats)
                 print(f"[{tier}] {q}: {entry['queries'][q]}", flush=True)
         result["tiers"][tier] = entry
 
+    # same host-drift calibration as bench.py: a fixed-cost probe at
+    # run start and end, so a reader can tell throttle drift from a
+    # real scaling surprise inside THIS artifact
+    cal_end = _calibration_probe(spark)
+    result["calibration"] = {
+        "probe": "sum(xxhash64(id)) over range(150e6), 32 tasks",
+        "start_sec": cal_start,
+        "end_sec": cal_end,
+    }
     # merge with a previous run's artifact so tiers can be (re)run
     # individually without losing the others
     out_path = Path(args.out)
