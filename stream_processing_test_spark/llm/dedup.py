@@ -485,7 +485,12 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Stage 1 (candidates): random-hyperplane LSH bucket join
     (``similarity.hyperplane_tables``) — a pair is a candidate iff it
     collides in ANY of the 16 tables, so pairwise work is confined to
-    bucket groups instead of the n² cross join.
+    bucket groups instead of the n² cross join. Bucket-group work is
+    Σ|bucket|² — bounded only if the bucket count grows with the
+    corpus, so at production sizes the plane count comes from
+    ``similarity.auto_planes`` (the fixture-pinned default here keeps
+    the oracle replayable at test scale; see the occupancy test in
+    test_scale_layout).
     Stage 2 (verify): exact JVM-side cosine on the candidates only,
     keeping pairs >= EMBED_COSINE_THRESHOLD.
 

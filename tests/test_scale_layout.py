@@ -696,3 +696,49 @@ def test_cc_auto_falls_back_to_star_on_long_chains(spark):
 
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(edges, algorithm="minlabel", max_iter=5)
+
+
+def test_lsh_bucket_occupancy_scales_with_auto_planes(spark):
+    """The hyperplane-LSH candidate stage costs Σ_buckets |bucket|² per
+    table. With the FIXED fixture default (4 planes = 16 buckets) that
+    is ~n²/16 — quadratic in corpus size; `auto_planes` grows the
+    bucket count with the corpus so expected occupancy (and the join)
+    stays bounded. Pinned by counting real bucket occupancies on
+    synthetic vectors (no join executed), plus the sizing math."""
+    from pyspark.sql import functions as F
+
+    from stream_processing_test_spark.llm.similarity import (
+        EMBED_DIM,
+        N_PLANES,
+        auto_planes,
+        hyperplane_tables,
+    )
+
+    # sizing math: fixture sizes keep the default; big corpora scale
+    # ~log2(n/target); clamped at 24 (beyond that, use IVF)
+    assert auto_planes(1_000) == N_PLANES
+    assert auto_planes(2**20, target_occupancy=1024) == 10
+    assert auto_planes(10**12) == 24
+
+    n = 10_000
+    emb = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            f"transform(sequence(0, {EMBED_DIM - 1}), "
+            f"i -> cast(xxhash64(id * {EMBED_DIM} + i) % 1000 as double) / 500.0)"
+        ).alias("v"),
+    )
+
+    def sum_sq_occupancy(planes: int) -> int:
+        t = hyperplane_tables(emb, n_planes=planes).filter(
+            F.col("table_id") == 0
+        )
+        occ = t.groupBy("bucket").count()
+        return occ.agg(F.sum(F.col("count") * F.col("count"))).collect()[0][0]
+
+    fixed = sum_sq_occupancy(N_PLANES)
+    scaled = sum_sq_occupancy(auto_planes(n, target_occupancy=64))
+    # default is in the quadratic regime at this size (~n²/16);
+    # auto-planes cuts the join work by the grown bucket count
+    assert fixed > n * n / 64, fixed
+    assert fixed > 8 * scaled, (fixed, scaled)

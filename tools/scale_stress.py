@@ -149,6 +149,16 @@ LADDER = [
     "leakage_safe_split",
 ]
 
+# The approximate-dedup rungs: also documents-table queries, so the
+# same scratch corpora measure their claimed-linear candidate
+# generation (banded minhash buckets, simhash pigeonhole blocks,
+# hashed-gram decontamination index) beyond sf0.1
+EXTRA_LADDER = [
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "decontaminate_overlap",
+]
+
 
 def time_query(spark, name: str, sf_dir: str, repeats: int) -> dict:
     from stream_processing_test_spark.registry import all_queries
@@ -255,7 +265,7 @@ def main() -> None:
     # entirely on tier x1's first query and corrupt every ratio
     wdir = os.path.join(args.scratch, "warmup")
     gen_corpus(wdir, 2_000, 0.4)
-    for q in LADDER:
+    for q in LADDER + EXTRA_LADDER:
         time_query(spark, q, wdir, 1)
     print("[warmup] ladder JIT pass done", flush=True)
 
@@ -287,11 +297,15 @@ def main() -> None:
             # — the single-shot staged run above is the GATE evidence,
             # not the timing source (host-throttle windows on this box
             # can inflate a lone sample ~2x; see the calibration probe)
-            for q in ("dedup_ngram_jaccard", "dup_clusters", "leakage_safe_split"):
+            for q in [
+                "dedup_ngram_jaccard",
+                "dup_clusters",
+                "leakage_safe_split",
+            ] + EXTRA_LADDER:
                 entry["queries"][q] = time_query(spark, q, tdir, args.repeats)
                 print(f"[{tier}] {q}: {entry['queries'][q]}", flush=True)
         else:
-            for q in LADDER:
+            for q in LADDER + EXTRA_LADDER:
                 entry["queries"][q] = time_query(spark, q, tdir, args.repeats)
                 print(f"[{tier}] {q}: {entry['queries'][q]}", flush=True)
         result["tiers"][tier] = entry
@@ -320,7 +334,7 @@ def main() -> None:
             q: round(
                 t10["queries"][q]["wall_sec"] / t1["queries"][q]["wall_sec"], 2
             )
-            for q in LADDER
+            for q in LADDER + EXTRA_LADDER
             if q in t1["queries"] and q in t10["queries"]
         }
     out_path.write_text(json.dumps(result, indent=1) + "\n")
