@@ -328,15 +328,20 @@ def main() -> None:
             result["tiers"] = {**prev.get("tiers", {}), **result["tiers"]}
         except (OSError, ValueError):
             pass
-    t1, t10 = result["tiers"].get("x1"), result["tiers"].get("x10")
-    if t1 and t10:
-        result["scaling_ratio_x10_over_x1"] = {
-            q: round(
-                t10["queries"][q]["wall_sec"] / t1["queries"][q]["wall_sec"], 2
-            )
-            for q in LADDER + EXTRA_LADDER
-            if q in t1["queries"] and q in t10["queries"]
-        }
+    def ratio(a: str, b: str, key: str) -> None:
+        ta, tb = result["tiers"].get(a), result["tiers"].get(b)
+        if ta and tb:
+            result[key] = {
+                q: round(
+                    tb["queries"][q]["wall_sec"] / ta["queries"][q]["wall_sec"],
+                    2,
+                )
+                for q in LADDER + EXTRA_LADDER
+                if q in ta["queries"] and q in tb["queries"]
+            }
+
+    ratio("x1", "x10", "scaling_ratio_x10_over_x1")
+    ratio("x10", "overbudget", "scaling_ratio_overbudget_over_x10")  # 8.4x docs
     out_path.write_text(json.dumps(result, indent=1) + "\n")
     print(json.dumps(result, indent=1))
 
