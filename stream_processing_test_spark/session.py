@@ -129,22 +129,32 @@ def parallelize_narrow_scan(df, min_partitions: int | None = None):
     # refuse any exchange- or pipeline-breaking node, not just joins:
     # Sort (orderBy), Deduplicate (dropDuplicates/distinct), Expand
     # (rollup/cube), Generate (explode) and Sample all either bear a
-    # shuffle under AQE or change the row set the probe would count —
-    # matching is case-sensitive on the logical node names, so
-    # lower-case column names like `sort_key` cannot false-positive
-    analyzed = df._jdf.queryExecution().analyzed().toString()
-    refused = (
+    # shuffle under AQE or change the row set the probe would count.
+    # The check walks the analyzed plan's NODE NAMES — substring-
+    # matching toString() would also match filter literals and file
+    # paths that happen to contain 'Sort'/'Sample'/... and silently
+    # refuse a legitimate scan-rooted frame.
+    refused = {
         "Join",
         "Aggregate",
-        "Repartition",
         "Window",
         "Sort",
         "Deduplicate",
         "Expand",
         "Generate",
         "Sample",
-    )
-    if any(k in analyzed for k in refused):
+    }
+
+    def _has_refused(jnode) -> bool:
+        name = jnode.nodeName()
+        if name in refused or name.startswith("Repartition"):
+            return True
+        children = jnode.children()
+        return any(
+            _has_refused(children.apply(i)) for i in range(children.size())
+        )
+
+    if _has_refused(df._jdf.queryExecution().analyzed()):
         return df
     target = (
         min_partitions

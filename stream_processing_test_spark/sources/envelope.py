@@ -293,12 +293,13 @@ FROM ev GROUP BY item
 """
 
 
-# (applicationId, sf_dir) pairs whose envelope fixture is already on
-# disk this session — the derivation is deterministic and written with
-# overwrite, so one write per session serves every consumer (the
-# registry-wide plan sweep and bench repeats would otherwise re-run
-# the full derive+write job just to build the frame).
-_ENVELOPE_WRITTEN: set[tuple[str, str]] = set()
+# (applicationId, sf_dir) -> resolved fixture path for this session —
+# the derivation is deterministic, so one write (or reuse of a
+# complete on-disk fixture) serves every consumer; the registry-wide
+# plan sweep and bench repeats would otherwise re-run the full
+# derive+write job just to build the frame. A dict, not a set: the
+# rename-race fallback can resolve to a process-private dir.
+_ENVELOPE_FIXTURES: dict[tuple[str, str], str] = {}
 
 
 def _envelope_fixture(spark: SparkSession, sf_dir: str) -> str:
@@ -313,14 +314,17 @@ def _envelope_fixture(spark: SparkSession, sf_dir: str) -> str:
     reference string forms, NULLs re-materialized as ``''``).
 
     The dir key is a STABLE digest of ``sf_dir`` (md5, not Python's
-    per-process-salted ``hash``), so a re-run overwrites its
-    predecessor instead of orphaning a fresh tempdir per process; the
-    content is deterministic, so the overwrite is byte-equivalent.
-    ONE write per (application, sf_dir) per session; the dir is left to
-    OS tempdir reaping — deleting it eagerly would break consumers'
-    lazy scans. (Two processes racing the same overwrite could momentarily
-    unlink files under a concurrent reader — the driver and bench run
-    single-process, and the loser's rewrite restores identical content.)
+    per-process-salted ``hash``), so every process lands on the same
+    path instead of orphaning a fresh tempdir per run — and because
+    the content is deterministic, an EXISTING complete fixture
+    (Spark's ``_SUCCESS`` commit marker present) is simply REUSED,
+    never rewritten: no overwrite can unlink files under another
+    process's in-flight scan. A missing/incomplete fixture is written
+    to a process-private tmp dir and renamed into place atomically; if
+    another process wins the rename race, its (complete,
+    byte-identical) fixture is used and the loser's tmp dir is
+    removed. The dir is left to OS tempdir reaping — deleting it
+    eagerly would break consumers' lazy scans.
     """
     import hashlib
     import os
@@ -360,9 +364,38 @@ def _envelope_fixture(spark: SparkSession, sf_dir: str) -> str:
     digest = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     out = os.path.join(tempfile.gettempdir(), f"envelope_rollup_{digest}")
     app = spark.sparkContext.applicationId
-    if (app, sf_dir) not in _ENVELOPE_WRITTEN:
-        write_probe_events(ev, out, fmt="json", mode="overwrite")
-        _ENVELOPE_WRITTEN.add((app, sf_dir))
+    if (app, sf_dir) in _ENVELOPE_FIXTURES:
+        return _ENVELOPE_FIXTURES[(app, sf_dir)]
+
+    def complete(d: str) -> bool:
+        return os.path.exists(os.path.join(d, "_SUCCESS"))
+
+    if not complete(out):
+        import shutil
+
+        tmp = f"{out}.tmp-{os.getpid()}"
+        write_probe_events(ev, tmp, fmt="json", mode="overwrite")
+        try:
+            os.rename(tmp, out)  # atomic claim of the stable path
+        except OSError:
+            # the stable path appeared since the check: another process
+            # finished first (byte-identical content) — use theirs; a
+            # leftover INCOMPLETE dir (crashed run, no _SUCCESS) is
+            # replaced
+            if complete(out):
+                shutil.rmtree(tmp, ignore_errors=True)
+            else:
+                shutil.rmtree(out, ignore_errors=True)
+                try:
+                    os.rename(tmp, out)
+                except OSError:
+                    # lost a second race — fall back to the private
+                    # copy (correct, merely unshared)
+                    if complete(out):
+                        shutil.rmtree(tmp, ignore_errors=True)
+                    else:
+                        out = tmp
+    _ENVELOPE_FIXTURES[(app, sf_dir)] = out
     return out
 
 

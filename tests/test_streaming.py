@@ -430,40 +430,19 @@ def test_rate_source_daily_scores_bounded(spark):
     n_rows = sum(r[2] for r in got)  # n_detection column
     assert n_rows >= 4 * RPB and n_rows % RPB == 0, n_rows
 
-    # exact batch oracle over the same prefix, same derivation exprs
+    # exact batch oracle over the same prefix: the SAME derivation
+    # (rate_rows_to_events) and the SAME aggregation (daily_rollup —
+    # the watermark node is eliminated on a batch frame), so the only
+    # thing this test can disagree on is the streaming execution
     raw = scoped.range(n_rows).select(
         F.timestamp_millis(
             F.lit(START * 1000) + (F.col("id") / RPB).cast("long") * ADV_MS
         ).alias("timestamp"),
         F.col("id").alias("value"),
     )
-    want_df = (
-        rate_rows_to_events(raw)
-        .groupBy(F.window("ts", "1 day").alias("win"), "user_id")
-        .agg(
-            F.count("*").alias("n_detection"),
-            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias(
-                "n_error"
-            ),
-        )
-        .select(
-            "user_id",
-            F.date_format(F.col("win.start"), "yyyy-MM-dd").alias("day"),
-            "n_detection",
-            "n_error",
-            F.greatest(
-                F.floor(
-                    (F.col("n_detection") - F.col("n_error")).cast("double")
-                    / F.col("n_detection")
-                    * 100
-                ),
-                F.lit(0),
-            )
-            .cast("int")
-            .alias("flow_score"),
-        )
+    want = sorted(
+        map(tuple, daily_rollup(rate_rows_to_events(raw)).collect())
     )
-    want = sorted(map(tuple, want_df.collect()))
     assert got == want
     # the 6h advance must have crossed at least one UTC day boundary
     assert len({r[1] for r in got}) >= 2 or n_rows < 5 * RPB
