@@ -418,3 +418,38 @@ def test_write_read_roundtrip_all_formats(spark, envelope_dirs, tmp_path):
         dest = str(tmp_path / f"rt_{fmt}")
         write_probe_events(want_df, dest, fmt=fmt)
         assert _canon(read_probe_events(spark, dest, fmt=fmt)) == want, fmt
+
+
+def test_envelope_fixture_reuses_complete_and_replaces_incomplete(spark):
+    """Cross-process safety contract: a COMPLETE fixture (_SUCCESS
+    marker) is reused untouched — no overwrite may unlink files under
+    another process's in-flight scan; an INCOMPLETE leftover (crashed
+    run) is replaced with a fresh atomic write."""
+    import os
+
+    from stream_processing_test_spark.sources.envelope import (
+        _ENVELOPE_FIXTURES,
+        _envelope_fixture,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    p = _envelope_fixture(spark, sf)
+    assert os.path.exists(os.path.join(p, "_SUCCESS"))
+    stamp = os.path.getmtime(os.path.join(p, "_SUCCESS"))
+
+    # new process simulation: clear the session memo — the complete
+    # fixture on disk must be REUSED, not rewritten
+    _ENVELOPE_FIXTURES.clear()
+    assert _envelope_fixture(spark, sf) == p
+    assert os.path.getmtime(os.path.join(p, "_SUCCESS")) == stamp
+
+    # crashed-run simulation: incomplete dir (no _SUCCESS) is replaced
+    _ENVELOPE_FIXTURES.clear()
+    os.remove(os.path.join(p, "_SUCCESS"))
+    got = _envelope_fixture(spark, sf)
+    assert got == p
+    assert os.path.exists(os.path.join(p, "_SUCCESS"))
+    # no tmp dirs orphaned
+    parent, base = os.path.split(p)
+    leftovers = [d for d in os.listdir(parent) if d.startswith(base + ".tmp-")]
+    assert leftovers == []
