@@ -342,6 +342,7 @@ def main() -> None:
 
     ratio("x1", "x10", "scaling_ratio_x10_over_x1")
     ratio("x10", "overbudget", "scaling_ratio_overbudget_over_x10")  # 8.4x docs
+    ratio("overbudget", "overbudget_xl", "scaling_ratio_xl_over_overbudget")  # 4x docs
     out_path.write_text(json.dumps(result, indent=1) + "\n")
     print(json.dumps(result, indent=1))
 
