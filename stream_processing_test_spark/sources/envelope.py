@@ -293,37 +293,50 @@ FROM ev GROUP BY item
 """
 
 
-# (applicationId, sf_dir) -> resolved fixture path for this session —
-# the derivation is deterministic, so one write (or reuse of a
-# complete on-disk fixture) serves every consumer; the registry-wide
+# (applicationId, sf_dir, fmt) -> resolved fixture path for this
+# session — the derivation is deterministic, so one write (or reuse of
+# a complete on-disk fixture) serves every consumer; the registry-wide
 # plan sweep and bench repeats would otherwise re-run the full
 # derive+write job just to build the frame. A dict, not a set: the
 # rename-race fallback can resolve to a process-private dir.
-_ENVELOPE_FIXTURES: dict[tuple[str, str], str] = {}
+_ENVELOPE_FIXTURES: dict[tuple[str, str, str], str] = {}
+
+# Bump on ANY change to the event derivation below or to the
+# write_probe_events serialization it rides through: the constant is
+# folded into the on-disk fixture dir name, so a code change lands on
+# a FRESH path instead of silently reusing a stale /tmp fixture
+# written by an older build (which the driver gate would then
+# "validate" without exercising the current S5 write path).
+_FIXTURE_VERSION = 2
 
 
-def _envelope_fixture(spark: SparkSession, sf_dir: str) -> str:
+def _envelope_fixture(spark: SparkSession, sf_dir: str, fmt: str = "json") -> str:
     """Land the deterministic reference-shaped envelope fixture for
-    ``sf_dir`` as a JSON-lines dir under the OS tempdir and return its
-    path — shared by the batch (``envelope_rollup``) and streaming
-    (``streaming_envelope_rollup``) ingest queries.
+    ``sf_dir`` in ``fmt`` under the OS tempdir and return its path —
+    shared by the batch (``envelope_rollup`` / ``envelope_rollup_csv``)
+    and streaming (``streaming_envelope_rollup``) ingest queries.
 
     Events derive from the customer table with portable-hash outcomes
     (like ``probe_source_events``), serialized through the real S5
     write edge (:func:`write_probe_events`: created_time/item in their
     reference string forms, NULLs re-materialized as ``''``).
 
-    The dir key is a STABLE digest of ``sf_dir`` (md5, not Python's
-    per-process-salted ``hash``), so every process lands on the same
-    path instead of orphaning a fresh tempdir per run — and because
-    the content is deterministic, an EXISTING complete fixture
-    (Spark's ``_SUCCESS`` commit marker present) is simply REUSED,
-    never rewritten: no overwrite can unlink files under another
-    process's in-flight scan. A missing/incomplete fixture is written
-    to a process-private tmp dir and renamed into place atomically; if
-    another process wins the rename race, its (complete,
-    byte-identical) fixture is used and the loser's tmp dir is
-    removed. The dir is left to OS tempdir reaping — deleting it
+    The dir key is a STABLE digest (md5, not Python's per-process-
+    salted ``hash``) of ``(sf_dir, fmt, _FIXTURE_VERSION, transport
+    schema)``, so every process running the SAME code lands on the same
+    path instead of orphaning a fresh tempdir per run — while any
+    change to the derivation or serialization (version bump) or to the
+    envelope schema lands on a fresh path instead of silently reusing a
+    stale fixture from an older build. Because the content is
+    deterministic, an EXISTING complete fixture (Spark's ``_SUCCESS``
+    commit marker present) is simply REUSED, never rewritten: no
+    overwrite can unlink files under another process's in-flight scan.
+    A missing/incomplete fixture is written to a process-private tmp
+    dir and swapped into place under an exclusive ``flock`` (held by
+    every writer of this protocol, auto-released on process death), so
+    the replace-incomplete-leftover path can never unlink a COMPLETE
+    fixture that another writer renamed into place between the check
+    and the claim. The dir is left to OS tempdir reaping — deleting it
     eagerly would break consumers' lazy scans.
     """
     import hashlib
@@ -361,11 +374,13 @@ def _envelope_fixture(spark: SparkSession, sf_dir: str) -> str:
         key.alias("target_matching_id"),
         F.lit("").alias("target_matching"),
     )
-    digest = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    digest = hashlib.md5(
+        f"{sf_dir}|{fmt}|v{_FIXTURE_VERSION}|{TRANSPORT_SCHEMA.json()}".encode()
+    ).hexdigest()[:8]
     out = os.path.join(tempfile.gettempdir(), f"envelope_rollup_{digest}")
     app = spark.sparkContext.applicationId
-    if (app, sf_dir) in _ENVELOPE_FIXTURES:
-        return _ENVELOPE_FIXTURES[(app, sf_dir)]
+    if (app, sf_dir, fmt) in _ENVELOPE_FIXTURES:
+        return _ENVELOPE_FIXTURES[(app, sf_dir, fmt)]
 
     def complete(d: str) -> bool:
         return os.path.exists(os.path.join(d, "_SUCCESS"))
@@ -374,28 +389,43 @@ def _envelope_fixture(spark: SparkSession, sf_dir: str) -> str:
         import shutil
 
         tmp = f"{out}.tmp-{os.getpid()}"
-        write_probe_events(ev, tmp, fmt="json", mode="overwrite")
+        write_probe_events(ev, tmp, fmt=fmt, mode="overwrite")
+        # Serialize every mutation of the stable path under flock:
+        # complete dirs are immutable-by-convention (reused, never
+        # renamed or deleted), so the only hazard is two writers racing
+        # the incomplete-leftover replacement — the lock closes the
+        # check-then-replace window in which one writer's just-renamed
+        # COMPLETE fixture could be rmtree'd by the other. flock is
+        # advisory but every writer is this function, and the OS drops
+        # it on process death (no stale-lockfile deadlock).
         try:
-            os.rename(tmp, out)  # atomic claim of the stable path
+            import fcntl
+
+            with open(f"{out}.lock", "w") as lockf:
+                fcntl.flock(lockf, fcntl.LOCK_EX)
+                try:
+                    if complete(out):
+                        # another writer finished while we derived
+                        shutil.rmtree(tmp, ignore_errors=True)
+                    else:
+                        if os.path.exists(out):
+                            # incomplete leftover (crashed run): move it
+                            # aside atomically, then reclaim the path
+                            stale = f"{out}.stale-{os.getpid()}"
+                            os.rename(out, stale)
+                            shutil.rmtree(stale, ignore_errors=True)
+                        os.rename(tmp, out)
+                finally:
+                    fcntl.flock(lockf, fcntl.LOCK_UN)
         except OSError:
-            # the stable path appeared since the check: another process
-            # finished first (byte-identical content) — use theirs; a
-            # leftover INCOMPLETE dir (crashed run, no _SUCCESS) is
-            # replaced
+            # lock or swap failed (exotic filesystem, lost race against
+            # a non-locking peer) — fall back to whichever copy is
+            # complete; the private tmp dir is correct, merely unshared
             if complete(out):
                 shutil.rmtree(tmp, ignore_errors=True)
             else:
-                shutil.rmtree(out, ignore_errors=True)
-                try:
-                    os.rename(tmp, out)
-                except OSError:
-                    # lost a second race — fall back to the private
-                    # copy (correct, merely unshared)
-                    if complete(out):
-                        shutil.rmtree(tmp, ignore_errors=True)
-                    else:
-                        out = tmp
-    _ENVELOPE_FIXTURES[(app, sf_dir)] = out
+                out = tmp
+    _ENVELOPE_FIXTURES[(app, sf_dir, fmt)] = out
     return out
 
 

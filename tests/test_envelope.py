@@ -364,24 +364,36 @@ def test_multiline_csv_is_one_task_per_file(spark, tmp_path):
         spark.conf.set("spark.sql.files.openCostInBytes", prev_open)
 
 
-def test_envelope_fixture_dir_is_process_stable(spark):
-    """The fixture dir key is a stable digest of sf_dir (md5), not the
-    per-process-salted ``hash`` — so a re-run in a NEW process lands on
-    the same path and overwrites instead of orphaning tempdirs."""
+def test_envelope_fixture_dir_is_process_stable_and_version_keyed(spark):
+    """The fixture dir key is a stable digest (md5, not the per-process-
+    salted ``hash``) of (sf_dir, fmt, _FIXTURE_VERSION, transport
+    schema) — so a re-run in a NEW process lands on the same path, while
+    a derivation/serialization change (version bump) or a schema change
+    lands on a FRESH path instead of silently reusing a stale fixture
+    written by an older build."""
     import hashlib
     import tempfile
 
     from stream_processing_test_spark.sources.envelope import (
+        _FIXTURE_VERSION,
+        TRANSPORT_SCHEMA,
         _envelope_fixture,
     )
 
     sf = "/root/testdata/sf0.001"
     p1 = _envelope_fixture(spark, sf)
     assert p1 == _envelope_fixture(spark, sf)
-    digest = hashlib.md5(sf.encode()).hexdigest()[:8]
+    digest = hashlib.md5(
+        f"{sf}|json|v{_FIXTURE_VERSION}|{TRANSPORT_SCHEMA.json()}".encode()
+    ).hexdigest()[:8]
     assert p1 == f"{tempfile.gettempdir()}/envelope_rollup_{digest}"
     # no applicationId in the path: a new process computes the same dir
     assert spark.sparkContext.applicationId not in p1
+    # a version bump changes the path
+    bumped = hashlib.md5(
+        f"{sf}|json|v{_FIXTURE_VERSION + 1}|{TRANSPORT_SCHEMA.json()}".encode()
+    ).hexdigest()[:8]
+    assert bumped != digest
 
 
 def test_streaming_envelope_rollup_matches_batch(spark):
@@ -420,36 +432,57 @@ def test_write_read_roundtrip_all_formats(spark, envelope_dirs, tmp_path):
         assert _canon(read_probe_events(spark, dest, fmt=fmt)) == want, fmt
 
 
-def test_envelope_fixture_reuses_complete_and_replaces_incomplete(spark):
+def test_envelope_fixture_reuses_complete_and_replaces_incomplete(
+    spark, tmp_path, monkeypatch
+):
     """Cross-process safety contract: a COMPLETE fixture (_SUCCESS
     marker) is reused untouched — no overwrite may unlink files under
     another process's in-flight scan; an INCOMPLETE leftover (crashed
-    run) is replaced with a fresh atomic write."""
+    run) is replaced with a fresh atomic write.
+
+    Scoped to a tmp_path-private tempdir (and the memo restored after):
+    the test deletes _SUCCESS and rewrites the fixture, which must not
+    race other tests (or a concurrent session on this host) lazily
+    scanning the SHARED /tmp fixture."""
     import os
+    import tempfile
 
     from stream_processing_test_spark.sources.envelope import (
         _ENVELOPE_FIXTURES,
         _envelope_fixture,
     )
 
-    sf = "/root/testdata/sf0.001"
-    p = _envelope_fixture(spark, sf)
-    assert os.path.exists(os.path.join(p, "_SUCCESS"))
-    stamp = os.path.getmtime(os.path.join(p, "_SUCCESS"))
-
-    # new process simulation: clear the session memo — the complete
-    # fixture on disk must be REUSED, not rewritten
+    monkeypatch.setattr(tempfile, "gettempdir", lambda: str(tmp_path))
+    saved = dict(_ENVELOPE_FIXTURES)
     _ENVELOPE_FIXTURES.clear()
-    assert _envelope_fixture(spark, sf) == p
-    assert os.path.getmtime(os.path.join(p, "_SUCCESS")) == stamp
+    try:
+        sf = "/root/testdata/sf0.001"
+        p = _envelope_fixture(spark, sf)
+        assert p.startswith(str(tmp_path))
+        assert os.path.exists(os.path.join(p, "_SUCCESS"))
+        stamp = os.path.getmtime(os.path.join(p, "_SUCCESS"))
 
-    # crashed-run simulation: incomplete dir (no _SUCCESS) is replaced
-    _ENVELOPE_FIXTURES.clear()
-    os.remove(os.path.join(p, "_SUCCESS"))
-    got = _envelope_fixture(spark, sf)
-    assert got == p
-    assert os.path.exists(os.path.join(p, "_SUCCESS"))
-    # no tmp dirs orphaned
-    parent, base = os.path.split(p)
-    leftovers = [d for d in os.listdir(parent) if d.startswith(base + ".tmp-")]
-    assert leftovers == []
+        # new process simulation: clear the session memo — the complete
+        # fixture on disk must be REUSED, not rewritten
+        _ENVELOPE_FIXTURES.clear()
+        assert _envelope_fixture(spark, sf) == p
+        assert os.path.getmtime(os.path.join(p, "_SUCCESS")) == stamp
+
+        # crashed-run simulation: incomplete dir (no _SUCCESS) is
+        # replaced
+        _ENVELOPE_FIXTURES.clear()
+        os.remove(os.path.join(p, "_SUCCESS"))
+        got = _envelope_fixture(spark, sf)
+        assert got == p
+        assert os.path.exists(os.path.join(p, "_SUCCESS"))
+        # no tmp or stale dirs orphaned
+        parent, base = os.path.split(p)
+        leftovers = [
+            d
+            for d in os.listdir(parent)
+            if d.startswith(base + ".tmp-") or d.startswith(base + ".stale-")
+        ]
+        assert leftovers == []
+    finally:
+        _ENVELOPE_FIXTURES.clear()
+        _ENVELOPE_FIXTURES.update(saved)
