@@ -454,7 +454,7 @@ def _embedding_lsh_oracle() -> str:
     from stream_processing_test_spark.llm.similarity import bucket_ctes
 
     return f"""
-WITH {bucket_ctes()},
+WITH {bucket_ctes(n_planes=None)},
 cand AS (
     SELECT DISTINCT a.vec_id AS doc_a, b.vec_id AS doc_b
     FROM buckets a JOIN buckets b
@@ -472,49 +472,49 @@ FROM verified WHERE raw >= {EMBED_COSINE_THRESHOLD}
 """
 
 
-@register(
-    "dedup_embedding_lsh",
-    oracle=_embedding_lsh_oracle(),
-    survey_ops="§7-dedup,§7-similarity,LSH",
-    tier=1,
-)
-def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup via candidate/verify — the 100 TB path for
-    the semantics ``dedup_embedding_cosine`` pins exactly.
+def embedding_lsh_pairs(
+    emb: DataFrame,
+    n_tables: int | None = None,
+    n_planes: int | None = None,
+    target_occupancy: int | None = None,
+    threshold: float = EMBED_COSINE_THRESHOLD,
+) -> DataFrame:
+    """Candidate/verify embedding near-dup core over ``emb`` (vec_id,
+    v: array<double>): hyperplane-LSH bucket self-join for candidates,
+    exact JVM-side cosine verify, emitting (doc_a, doc_b, cos_sim)
+    pairs with cosine >= ``threshold``.
 
-    Stage 1 (candidates): random-hyperplane LSH bucket join
-    (``similarity.hyperplane_tables``) — a pair is a candidate iff it
-    collides in ANY of the 16 tables, so pairwise work is confined to
-    bucket groups instead of the n² cross join. Bucket-group work is
-    Σ|bucket|² — bounded only if the bucket count grows with the
-    corpus, so at production sizes the plane count comes from
-    ``similarity.auto_planes`` (the fixture-pinned default here keeps
-    the oracle replayable at test scale; see the occupancy test in
-    test_scale_layout).
-    Stage 2 (verify): exact JVM-side cosine on the candidates only,
-    keeping pairs >= EMBED_COSINE_THRESHOLD.
-
-    Every emitted pair therefore satisfies the exact predicate
-    (precision 1.0 vs the quadratic twin by construction); recall is
-    the LSH collision curve — 1-(1-(1-θ/π)^planes)^tables ≈ 0.91 at
-    cos 0.35 with 16×4 — asserted as a pytest floor against the exact
-    pairs. Output schema matches ``dedup_embedding_cosine``
-    (doc_a, doc_b, cos_sim)."""
+    ``n_planes=None`` sizes the planes from a corpus COUNT probe via
+    ``similarity.auto_planes`` (optionally at an explicit
+    ``target_occupancy``) — the production default. Explicit values
+    support the scale ladder (tools/scale_stress.py), which measures
+    this exact pipeline at several (tables, occupancy) points, and the
+    fixed-plane contrast rung that demonstrates the quadratic the auto
+    sizing removes."""
     from stream_processing_test_spark.llm.similarity import (
-        cosine,
+        N_TABLES,
+        _dot,
+        _norm,
+        auto_planes,
         hyperplane_tables,
     )
 
-    emb = load(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
+    if n_tables is None:
+        n_tables = N_TABLES
+    if n_planes is None:
+        kw = (
+            {}
+            if target_occupancy is None
+            else {"target_occupancy": target_occupancy}
+        )
+        n_planes = auto_planes(emb.select("vec_id").count(), **kw)
     # both sides of the bucket self-join consume the hashed table —
     # persist so the signature fold runs once. Buckets are bare
     # (vec_id, table_id, bucket) rows: the candidate explosion (a pair
     # colliding in k tables appears k times, and bucket groups are
     # quadratic in group size) travels as 16-byte id pairs, never
     # vector payloads.
-    tables = hyperplane_tables(emb).persist()
+    tables = hyperplane_tables(emb, n_tables=n_tables, n_planes=n_planes).persist()
     a = tables.select(F.col("vec_id").alias("doc_a"), "table_id", "bucket")
     b = tables.select(F.col("vec_id").alias("doc_b"), "table_id", "bucket")
     cand = (
@@ -527,13 +527,11 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact-verify: two equi-joins pull the vectors back onto the
     # deduped pairs (same shape as the oracle's cand→esig joins).
     # Norms are precomputed ONCE per corpus vector and carried through
-    # the join: on this moderate-similarity fixture the candidate set
+    # the join: on the moderate-similarity fixture the candidate set
     # is a large fraction of all pairs, so the verify stage dominates —
     # dot/(na*nb) does one 64-element fold per pair instead of
     # cosine()'s three. Float-identical to cosine() (same expression
     # subtrees, same evaluation order), so oracle hashes are unchanged.
-    from stream_processing_test_spark.llm.similarity import _dot, _norm
-
     va = emb.select(
         F.col("vec_id").alias("doc_a"),
         F.col("v").alias("va"),
@@ -554,10 +552,50 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "raw_cos"
             ),
         )
-        .filter(F.col("raw_cos") >= EMBED_COSINE_THRESHOLD)
+        .filter(F.col("raw_cos") >= threshold)
         .select("doc_a", "doc_b", F.round("raw_cos", 4).alias("cos_sim"))
     )
     return finish_with(result, tables)
+
+
+@register(
+    "dedup_embedding_lsh",
+    oracle=_embedding_lsh_oracle(),
+    survey_ops="§7-dedup,§7-similarity,LSH",
+    tier=1,
+)
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup via candidate/verify — the 100 TB path for
+    the semantics ``dedup_embedding_cosine`` pins exactly.
+
+    Stage 1 (candidates): random-hyperplane LSH bucket join
+    (``similarity.hyperplane_tables``) — a pair is a candidate iff it
+    collides in ANY of the 16 tables, so pairwise work is confined to
+    bucket groups instead of the n² cross join. Bucket-group work is
+    Σ|bucket|² — bounded only if the bucket count grows with the
+    corpus, so since r8 the plane count comes from a corpus COUNT
+    probe through ``similarity.auto_planes`` (expected occupancy
+    capped at LSH_TARGET_OCCUPANCY; the r7-flagged fixed-4-plane
+    ~n²/16 default is retired). The DuckDB oracle recomputes the same
+    integer rule from its own COUNT(*)
+    (``similarity.auto_planes_ctes``), so the driver gate replays
+    whatever plane count the corpus implies — at fixture sizes
+    (≤16 k vectors) that resolves to the same 4-plane floor as before.
+    Stage 2 (verify): exact JVM-side cosine on the candidates only,
+    keeping pairs >= EMBED_COSINE_THRESHOLD.
+
+    Every emitted pair therefore satisfies the exact predicate
+    (precision 1.0 vs the quadratic twin by construction); recall is
+    the LSH collision curve — 1-(1-(1-θ/π)^planes)^tables ≈ 0.91 at
+    cos 0.35 with 16×4 — asserted as a pytest floor against the exact
+    pairs. Output schema matches ``dedup_embedding_cosine``
+    (doc_a, doc_b, cos_sim). Scale evidence: the vector ladder in
+    BENCH_SCALE.json measures this pipeline (via
+    :func:`embedding_lsh_pairs`) on self-generated corpora."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    return embedding_lsh_pairs(emb)
 
 
 SIMHASH_BITS = 60  # phash width — see llm/hashing.py

@@ -102,6 +102,93 @@ def test_ann_lsh_recall_at_k(spark):
     assert recall >= 0.6, f"ANN recall@3 {recall:.2f}"
 
 
+def test_auto_planes_sql_twin_matches_python():
+    """The registered LSH queries size planes from a corpus-count probe
+    (Python ``auto_planes``) while their oracles recompute the rule in
+    SQL (``auto_planes_ctes``) — the two must agree EXACTLY, including
+    at power-of-two boundaries, or the driver gate would compare
+    different bucketings. Integer arithmetic on both sides makes this a
+    hard equality, probed across the boundary counts."""
+    import duckdb
+
+    from stream_processing_test_spark.llm.similarity import (
+        auto_planes,
+        auto_planes_ctes,
+    )
+
+    con = duckdb.connect()
+    for n in [1, 500, 1024, 1025, 2000, 16384, 16385, 10**5, 10**6,
+              5 * 10**7, 10**9]:
+        con.execute(
+            f"CREATE OR REPLACE VIEW embeddings AS "
+            f"SELECT range AS vec_id FROM range({n})"
+        )
+        got = con.sql(
+            f"WITH {auto_planes_ctes()} SELECT planes FROM np"
+        ).fetchone()[0]
+        assert got == auto_planes(n), (n, got, auto_planes(n))
+
+
+def test_embedding_lsh_dynamic_planes_cross_engine_parity(spark):
+    """End-to-end cross-engine replay at a NON-DEFAULT plane count: the
+    parameterized pipeline (``embedding_lsh_pairs`` at a small target
+    occupancy, which auto-sizes to 5 planes on the 500-vector fixture)
+    must emit exactly the pairs a DuckDB replay with the same explicit
+    plane count computes. Pins that the oracle machinery replays ANY
+    parameterization, not just the 4-plane floor the driver fixtures
+    resolve to."""
+    from pyspark.sql import functions as F
+
+    from stream_processing_test_spark.llm.dedup import (
+        EMBED_COSINE_THRESHOLD,
+        embedding_lsh_pairs,
+    )
+    from stream_processing_test_spark.llm.similarity import (
+        auto_planes,
+        bucket_ctes,
+    )
+    from stream_processing_test_spark.oracle import duckdb_connection
+    from stream_processing_test_spark.tables import load
+
+    sf = "/root/testdata/sf0.001"
+    n = 500
+    target = 16
+    planes = auto_planes(n, target_occupancy=target)
+    assert planes == 5  # 16 * 2^4 = 256 < 500 <= 512 = 16 * 2^5
+
+    emb = load(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["cos_sim"]
+        for r in embedding_lsh_pairs(
+            emb, target_occupancy=target
+        ).collect()
+    }
+
+    con = duckdb_connection(sf)
+    sql = f"""
+WITH {bucket_ctes(n_planes=planes)},
+cand AS (
+    SELECT DISTINCT a.vec_id AS doc_a, b.vec_id AS doc_b
+    FROM buckets a JOIN buckets b
+      ON a.table_id = b.table_id AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+verified AS (
+    SELECT c.doc_a, c.doc_b, list_cosine_similarity(ea.v, eb.v) AS raw
+    FROM cand c
+    JOIN esig ea ON ea.vec_id = c.doc_a
+    JOIN esig eb ON eb.vec_id = c.doc_b
+)
+SELECT doc_a, doc_b, ROUND(raw, 4) AS cos_sim
+FROM verified WHERE raw >= {EMBED_COSINE_THRESHOLD}
+"""
+    want = {
+        (a, b): c for a, b, c in con.sql(sql).fetchall()
+    }
+    assert got == want
+
+
 def test_multimodal_features_deterministic(spark):
     a = _q("multimodal_features").fn(spark, SF).collect()
     b = _q("multimodal_features").fn(spark, SF).collect()
