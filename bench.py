@@ -130,6 +130,7 @@ BENCH_EXCLUDED = {
     # wall time dominated by harness/stub work, not engine stages
     "probe_source_events": "wall time is the synthetic prober loop (stub), not engine stages; connector timed end-to-end by its pytest contract",
     "envelope_rollup": "wall time is the local tempdir JSON write of its own fixture; the ingest edges are pinned by the driver correctness row",
+    "envelope_rollup_csv": "CSV format twin of envelope_rollup: wall time is the local tempdir CSV write of its own fixture; the CSV binding edges are pinned by its driver correctness row",
     "multimodal_features": "3-row binary fixture through stub codecs; measures Arrow setup, not engine throughput",
     "multimodal_preprocess": "2-row binary fixture through stub codecs; same",
     "dedup_embedding_cosine": "guarded quadratic ORACLE TWIN, hard-capped at 1M rows; the scale path timed is dedup_embedding_lsh",
