@@ -781,9 +781,17 @@ def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: identical to the dedup inverted index — the shingle
     is the portable 60-bit hash (8-byte join keys), the df cap bounds
     the cross-split join to Σdf·df_eval per shingle, and there is no
-    all-pairs stage anywhere. At 100 TB the eval side is a benchmark
-    suite (tiny); Spark/AQE broadcasts it and the scan is one pass
-    over the train corpus.
+    all-pairs stage anywhere. The index is restricted to shingles that
+    APPEAR IN THE EVAL SPLIT before the df count: a shingle absent
+    from eval can never produce an overlap row, and its global df is
+    unchanged by the restriction (the filter keeps every occurrence of
+    a kept shingle), so the result is identical — but the df groupBy
+    and its rejoin now process ~|eval|·grams rows instead of the full
+    corpus index, which was the pipeline's dominant (and superlinearly
+    measured: 13.6× wall for 8.4× docs, BENCH_SCALE r7) shuffle. At
+    100 TB the eval side is a benchmark suite (tiny): AQE broadcasts
+    the eval-shingle keys and the restriction is one map-side
+    semi-join pass over the train index.
 
     Finer grams than dedup (3 vs 5) on purpose: contamination cares
     about shared phrases, not whole-document similarity; real
@@ -792,14 +800,19 @@ def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load(spark, sf_dir, "documents")
     sh = shingles(docs, n=CONTAM_N).persist()
+    is_eval = F.col("doc_id") % EVAL_MOD == 0
+    # only shingles occurring in the eval split matter downstream;
+    # restricting FIRST shrinks the df count and both its joins to the
+    # eval-matched slice (~1% here) without changing any df value
+    ev_keys = sh.filter(is_eval).select("shingle").distinct()
+    hit = sh.join(ev_keys, "shingle")
     rare_sh = (
-        sh.groupBy("shingle")
+        hit.groupBy("shingle")
         .agg(F.count("*").alias("df"))
         .filter(F.col("df") <= CONTAM_DF_MAX)
         .select("shingle")
     )
-    rare = sh.join(rare_sh, "shingle")
-    is_eval = F.col("doc_id") % EVAL_MOD == 0
+    rare = hit.join(rare_sh, "shingle")
     ev = rare.filter(is_eval).select(
         F.col("doc_id").alias("eval_doc"), "shingle"
     )
