@@ -29,9 +29,21 @@ the 0.8 threshold, so every intended pair IS a dup edge. Copies of the
 same base form clusters of size 2-4 linked through the base (dup-dup
 similarity may fall below threshold; transitivity closes them).
 
+Since r8 the harness also measures the VECTOR family (VERDICT r7
+item 1): ``vec_x1/x4/x16`` generate embeddings corpora (50 k / 200 k /
+800 k x 64-dim, 20% near-copies at cos ~0.89) and time the
+auto_planes-sized ``embedding_lsh_pairs`` pipeline (the registered
+``dedup_embedding_lsh`` code path) — expected candidates are
+~ n * occupancy * tables, so walls should scale ~linearly; planted-pair
+recall is recorded alongside. ``vec_fixed4``/``vec_fixed4_2x`` run the
+SAME pipeline with the retired fixed-4-plane default on 10 k / 20 k
+corpora: its bucket join is ~n²/2^4 per table, so the 2x rung should
+~quadruple — the measured contrast that justifies the auto sizing.
+
 Usage:
   python tools/scale_stress.py [--tiers x1,x10,overbudget]
       [--scratch DIR] [--out BENCH_SCALE.json] [--repeats 2]
+      [--queries q1,q2]   # text tiers: time only these, merge per-query
 """
 
 from __future__ import annotations
@@ -54,6 +66,19 @@ TIERS = {
     # name: (n_docs, dup_rate)
     "x1": (5_000, 0.4),
     "x10": (50_000, 0.4),
+    # vector-corpus tiers (VERDICT r7 item 1): embeddings.parquet of
+    # n 64-dim vectors, 20% near-copies at cosine ~0.9. 4x docs per
+    # rung — the auto_planes-sized LSH dedup should scale ~linearly
+    # (expected candidates ~ n * occupancy * tables).
+    "vec_x1": (50_000, 0.2),
+    "vec_x4": (200_000, 0.2),
+    "vec_x16": (800_000, 0.2),
+    # fixed-4-plane CONTRAST pair: the retired default's bucket join is
+    # ~n^2/2^4 per table, so doubling the corpus should ~quadruple the
+    # wall while the auto-sized run on the same corpora stays ~linear —
+    # the measured demonstration of why auto_planes is wired in.
+    "vec_fixed4": (10_000, 0.2),
+    "vec_fixed4_2x": (20_000, 0.2),
     # 420k docs @ 40% dups -> ~290k clustered nodes (168k copies +
     # ~123k distinct bases hit) -> gate estimate ~18.6 MB >> the 10 MB
     # default budget: the gate must refuse the broadcast hint. (AQE may
@@ -66,6 +91,26 @@ TIERS = {
     # join executes as a genuine shuffle join end-to-end
     "overbudget_xl": (1_680_000, 0.4),
 }
+
+
+def _reuse_or_gen(out_dir: str, params: dict, gen_fn) -> dict:
+    """Skip regeneration when the tier dir already holds a corpus
+    produced with identical parameters (marker json written after a
+    successful generation) — re-running one tier or one query no
+    longer pays the multi-minute corpus write of the big tiers."""
+    marker = os.path.join(out_dir, "gen_stats.json")
+    if os.path.exists(marker):
+        try:
+            prev = json.loads(Path(marker).read_text())
+            if all(prev.get(k) == v for k, v in params.items()) and os.path.exists(
+                prev.get("path", "")
+            ):
+                return {**prev, "reused": True}
+        except (OSError, ValueError):
+            pass
+    stats = gen_fn()
+    Path(marker).write_text(json.dumps(stats))
+    return stats
 
 
 def gen_corpus(out_dir: str, n_docs: int, dup_rate: float, seed: int = SEED) -> dict:
@@ -140,6 +185,140 @@ def gen_corpus(out_dir: str, n_docs: int, dup_rate: float, seed: int = SEED) -> 
         "seed": seed,
         "bytes": os.path.getsize(path),
     }
+
+
+VEC_DIM = 64  # embeddings-table vector width
+VEC_TABLES = 8  # LSH tables for the ladder (cost knob; recall via tables)
+VEC_OCCUPANCY = 16  # auto_planes target for the ladder: expected
+#                     candidates ~ n * occupancy * tables stays local-
+#                     runnable at 800k vectors (the registered default
+#                     of 1024 is recall-first and sized for clusters)
+VEC_NOISE = 0.5  # dup = base + noise*N(0,1)^dim -> cos ~ 1/sqrt(1.25) ~ 0.894
+
+
+def gen_vectors(out_dir: str, n_vecs: int, dup_rate: float, seed: int = SEED) -> dict:
+    """Write ``{out_dir}/embeddings.parquet`` (driver-table schema:
+    vec_id BIGINT, embedding FLOAT[], label INT) plus
+    ``planted_pairs.parquet`` (the intended near-dup pairs, for recall
+    accounting) and return generation stats. Base vectors are standard
+    normal; ``dup_rate`` of each chunk are near-copies of a random base
+    from the same chunk at cosine ~0.894 (>> the 0.35 threshold)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(seed + 7)
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, "embeddings.parquet")
+    ppath = os.path.join(out_dir, "planted_pairs.parquet")
+    schema = pa.schema(
+        [
+            ("vec_id", pa.int64()),
+            ("embedding", pa.list_(pa.float32())),
+            ("label", pa.int32()),
+        ]
+    )
+    pschema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
+    chunk = 100_000
+    n_dup_total = 0
+    writer = pq.ParquetWriter(path, schema)
+    pwriter = pq.ParquetWriter(ppath, pschema)
+    try:
+        for start in range(0, n_vecs, chunk):
+            c = min(chunk, n_vecs - start)
+            n_dup = int(c * dup_rate)
+            n_base = c - n_dup
+            base = rng.standard_normal((n_base, VEC_DIM)).astype(np.float32)
+            picks = rng.integers(0, n_base, size=n_dup)
+            dups = (
+                base[picks]
+                + VEC_NOISE
+                * rng.standard_normal((n_dup, VEC_DIM)).astype(np.float32)
+            )
+            vecs = np.vstack([base, dups])
+            writer.write_table(
+                pa.table(
+                    {
+                        "vec_id": np.arange(start, start + c, dtype=np.int64),
+                        "embedding": pa.array(
+                            list(vecs), type=pa.list_(pa.float32())
+                        ),
+                        "label": np.zeros(c, dtype=np.int32),
+                    },
+                    schema=schema,
+                )
+            )
+            # planted pair = (base id, dup id), base always first/lower
+            base_ids = start + picks.astype(np.int64)
+            dup_ids = np.arange(
+                start + n_base, start + c, dtype=np.int64
+            )
+            pwriter.write_table(
+                pa.table({"doc_a": base_ids, "doc_b": dup_ids}, schema=pschema)
+            )
+            n_dup_total += n_dup
+    finally:
+        writer.close()
+        pwriter.close()
+    return {
+        "path": path,
+        "n_vecs": n_vecs,
+        "n_planted_pairs": n_dup_total,
+        "dup_rate": dup_rate,
+        "dim": VEC_DIM,
+        "noise": VEC_NOISE,
+        "seed": seed,
+        "bytes": os.path.getsize(path),
+    }
+
+
+def vector_lsh_run(spark, tdir: str, repeats: int, n_planes: int | None) -> dict:
+    """Time the parameterized embedding-LSH dedup pipeline
+    (llm.dedup.embedding_lsh_pairs — the registered query's exact code
+    path) on the tier's embeddings table. ``n_planes=None`` sizes the
+    planes via auto_planes at VEC_OCCUPANCY; an explicit value (the
+    fixed-4 contrast) reproduces the retired default's quadratic."""
+    from pyspark.sql import functions as F
+
+    from stream_processing_test_spark.llm.dedup import embedding_lsh_pairs
+    from stream_processing_test_spark.llm.similarity import auto_planes
+    from stream_processing_test_spark.session import release_local_checkpoint
+    from stream_processing_test_spark.tables import load
+
+    emb = load(spark, tdir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    n = emb.count()
+    planes = (
+        auto_planes(n, target_occupancy=VEC_OCCUPANCY)
+        if n_planes is None
+        else n_planes
+    )
+    out: dict = {"n_vecs": n, "planes": planes, "tables": VEC_TABLES}
+    if n_planes is None:
+        out["target_occupancy"] = VEC_OCCUPANCY
+    samples: list[float] = []
+    for i in range(repeats):
+        spark.catalog.clearCache()
+        t0 = time.time()
+        # embedding_lsh_pairs materializes eagerly (finish_with ->
+        # localCheckpoint), so the wall below covers the whole pipeline
+        res = embedding_lsh_pairs(
+            emb, n_tables=VEC_TABLES, n_planes=planes
+        )
+        samples.append(round(time.time() - t0, 2))
+        if i == 0:
+            out["pairs"] = res.count()
+            planted = spark.read.parquet(
+                os.path.join(tdir, "planted_pairs.parquet")
+            )
+            n_planted = planted.count()
+            hits = res.join(planted, ["doc_a", "doc_b"]).count()
+            out["planted_recall"] = round(hits / max(n_planted, 1), 3)
+        release_local_checkpoint(res)
+    out["wall_sec"] = min(samples)
+    out["samples"] = samples
+    return out
 
 
 LADDER = [
@@ -250,7 +429,18 @@ def main() -> None:
         "--out", default=str(Path(__file__).resolve().parent.parent / "BENCH_SCALE.json")
     )
     ap.add_argument("--repeats", type=int, default=2)
+    ap.add_argument(
+        "--queries",
+        default="",
+        help="comma list: time only these ladder queries (text tiers); "
+        "results merge per-query into an existing artifact",
+    )
     args = ap.parse_args()
+    qfilter = {q for q in args.queries.split(",") if q}
+    tier_names = args.tiers.split(",")
+
+    def selected(queries: list[str]) -> list[str]:
+        return [q for q in queries if not qfilter or q in qfilter]
 
     # the 53M-row shingle persist at the overbudget tier wants headroom
     # beyond the 8g test default; spill-safe either way
@@ -259,15 +449,29 @@ def main() -> None:
 
     spark = get_spark("scale-stress")
     spark.range(1000).count()
-    # JIT warm-up: one untimed pass of the full ladder on a small
-    # corpus — the first execution of each operator family pays
+    # JIT warm-up: one untimed pass of the selected ladder queries on a
+    # small corpus — the first execution of each operator family pays
     # codegen/JIT (measured ~4-10x on this host), which would land
-    # entirely on tier x1's first query and corrupt every ratio
-    wdir = os.path.join(args.scratch, "warmup")
-    gen_corpus(wdir, 2_000, 0.4)
-    for q in LADDER + EXTRA_LADDER:
-        time_query(spark, q, wdir, 1)
-    print("[warmup] ladder JIT pass done", flush=True)
+    # entirely on the first tier's first query and corrupt every ratio
+    if any(not t.startswith("vec_") for t in tier_names):
+        wdir = os.path.join(args.scratch, "warmup")
+        _reuse_or_gen(
+            wdir,
+            {"n_docs": 2_000, "dup_rate": 0.4, "seed": SEED},
+            lambda: gen_corpus(wdir, 2_000, 0.4),
+        )
+        for q in selected(LADDER + EXTRA_LADDER):
+            time_query(spark, q, wdir, 1)
+        print("[warmup] ladder JIT pass done", flush=True)
+    if any(t.startswith("vec_") for t in tier_names):
+        wdir = os.path.join(args.scratch, "warmup_vec")
+        _reuse_or_gen(
+            wdir,
+            {"n_vecs": 2_000, "dup_rate": 0.2, "seed": SEED},
+            lambda: gen_vectors(wdir, 2_000, 0.2),
+        )
+        vector_lsh_run(spark, wdir, 1, None)
+        print("[warmup] vector JIT pass done", flush=True)
 
     from bench import _calibration_probe
 
@@ -281,31 +485,58 @@ def main() -> None:
         ),
         "tiers": {},
     }
-    for tier in args.tiers.split(","):
+    for tier in tier_names:
         n_docs, dup_rate = TIERS[tier]
         tdir = os.path.join(args.scratch, tier)
         t0 = time.time()
-        stats = gen_corpus(tdir, n_docs, dup_rate)
+        if tier.startswith("vec_"):
+            stats = _reuse_or_gen(
+                tdir,
+                {"n_vecs": n_docs, "dup_rate": dup_rate, "seed": SEED},
+                lambda: gen_vectors(tdir, n_docs, dup_rate),
+            )
+            stats["gen_sec"] = round(time.time() - t0, 2)
+            entry = {"corpus": stats}
+            print(f"[{tier}] corpus: {stats}", flush=True)
+            entry["auto"] = vector_lsh_run(spark, tdir, args.repeats, None)
+            print(f"[{tier}] auto: {entry['auto']}", flush=True)
+            if tier.startswith("vec_fixed4"):
+                entry["fixed4"] = vector_lsh_run(spark, tdir, args.repeats, 4)
+                print(f"[{tier}] fixed4: {entry['fixed4']}", flush=True)
+            result["tiers"][tier] = entry
+            continue
+        stats = _reuse_or_gen(
+            tdir,
+            {"n_docs": n_docs, "dup_rate": dup_rate, "seed": SEED},
+            lambda: gen_corpus(tdir, n_docs, dup_rate),
+        )
         stats["gen_sec"] = round(time.time() - t0, 2)
         entry: dict = {"corpus": stats, "queries": {}}
         print(f"[{tier}] corpus: {stats}", flush=True)
         if tier.startswith("overbudget"):
-            entry["keep_canonical_staged"] = overbudget_staged(spark, tdir)
-            print(f"[{tier}] staged: {entry['keep_canonical_staged']}", flush=True)
+            if not qfilter or "dedup_keep_canonical" in qfilter:
+                entry["keep_canonical_staged"] = overbudget_staged(spark, tdir)
+                print(
+                    f"[{tier}] staged: {entry['keep_canonical_staged']}",
+                    flush=True,
+                )
             # full-query walls (min-of-repeats) for the ladder rungs,
             # so the large-tier scaling ratios rest on repeated samples
             # — the single-shot staged run above is the GATE evidence,
             # not the timing source (host-throttle windows on this box
             # can inflate a lone sample ~2x; see the calibration probe)
-            for q in [
-                "dedup_ngram_jaccard",
-                "dup_clusters",
-                "leakage_safe_split",
-            ] + EXTRA_LADDER:
+            for q in selected(
+                [
+                    "dedup_ngram_jaccard",
+                    "dup_clusters",
+                    "leakage_safe_split",
+                ]
+                + EXTRA_LADDER
+            ):
                 entry["queries"][q] = time_query(spark, q, tdir, args.repeats)
                 print(f"[{tier}] {q}: {entry['queries'][q]}", flush=True)
         else:
-            for q in LADDER + EXTRA_LADDER:
+            for q in selected(LADDER + EXTRA_LADDER):
                 entry["queries"][q] = time_query(spark, q, tdir, args.repeats)
                 print(f"[{tier}] {q}: {entry['queries'][q]}", flush=True)
         result["tiers"][tier] = entry
@@ -319,15 +550,28 @@ def main() -> None:
         "start_sec": cal_start,
         "end_sec": cal_end,
     }
-    # merge with a previous run's artifact so tiers can be (re)run
-    # individually without losing the others
+    # merge with a previous run's artifact so tiers — and with
+    # --queries, individual QUERIES within a tier — can be (re)run
+    # without losing the others
     out_path = Path(args.out)
     if out_path.exists():
         try:
             prev = json.loads(out_path.read_text())
-            result["tiers"] = {**prev.get("tiers", {}), **result["tiers"]}
+            for tname, tprev in prev.get("tiers", {}).items():
+                tnew = result["tiers"].get(tname)
+                if tnew is None:
+                    result["tiers"][tname] = tprev
+                    continue
+                if "queries" in tprev or "queries" in tnew:
+                    tnew["queries"] = {
+                        **tprev.get("queries", {}),
+                        **tnew.get("queries", {}),
+                    }
+                for k, v in tprev.items():
+                    tnew.setdefault(k, v)
         except (OSError, ValueError):
             pass
+
     def ratio(a: str, b: str, key: str) -> None:
         ta, tb = result["tiers"].get(a), result["tiers"].get(b)
         if ta and tb:
@@ -337,12 +581,27 @@ def main() -> None:
                     2,
                 )
                 for q in LADDER + EXTRA_LADDER
-                if q in ta["queries"] and q in tb["queries"]
+                if q in ta.get("queries", {}) and q in tb.get("queries", {})
             }
 
     ratio("x1", "x10", "scaling_ratio_x10_over_x1")
     ratio("x10", "overbudget", "scaling_ratio_overbudget_over_x10")  # 8.4x docs
     ratio("overbudget", "overbudget_xl", "scaling_ratio_xl_over_overbudget")  # 4x docs
+
+    def vec_ratio(a: str, b: str, key: str, mode: str = "auto") -> None:
+        ta, tb = result["tiers"].get(a), result["tiers"].get(b)
+        if ta and tb and mode in ta and mode in tb:
+            result[key] = round(
+                tb[mode]["wall_sec"] / max(ta[mode]["wall_sec"], 0.01), 2
+            )
+
+    # auto-sized rungs: 4x vectors per step, expect ~linear walls
+    vec_ratio("vec_x1", "vec_x4", "vec_scaling_ratio_x4_over_x1")
+    vec_ratio("vec_x4", "vec_x16", "vec_scaling_ratio_x16_over_x4")
+    # contrast pair: fixed 4 planes should ~quadruple for 2x vectors
+    # while auto on the SAME corpora stays ~flat-to-2x
+    vec_ratio("vec_fixed4", "vec_fixed4_2x", "vec_fixed4_ratio_2x", "fixed4")
+    vec_ratio("vec_fixed4", "vec_fixed4_2x", "vec_auto_ratio_2x_same_corpora")
     out_path.write_text(json.dumps(result, indent=1) + "\n")
     print(json.dumps(result, indent=1))
 
