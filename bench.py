@@ -141,6 +141,15 @@ BENCH_EXCLUDED = {
 }
 
 
+# Reference cost of the calibration probe on a nominal (unthrottled)
+# driver host — the r7 run's end-of-run probe. value_cal_normalized
+# divides host drift out of the headline total (value * CAL_REF /
+# mean(cal)), so cross-round comparisons stop re-deriving throttle
+# corrections by hand (VERDICT r7 item 6). Compare LIKE WITH LIKE:
+# normalized against normalized (r8+), raw against raw.
+CAL_REF_SEC = 0.187
+
+
 def _calibration_probe(spark) -> float:
     """Fixed-cost, data-independent CPU probe: a codegen'd xxhash64
     fold over a literal range — no I/O, no shuffle, no cache effects.
@@ -196,6 +205,8 @@ def main() -> None:
         for name, ts in samples.items()
     }
     total = round(sum(timings.values()), 3)
+    cal_mean = (cal_start + cal_end) / 2
+    total_cal = round(total * CAL_REF_SEC / cal_mean, 3) if cal_mean else None
     sf_num = float(sf) if sf.replace(".", "").isdigit() else sf
     # Full detail to a committed side file: the driver's BENCH artifact
     # keeps only the last 2000 chars of stdout, so the printed line must
@@ -216,7 +227,11 @@ def main() -> None:
             "start_sec": cal_start,
             "end_sec": cal_end,
             "drift_ratio": round(cal_end / cal_start, 3) if cal_start else None,
+            "cal_ref_sec": CAL_REF_SEC,
         },
+        # headline total with host-speed drift divided out (see
+        # CAL_REF_SEC): the cross-round comparison number
+        "value_cal_normalized": total_cal,
     }
     try:
         Path(__file__).resolve().parent.joinpath("BENCH_DETAIL.json").write_text(
@@ -237,6 +252,7 @@ def main() -> None:
                 "unit": "sec",
                 "sf": sf_num,
                 "cal": [cal_start, cal_end],
+                "value_cal_normalized": total_cal,
                 "value": total,
             },
             separators=(",", ":"),

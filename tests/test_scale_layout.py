@@ -571,9 +571,11 @@ def test_no_query_force_broadcasts_fact_scaled_frames(spark):
             if name in _SWEEP_OPAQUE:
                 continue
             plan = _plan(spec.fn(spark, SF_SMALL))
-            assert "Scan parquet" in plan or "Scan json" in plan, (
-                f"{name}: expected a lazy plan"
-            )
+            assert (
+                "Scan parquet" in plan
+                or "Scan json" in plan
+                or "Scan csv" in plan
+            ), f"{name}: expected a lazy plan"
             if "BroadcastExchange" in plan:
                 forced.add(name)
         assert forced == set(_FORCED_BROADCAST_ALLOWED), (
