@@ -156,6 +156,7 @@ PLAN_OPAQUE_QUERIES: dict[str, str] = {
     "streaming_dedup": "streaming sink",
     "streaming_envelope_rollup": "streaming sink",
     "streaming_failure_streaks": "streaming sink",
+    "streaming_rate_rollup": "streaming sink",
     "streaming_session_windows": "streaming sink",
 }
 

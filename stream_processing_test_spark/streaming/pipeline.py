@@ -211,6 +211,7 @@ def rate_events_stream(
     start_epoch: int = 1_705_276_800,  # 2024-01-15 00:00:00 UTC
     advance_ms: int = 21_600_000,  # 6h per micro-batch
     num_partitions: int = 4,
+    max_value: int | None = None,
 ) -> DataFrame:
     """T1 beyond file replay: a ``rate-micro-batch``-source event stream
     with DETERMINISTIC content, for exercising trigger semantics
@@ -228,7 +229,15 @@ def rate_events_stream(
     This is the shape a production deployment uses to soak-test the
     streaming DAG (state growth, trigger latency) before pointing it
     at Kafka — the aggregation/network path is identical, only the
-    source differs."""
+    source differs.
+
+    ``max_value`` bounds the UNBOUNDED source deterministically:
+    values >= max_value are filtered out before derivation, so once
+    the first ``max_value // rows_per_batch`` batches have committed,
+    further batches leave any aggregate over the stream unchanged — a
+    poll-then-stop consumer reads the same result no matter how many
+    extra batches slip in before stop() lands (the trick behind the
+    driver-checkable ``streaming_rate_rollup``)."""
     raw = (
         spark.readStream.format("rate-micro-batch")
         .option("rowsPerBatch", rows_per_batch)
@@ -237,6 +246,8 @@ def rate_events_stream(
         .option("numPartitions", num_partitions)
         .load()
     )
+    if max_value is not None:
+        raw = raw.filter(F.col("value") < max_value)
     return rate_rows_to_events(raw)
 
 
@@ -254,6 +265,111 @@ def rate_rows_to_events(raw: DataFrame) -> DataFrame:
         .alias("event_type"),
         ((F.col("value") % 100) / 10.0).alias("value"),
     )
+
+
+RATE_RPB = 50  # rows per micro-batch for the registered rate rollup
+RATE_K = 200  # aggregate bound: exactly the first 4 batches of values
+
+_RATE_START = 1_705_276_800
+_RATE_ADV_S = 21_600  # 6h per batch, in seconds
+
+
+def _rate_rollup_oracle() -> str:
+    from stream_processing_test_spark.llm.hashing import phash_sql
+
+    h = phash_sql("CAST(value AS VARCHAR)")
+    return f"""
+WITH vals AS (SELECT range AS value FROM range({RATE_K})),
+ev AS (
+    SELECT value % 7 AS user_id,
+           CASE WHEN ({h}) % 10 < 2 THEN 'error' ELSE 'view' END AS event_type,
+           (value % 100) / 10.0 AS value_score,
+           TIMESTAMP '2024-01-15 00:00:00'
+               + (value // {RATE_RPB}) * INTERVAL {_RATE_ADV_S} SECOND AS ts
+    FROM vals)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_errors,
+       ROUND(MIN(value_score), 1) AS min_value,
+       ROUND(MAX(value_score), 1) AS max_value,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS min_ts,
+       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS max_ts
+FROM ev GROUP BY user_id
+"""
+
+
+@register(
+    "streaming_rate_rollup",
+    oracle=_rate_rollup_oracle(),
+    survey_ops="T1,T3,A8",
+    tier=1,
+)
+def streaming_rate_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1's second source shape under oracle evidence (VERDICT r7
+    item 7): a REAL processing-time rate-micro-batch stream —
+    no files on disk — aggregated in complete mode and stopped
+    deterministically.
+
+    Determinism over an unbounded source: the stream is value-bounded
+    at RATE_K (``max_value`` filter before derivation), so once the
+    first RATE_K / RATE_RPB batches commit, the aggregate is final —
+    extra batches that slip in before stop() are filtered to nothing.
+    The consumer polls the complete-mode memory sink until all RATE_K
+    values are reflected, then stops; the returned table is therefore
+    a pure function of the derivation, which the DuckDB oracle replays
+    from ``range(RATE_K)`` (the source stamps batch i's values with
+    start + i*advance, so ts = f(value) too). ``sf_dir`` is unused —
+    the source is synthetic by design (the point is trigger semantics,
+    not ingest)."""
+    import time as _time
+
+    scoped = spark.newSession()
+    prev = scoped.conf.get("spark.sql.shuffle.partitions")
+    scoped.conf.set("spark.sql.shuffle.partitions", "4")
+    name = "rate_rollup_drv"
+    try:
+        ev = rate_events_stream(
+            scoped,
+            rows_per_batch=RATE_RPB,
+            start_epoch=_RATE_START,
+            advance_ms=_RATE_ADV_S * 1000,
+            max_value=RATE_K,
+        )
+        agg = ev.groupBy("user_id").agg(
+            F.count("*").alias("n_events"),
+            F.sum(
+                F.when(F.col("event_type") == "error", 1).otherwise(0)
+            ).alias("n_errors"),
+            F.round(F.min("value"), 1).alias("min_value"),
+            F.round(F.max("value"), 1).alias("max_value"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("min_ts"),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("max_ts"),
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(processingTime="50 milliseconds")
+            .start()
+        )
+        deadline = _time.time() + 120
+        while _time.time() < deadline:
+            n = scoped.sql(
+                f"SELECT coalesce(sum(n_events), 0) FROM {name}"
+            ).collect()[0][0]
+            if n >= RATE_K:
+                break
+            _time.sleep(0.2)
+        q.stop()
+        q.awaitTermination(60)
+        if n < RATE_K:
+            raise TimeoutError(
+                f"rate stream committed only {n}/{RATE_K} values in 120s"
+            )
+    finally:
+        scoped.conf.set("spark.sql.shuffle.partitions", prev)
+    return scoped.table(name)
 
 
 def latest_per_source(scores: DataFrame) -> DataFrame:
