@@ -778,20 +778,23 @@ def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     eval docs it hits and the largest per-eval-doc overlap — the two
     numbers a removal policy thresholds on.
 
-    Scale shape: identical to the dedup inverted index — the shingle
-    is the portable 60-bit hash (8-byte join keys), the df cap bounds
-    the cross-split join to Σdf·df_eval per shingle, and there is no
-    all-pairs stage anywhere. The index is restricted to shingles that
-    APPEAR IN THE EVAL SPLIT before the df count: a shingle absent
-    from eval can never produce an overlap row, and its global df is
-    unchanged by the restriction (the filter keeps every occurrence of
-    a kept shingle), so the result is identical — but the df groupBy
-    and its rejoin now process ~|eval|·grams rows instead of the full
-    corpus index, which was the pipeline's dominant (and superlinearly
-    measured: 13.6× wall for 8.4× docs, BENCH_SCALE r7) shuffle. At
-    100 TB the eval side is a benchmark suite (tiny): AQE broadcasts
-    the eval-shingle keys and the restriction is one map-side
-    semi-join pass over the train index.
+    Scale shape: the eval restriction comes FIRST, so the full corpus
+    is never index-built at all. Only shingles that appear in the eval
+    split can produce an overlap row, and the eval split is read with
+    its own (tiny, ~1%) scan to derive the key set; the full-corpus
+    pass is then a single shingle-explode map stage filtered through a
+    broadcast semi-join on those keys — no corpus-wide shuffle, no
+    corpus-wide distinct (the per-doc dedup happens on the eval-matched
+    slice only). Every df value is unchanged by the restriction (the
+    filter keeps every occurrence of a kept shingle), so the df cap,
+    the cross-split join (bounded at Σdf·df_eval per shingle), and the
+    result are identical to the unrestricted form the oracle computes.
+    This retires the r7 ladder's worst scaler: the old plan's
+    corpus-wide ``repartition + dropDuplicates`` index build (55 M rows
+    at the 420 k-doc tier) measured 13.6× wall for 8.4× docs; the
+    restricted plan's only full-corpus work is the explode+hash map
+    pass. At 100 TB the eval side is a benchmark suite (tiny): the key
+    set broadcasts, and the scan is one pass over the train corpus.
 
     Finer grams than dedup (3 vs 5) on purpose: contamination cares
     about shared phrases, not whole-document similarity; real
@@ -799,13 +802,23 @@ def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     the synthetic vocabulary's shingle statistics.
     """
     docs = load(spark, sf_dir, "documents")
-    sh = shingles(docs, n=CONTAM_N).persist()
     is_eval = F.col("doc_id") % EVAL_MOD == 0
-    # only shingles occurring in the eval split matter downstream;
-    # restricting FIRST shrinks the df count and both its joins to the
-    # eval-matched slice (~1% here) without changing any df value
-    ev_keys = sh.filter(is_eval).select("shingle").distinct()
-    hit = sh.join(ev_keys, "shingle")
+    # key set from a dedicated ~1% scan — the distinct here is over
+    # the eval docs' shingles only, trivially small
+    ev_keys = (
+        shingles(docs.filter(is_eval), n=CONTAM_N, distinct=False)
+        .select("shingle")
+        .distinct()
+    )
+    # ONE full-corpus pass: the raw (non-distinct) shingle stream,
+    # filtered through the broadcastable key set; per-doc dedup AFTER
+    # the restriction, on the eval-matched slice only
+    hit = (
+        shingles(docs, n=CONTAM_N, distinct=False)
+        .join(ev_keys, "shingle")
+        .dropDuplicates(["doc_id", "shingle"])
+        .persist()
+    )
     rare_sh = (
         hit.groupBy("shingle")
         .agg(F.count("*").alias("df"))
@@ -830,4 +843,4 @@ def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("train_doc").alias("doc_id"), "n_eval_docs", "max_shared"
     )
-    return finish_with(result, sh)
+    return finish_with(result, hit)

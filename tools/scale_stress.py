@@ -73,6 +73,10 @@ TIERS = {
     "vec_x1": (50_000, 0.2),
     "vec_x4": (200_000, 0.2),
     "vec_x16": (800_000, 0.2),
+    # recall dial: same 200k corpus, DOUBLE the tables — measures the
+    # documented production move (hold recall as planes grow by raising
+    # n_tables; cost ~2x, still linear in n)
+    "vec_x4_t16": (200_000, 0.2),
     # fixed-4-plane CONTRAST pair: the retired default's bucket join is
     # ~n^2/2^4 per table, so doubling the corpus should ~quadruple the
     # wall while the auto-sized run on the same corpora stays ~linear —
@@ -272,7 +276,9 @@ def gen_vectors(out_dir: str, n_vecs: int, dup_rate: float, seed: int = SEED) ->
     }
 
 
-def vector_lsh_run(spark, tdir: str, repeats: int, n_planes: int | None) -> dict:
+def vector_lsh_run(
+    spark, tdir: str, repeats: int, n_planes: int | None, n_tables: int | None = None
+) -> dict:
     """Time the parameterized embedding-LSH dedup pipeline
     (llm.dedup.embedding_lsh_pairs — the registered query's exact code
     path) on the tier's embeddings table. ``n_planes=None`` sizes the
@@ -294,7 +300,9 @@ def vector_lsh_run(spark, tdir: str, repeats: int, n_planes: int | None) -> dict
         if n_planes is None
         else n_planes
     )
-    out: dict = {"n_vecs": n, "planes": planes, "tables": VEC_TABLES}
+    if n_tables is None:
+        n_tables = VEC_TABLES
+    out: dict = {"n_vecs": n, "planes": planes, "tables": n_tables}
     if n_planes is None:
         out["target_occupancy"] = VEC_OCCUPANCY
     samples: list[float] = []
@@ -304,7 +312,7 @@ def vector_lsh_run(spark, tdir: str, repeats: int, n_planes: int | None) -> dict
         # embedding_lsh_pairs materializes eagerly (finish_with ->
         # localCheckpoint), so the wall below covers the whole pipeline
         res = embedding_lsh_pairs(
-            emb, n_tables=VEC_TABLES, n_planes=planes
+            emb, n_tables=n_tables, n_planes=planes
         )
         samples.append(round(time.time() - t0, 2))
         if i == 0:
@@ -498,7 +506,10 @@ def main() -> None:
             stats["gen_sec"] = round(time.time() - t0, 2)
             entry = {"corpus": stats}
             print(f"[{tier}] corpus: {stats}", flush=True)
-            entry["auto"] = vector_lsh_run(spark, tdir, args.repeats, None)
+            tables = 16 if tier.endswith("_t16") else None
+            entry["auto"] = vector_lsh_run(
+                spark, tdir, args.repeats, None, tables
+            )
             print(f"[{tier}] auto: {entry['auto']}", flush=True)
             if tier.startswith("vec_fixed4"):
                 entry["fixed4"] = vector_lsh_run(spark, tdir, args.repeats, 4)
