@@ -490,7 +490,15 @@ def embedding_lsh_pairs(
     support the scale ladder (tools/scale_stress.py), which measures
     this exact pipeline at several (tables, occupancy) points, and the
     fixed-plane contrast rung that demonstrates the quadratic the auto
-    sizing removes."""
+    sizing removes.
+
+    ``emb.v`` may be ``array<float>`` (preferred) or ``array<double>``:
+    every fold casts to double AT THE EXPRESSION, so the numbers are
+    bit-identical either way (float→double widening is exact), but a
+    float input HALVES the verify stage's shuffle payload — the
+    candidate pairs carry a vector through one exchange each side, and
+    at ladder scale (39 M candidates at 800 k vectors) that exchange
+    is the pipeline's dominant bytes."""
     from stream_processing_test_spark.llm.similarity import (
         N_TABLES,
         _dot,
@@ -508,13 +516,16 @@ def embedding_lsh_pairs(
             else {"target_occupancy": target_occupancy}
         )
         n_planes = auto_planes(emb.select("vec_id").count(), **kw)
+    # signature stage folds against double plane weights: hand it the
+    # widened view (tables never carry v, so this costs no shuffle)
+    embd = emb.select("vec_id", F.col("v").cast("array<double>").alias("v"))
     # both sides of the bucket self-join consume the hashed table —
     # persist so the signature fold runs once. Buckets are bare
     # (vec_id, table_id, bucket) rows: the candidate explosion (a pair
     # colliding in k tables appears k times, and bucket groups are
     # quadratic in group size) travels as 16-byte id pairs, never
     # vector payloads.
-    tables = hyperplane_tables(emb, n_tables=n_tables, n_planes=n_planes).persist()
+    tables = hyperplane_tables(embd, n_tables=n_tables, n_planes=n_planes).persist()
     a = tables.select(F.col("vec_id").alias("doc_a"), "table_id", "bucket")
     b = tables.select(F.col("vec_id").alias("doc_b"), "table_id", "bucket")
     cand = (
@@ -532,23 +543,29 @@ def embedding_lsh_pairs(
     # dot/(na*nb) does one 64-element fold per pair instead of
     # cosine()'s three. Float-identical to cosine() (same expression
     # subtrees, same evaluation order), so oracle hashes are unchanged.
+    # the joined frames carry v in its SOURCE dtype (float stays
+    # float through both exchanges); numeric work always happens on
+    # the expression-level double widening below, so a float payload
+    # changes bytes, never bits
     va = emb.select(
         F.col("vec_id").alias("doc_a"),
         F.col("v").alias("va"),
-        _norm(F.col("v")).alias("na"),
+        _norm(F.col("v").cast("array<double>")).alias("na"),
     )
     vb = emb.select(
         F.col("vec_id").alias("doc_b"),
         F.col("v").alias("vb"),
-        _norm(F.col("v")).alias("nb"),
+        _norm(F.col("v").cast("array<double>")).alias("nb"),
     )
+    wa = F.col("va").cast("array<double>")
+    wb = F.col("vb").cast("array<double>")
     result = (
         cand.join(va, "doc_a")
         .join(vb, "doc_b")
         .select(
             "doc_a",
             "doc_b",
-            (_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias(
+            (_dot(wa, wb) / (F.col("na") * F.col("nb"))).alias(
                 "raw_cos"
             ),
         )
@@ -591,9 +608,14 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs. Output schema matches ``dedup_embedding_cosine``
     (doc_a, doc_b, cos_sim). Scale evidence: the vector ladder in
     BENCH_SCALE.json measures this pipeline (via
-    :func:`embedding_lsh_pairs`) on self-generated corpora."""
+    :func:`embedding_lsh_pairs`) on self-generated corpora.
+
+    The source column stays ``array<float>`` into the pipeline — the
+    verify joins then shuffle half the vector bytes; every fold widens
+    to double at the expression, so results are bit-identical to a
+    pre-cast frame (and to the oracle, which widens the same floats)."""
     emb = load(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        "vec_id", F.col("embedding").alias("v")
     )
     return embedding_lsh_pairs(emb)
 
