@@ -149,15 +149,19 @@ def parallelize_narrow_scan(df, min_partitions: int | None = None):
         name = jnode.nodeName()
         if name in refused or name.startswith("Repartition"):
             return True
-        # children() alone would miss plans nested inside subquery
-        # EXPRESSIONS (e.g. a Filter whose predicate holds a
-        # scalar-subquery Aggregate) — probing .rdd on such a frame
-        # materializes the subquery stages, the exact cost the refusal
-        # exists to avoid — so walk subqueries() too.
-        for seq in (jnode.children(), jnode.subqueries()):
-            if any(_has_refused(seq.apply(i)) for i in range(seq.size())):
-                return True
-        return False
+        # ANY subquery expression is refused outright, not just ones
+        # whose plan contains a refused node: IN/EXISTS predicates are
+        # Project-over-scan at analysis time but RewritePredicateSubquery
+        # turns them into semi/anti JOINS at optimization — probing
+        # .rdd on such a frame materializes the join stages, the exact
+        # cost the refusal exists to avoid. A scan-rooted frame never
+        # carries subqueries, so this costs no coverage.
+        if jnode.subqueries().size() > 0:
+            return True
+        children = jnode.children()
+        return any(
+            _has_refused(children.apply(i)) for i in range(children.size())
+        )
 
     if _has_refused(df._jdf.queryExecution().analyzed()):
         return df

@@ -417,7 +417,9 @@ def _envelope_fixture(spark: SparkSession, sf_dir: str, fmt: str = "json") -> st
                         os.rename(tmp, out)
                 finally:
                     fcntl.flock(lockf, fcntl.LOCK_UN)
-        except OSError:
+        except (OSError, ImportError):
+            # ImportError: no fcntl on non-POSIX hosts — the lock-free
+            # private-copy fallback below is still correct there.
             # lock or swap failed (exotic filesystem, lost race against
             # a non-locking peer) — fall back to whichever copy is
             # complete; the private tmp dir is correct, merely unshared

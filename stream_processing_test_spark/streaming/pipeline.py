@@ -324,51 +324,52 @@ def streaming_rate_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     not ingest)."""
     import time as _time
 
+    # newSession(): isolated SQLConf, so the state-partition setting
+    # needs no save/restore — it dies with the scoped session
     scoped = spark.newSession()
-    prev = scoped.conf.get("spark.sql.shuffle.partitions")
     scoped.conf.set("spark.sql.shuffle.partitions", "4")
     name = "rate_rollup_drv"
-    try:
-        ev = rate_events_stream(
-            scoped,
-            rows_per_batch=RATE_RPB,
-            start_epoch=_RATE_START,
-            advance_ms=_RATE_ADV_S * 1000,
-            max_value=RATE_K,
+    ev = rate_events_stream(
+        scoped,
+        rows_per_batch=RATE_RPB,
+        start_epoch=_RATE_START,
+        advance_ms=_RATE_ADV_S * 1000,
+        max_value=RATE_K,
+    )
+    agg = ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum(
+            F.when(F.col("event_type") == "error", 1).otherwise(0)
+        ).alias("n_errors"),
+        F.round(F.min("value"), 1).alias("min_value"),
+        F.round(F.max("value"), 1).alias("max_value"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("min_ts"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("max_ts"),
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(processingTime="50 milliseconds")
+        .start()
+    )
+    deadline = _time.time() + 120
+    n = 0
+    while _time.time() < deadline:
+        if q.exception() is not None:
+            break  # dead query: surface its error via awaitTermination
+        n = scoped.sql(
+            f"SELECT coalesce(sum(n_events), 0) FROM {name}"
+        ).collect()[0][0]
+        if n >= RATE_K:
+            break
+        _time.sleep(0.2)
+    q.stop()
+    q.awaitTermination(60)  # rethrows if the query failed
+    if n < RATE_K:
+        raise TimeoutError(
+            f"rate stream committed only {n}/{RATE_K} values in 120s"
         )
-        agg = ev.groupBy("user_id").agg(
-            F.count("*").alias("n_events"),
-            F.sum(
-                F.when(F.col("event_type") == "error", 1).otherwise(0)
-            ).alias("n_errors"),
-            F.round(F.min("value"), 1).alias("min_value"),
-            F.round(F.max("value"), 1).alias("max_value"),
-            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("min_ts"),
-            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("max_ts"),
-        )
-        q = (
-            agg.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("complete")
-            .trigger(processingTime="50 milliseconds")
-            .start()
-        )
-        deadline = _time.time() + 120
-        while _time.time() < deadline:
-            n = scoped.sql(
-                f"SELECT coalesce(sum(n_events), 0) FROM {name}"
-            ).collect()[0][0]
-            if n >= RATE_K:
-                break
-            _time.sleep(0.2)
-        q.stop()
-        q.awaitTermination(60)
-        if n < RATE_K:
-            raise TimeoutError(
-                f"rate stream committed only {n}/{RATE_K} values in 120s"
-            )
-    finally:
-        scoped.conf.set("spark.sql.shuffle.partitions", prev)
     return scoped.table(name)
 
 

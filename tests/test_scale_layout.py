@@ -397,16 +397,22 @@ def test_parallelize_narrow_scan_contract(spark):
     assert parallelize_narrow_scan(gen) is gen
     smp = docs.sample(0.5, seed=1)
     assert parallelize_narrow_scan(smp) is smp
-    # refused nodes hiding inside subquery EXPRESSIONS are caught too
-    # (ADVICE r7): a scalar-subquery Aggregate lives in the Filter's
-    # condition, not in children(), and probing .rdd on the frame would
-    # materialize the subquery stages
+    # subquery EXPRESSIONS are refused outright (ADVICE r7): a
+    # scalar-subquery Aggregate lives in the Filter's condition, not
+    # in children(), and an IN-subquery is Project-over-scan at
+    # analysis time but becomes a semi-JOIN under the optimizer —
+    # probing .rdd on either materializes stages
     docs.createOrReplaceTempView("ns_docs")
     sub = spark.sql(
         "SELECT doc_id FROM ns_docs "
         "WHERE doc_id < (SELECT avg(doc_id) FROM ns_docs)"
     )
     assert parallelize_narrow_scan(sub) is sub
+    insub = spark.sql(
+        "SELECT doc_id FROM ns_docs WHERE doc_id IN "
+        "(SELECT doc_id FROM ns_docs WHERE doc_id < 5)"
+    )
+    assert parallelize_narrow_scan(insub) is insub
     # explicit 0 disables
     assert parallelize_narrow_scan(docs, min_partitions=0) is docs
 

@@ -446,3 +446,24 @@ def test_rate_source_daily_scores_bounded(spark):
     assert got == want
     # the 6h advance must have crossed at least one UTC day boundary
     assert len({r[1] for r in got}) >= 2 or n_rows < 5 * RPB
+
+
+def test_streaming_rate_rollup_matches_oracle(spark):
+    """The REGISTERED rate-rollup query (poll-then-stop over a
+    value-bounded rate-micro-batch stream) must equal its DuckDB
+    oracle exactly — the same check the driver gate runs, pinned in
+    pytest so the harness and oracle are exercised every round even
+    when the query sits outside the 50-slot driver window."""
+    import duckdb
+
+    from stream_processing_test_spark.registry import all_queries
+
+    spec = all_queries()["streaming_rate_rollup"]
+    df = spec.fn(spark, "/root/testdata/sf0.001")
+    got = sorted(tuple(r) for r in df.collect())
+    want = sorted(tuple(r) for r in duckdb.sql(spec.oracle).fetchall())
+    assert df.columns == [
+        "user_id", "n_events", "n_errors",
+        "min_value", "max_value", "min_ts", "max_ts",
+    ]
+    assert got == want

@@ -97,6 +97,33 @@ TIERS = {
 }
 
 
+def _doc_params(n_docs: int, dup_rate: float) -> dict:
+    """Marker params for gen_corpus — includes every generation
+    constant, so editing VOCAB_SIZE/DOC_LEN (or the generator itself,
+    via the version int) invalidates cached corpora instead of
+    silently reusing stale data."""
+    return {
+        "n_docs": n_docs,
+        "dup_rate": dup_rate,
+        "seed": SEED,
+        "vocab": VOCAB_SIZE,
+        "doc_len": list(DOC_LEN),
+        "gen_version": 1,
+    }
+
+
+def _vec_params(n_vecs: int, dup_rate: float) -> dict:
+    """Marker params for gen_vectors — same staleness contract."""
+    return {
+        "n_vecs": n_vecs,
+        "dup_rate": dup_rate,
+        "seed": SEED,
+        "dim": VEC_DIM,
+        "noise": VEC_NOISE,
+        "gen_version": 1,
+    }
+
+
 def _reuse_or_gen(out_dir: str, params: dict, gen_fn) -> dict:
     """Skip regeneration when the tier dir already holds a corpus
     produced with identical parameters (marker json written after a
@@ -112,7 +139,7 @@ def _reuse_or_gen(out_dir: str, params: dict, gen_fn) -> dict:
                 return {**prev, "reused": True}
         except (OSError, ValueError):
             pass
-    stats = gen_fn()
+    stats = {**params, **gen_fn()}
     Path(marker).write_text(json.dumps(stats))
     return stats
 
@@ -280,10 +307,16 @@ def vector_lsh_run(
     spark, tdir: str, repeats: int, n_planes: int | None, n_tables: int | None = None
 ) -> dict:
     """Time the parameterized embedding-LSH dedup pipeline
-    (llm.dedup.embedding_lsh_pairs — the registered query's exact code
-    path) on the tier's embeddings table. ``n_planes=None`` sizes the
-    planes via auto_planes at VEC_OCCUPANCY; an explicit value (the
-    fixed-4 contrast) reproduces the retired default's quadratic."""
+    (llm.dedup.embedding_lsh_pairs — the registered query's code path)
+    on the tier's embeddings table. ``n_planes=None`` sizes the planes
+    via auto_planes at VEC_OCCUPANCY; an explicit value (the fixed-4
+    contrast) reproduces the retired default's quadratic.
+
+    One fidelity caveat, on purpose: the auto_planes corpus-count
+    probe runs ONCE here, outside the timed region (the record needs
+    ``planes``), so ladder walls omit the registered path's per-call
+    metadata count — a <0.5 s job even at 800 k vectors, ≤0.4% of that
+    rung's wall."""
     from pyspark.sql import functions as F
 
     from stream_processing_test_spark.llm.dedup import embedding_lsh_pairs
@@ -467,7 +500,7 @@ def main() -> None:
         wdir = os.path.join(args.scratch, "warmup")
         _reuse_or_gen(
             wdir,
-            {"n_docs": 2_000, "dup_rate": 0.4, "seed": SEED},
+            _doc_params(2_000, 0.4),
             lambda: gen_corpus(wdir, 2_000, 0.4),
         )
         for q in selected(LADDER + EXTRA_LADDER):
@@ -477,7 +510,7 @@ def main() -> None:
         wdir = os.path.join(args.scratch, "warmup_vec")
         _reuse_or_gen(
             wdir,
-            {"n_vecs": 2_000, "dup_rate": 0.2, "seed": SEED},
+            _vec_params(2_000, 0.2),
             lambda: gen_vectors(wdir, 2_000, 0.2),
         )
         vector_lsh_run(spark, wdir, 1, None)
@@ -503,7 +536,7 @@ def main() -> None:
         if tier.startswith("vec_"):
             stats = _reuse_or_gen(
                 tdir,
-                {"n_vecs": n_docs, "dup_rate": dup_rate, "seed": SEED},
+                _vec_params(n_docs, dup_rate),
                 lambda: gen_vectors(tdir, n_docs, dup_rate),
             )
             stats["gen_sec"] = round(time.time() - t0, 2)
@@ -521,7 +554,7 @@ def main() -> None:
             continue
         stats = _reuse_or_gen(
             tdir,
-            {"n_docs": n_docs, "dup_rate": dup_rate, "seed": SEED},
+            _doc_params(n_docs, dup_rate),
             lambda: gen_corpus(tdir, n_docs, dup_rate),
         )
         stats["gen_sec"] = round(time.time() - t0, 2)
