@@ -304,7 +304,12 @@ def gen_vectors(out_dir: str, n_vecs: int, dup_rate: float, seed: int = SEED) ->
 
 
 def vector_lsh_run(
-    spark, tdir: str, repeats: int, n_planes: int | None, n_tables: int | None = None
+    spark,
+    tdir: str,
+    repeats: int,
+    n_planes: int | None,
+    n_tables: int | None = None,
+    threshold: float | None = None,
 ) -> dict:
     """Time the parameterized embedding-LSH dedup pipeline
     (llm.dedup.embedding_lsh_pairs — the registered query's code path)
@@ -340,6 +345,9 @@ def vector_lsh_run(
     out: dict = {"n_vecs": n, "planes": planes, "tables": n_tables}
     if n_planes is None:
         out["target_occupancy"] = VEC_OCCUPANCY
+    kw = {} if threshold is None else {"threshold": threshold}
+    if threshold is not None:
+        out["threshold"] = threshold
     samples: list[float] = []
     for i in range(repeats):
         spark.catalog.clearCache()
@@ -347,7 +355,7 @@ def vector_lsh_run(
         # embedding_lsh_pairs materializes eagerly (finish_with ->
         # localCheckpoint), so the wall below covers the whole pipeline
         res = embedding_lsh_pairs(
-            emb, n_tables=n_tables, n_planes=planes
+            emb, n_tables=n_tables, n_planes=planes, **kw
         )
         samples.append(round(time.time() - t0, 2))
         if i == 0:
@@ -358,6 +366,44 @@ def vector_lsh_run(
             n_planted = planted.count()
             hits = res.join(planted, ["doc_a", "doc_b"]).count()
             out["planted_recall"] = round(hits / max(n_planted, 1), 3)
+        release_local_checkpoint(res)
+    out["wall_sec"] = min(samples)
+    out["samples"] = samples
+    return out
+
+
+def vector_ivf_run(spark, tdir: str, repeats: int) -> dict:
+    """Time the IVF ANN core (llm.similarity.ivf_topk — the registered
+    ``ann_ivf_topk`` code path: deterministic k-means training + probed
+    search for a 5-query set) on the tier's embeddings table. Training
+    dominates: iters+1 broadcast-centroid corpus scans plus a
+    dimension-major centroid mean whose shuffle is map-side-combined to
+    k*dim rows — the claimed-linear shape this rung measures."""
+    from pyspark.sql import functions as F
+
+    from stream_processing_test_spark.llm.similarity import (
+        IVF_LISTS,
+        N_PROBE,
+        ivf_topk,
+    )
+    from stream_processing_test_spark.session import release_local_checkpoint
+    from stream_processing_test_spark.tables import load
+
+    emb = load(spark, tdir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    out: dict = {"n_lists": IVF_LISTS, "n_probe": N_PROBE, "n_queries": 5}
+    samples: list[float] = []
+    for i in range(repeats):
+        spark.catalog.clearCache()
+        t0 = time.time()
+        res = ivf_topk(emb, q)
+        samples.append(round(time.time() - t0, 2))
+        if i == 0:
+            out["rows"] = res.count()
         release_local_checkpoint(res)
     out["wall_sec"] = min(samples)
     out["samples"] = samples
@@ -478,6 +524,13 @@ def main() -> None:
         help="comma list: time only these ladder queries (text tiers); "
         "results merge per-query into an existing artifact",
     )
+    ap.add_argument(
+        "--vec-extras",
+        action="store_true",
+        help="for the named vec tiers, run ONLY the attribution extras "
+        "(threshold-0.8 LSH variant + IVF rung), merging new keys into "
+        "the existing tier entries",
+    )
     args = ap.parse_args()
     qfilter = {q for q in args.queries.split(",") if q}
     tier_names = args.tiers.split(",")
@@ -514,6 +567,8 @@ def main() -> None:
             lambda: gen_vectors(wdir, 2_000, 0.2),
         )
         vector_lsh_run(spark, wdir, 1, None)
+        if args.vec_extras:
+            vector_ivf_run(spark, wdir, 1)
         print("[warmup] vector JIT pass done", flush=True)
 
     from bench import _calibration_probe
@@ -542,6 +597,19 @@ def main() -> None:
             stats["gen_sec"] = round(time.time() - t0, 2)
             entry = {"corpus": stats}
             print(f"[{tier}] corpus: {stats}", flush=True)
+            if args.vec_extras:
+                # attribution extras: thr-0.8 LSH (bounds the output at
+                # the planted pairs — separates result-set growth from
+                # candidate cost) and the IVF rung (the last vector-
+                # family member without scale evidence)
+                entry["auto_thr08"] = vector_lsh_run(
+                    spark, tdir, args.repeats, None, None, threshold=0.8
+                )
+                print(f"[{tier}] auto_thr08: {entry['auto_thr08']}", flush=True)
+                entry["ivf"] = vector_ivf_run(spark, tdir, args.repeats)
+                print(f"[{tier}] ivf: {entry['ivf']}", flush=True)
+                result["tiers"][tier] = entry
+                continue
             tables = 16 if tier.endswith("_t16") else None
             entry["auto"] = vector_lsh_run(
                 spark, tdir, args.repeats, None, tables
