@@ -155,3 +155,95 @@ def test_phash_three_twins_agree(spark):
         for s in samples
     ]
     assert got_duck == py
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    n=st.integers(min_value=0, max_value=10**14),
+    target=st.integers(min_value=1, max_value=1 << 20),
+)
+def test_auto_planes_occupancy_invariant(n, target):
+    """The whole point of auto_planes as a property: for every corpus
+    size and occupancy target, either the expected bucket occupancy
+    n / 2^planes is at or under target, or the result is pinned at the
+    clamp (floor when n is small, ceiling when even max_planes cannot
+    reach the target). Plus monotonicity in n — more rows can never
+    mean fewer planes."""
+    from stream_processing_test_spark.llm.similarity import (
+        MAX_PLANES,
+        N_PLANES,
+        auto_planes,
+    )
+
+    p = auto_planes(n, target_occupancy=target)
+    assert N_PLANES <= p <= MAX_PLANES
+    if n <= target:
+        assert p == N_PLANES
+    elif p < MAX_PLANES:
+        # target met, and p is MINIMAL (p-1 would overflow the target)
+        assert target * (1 << p) >= n
+        if p > N_PLANES:
+            assert target * (1 << (p - 1)) < n
+    else:
+        # at the ceiling: either it just meets the target or nothing can
+        assert p == MAX_PLANES
+    assert auto_planes(n + 1, target_occupancy=target) >= p
+
+
+def test_embedding_lsh_float_payload_is_bit_identical(spark):
+    """embedding_lsh_pairs accepts the source array<float> column (half
+    the verify-join shuffle bytes) with every fold widening to double
+    at the expression — so a float-payload run and a pre-widened
+    double-payload run must produce EXACTLY the same pairs and
+    cosines, not merely close ones."""
+    from pyspark.sql import functions as F
+
+    from stream_processing_test_spark.llm.dedup import embedding_lsh_pairs
+    from stream_processing_test_spark.tables import load
+
+    sf = "/root/testdata/sf0.001"
+    base = load(spark, sf, "embeddings")
+    as_float = base.select("vec_id", F.col("embedding").alias("v"))
+    as_double = base.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    got_f = {
+        (r["doc_a"], r["doc_b"]): r["cos_sim"]
+        for r in embedding_lsh_pairs(as_float).collect()
+    }
+    got_d = {
+        (r["doc_a"], r["doc_b"]): r["cos_sim"]
+        for r in embedding_lsh_pairs(as_double).collect()
+    }
+    assert got_f == got_d
+    assert got_f  # non-vacuous
+
+
+def test_scale_stress_marker_invalidates_on_gen_change(tmp_path):
+    """_reuse_or_gen must regenerate when ANY generation parameter
+    (including the constants folded in by _doc_params/_vec_params)
+    changes, and reuse only on an exact match — the staleness contract
+    that keeps ladder corpora honest across code edits."""
+    import sys as _sys
+
+    _sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    import scale_stress as ss
+
+    calls = []
+
+    def gen():
+        calls.append(1)
+        p = tmp_path / "documents.parquet"
+        p.write_bytes(b"x")
+        return {"path": str(p)}
+
+    params = ss._doc_params(100, 0.4)
+    s1 = ss._reuse_or_gen(str(tmp_path), params, gen)
+    assert calls == [1] and s1.get("reused") is None
+    # identical params -> reused, generator NOT called
+    s2 = ss._reuse_or_gen(str(tmp_path), params, gen)
+    assert calls == [1] and s2.get("reused") is True
+    # any changed generation constant -> regenerated
+    changed = {**params, "gen_version": params["gen_version"] + 1}
+    s3 = ss._reuse_or_gen(str(tmp_path), changed, gen)
+    assert calls == [1, 1] and s3.get("reused") is None
