@@ -120,7 +120,9 @@ def _vec_params(n_vecs: int, dup_rate: float) -> dict:
         "seed": SEED,
         "dim": VEC_DIM,
         "noise": VEC_NOISE,
-        "gen_version": 1,
+        # v2: embeddings.parquet became a one-file-per-chunk DIRECTORY
+        # (honest scan parallelism — see gen_vectors docstring)
+        "gen_version": 2,
     }
 
 
@@ -233,15 +235,30 @@ def gen_vectors(out_dir: str, n_vecs: int, dup_rate: float, seed: int = SEED) ->
     ``planted_pairs.parquet`` (the intended near-dup pairs, for recall
     accounting) and return generation stats. Base vectors are standard
     normal; ``dup_rate`` of each chunk are near-copies of a random base
-    from the same chunk at cosine ~0.894 (>> the 0.35 threshold)."""
+    from the same chunk at cosine ~0.894 (>> the 0.35 threshold).
+
+    ``embeddings.parquet`` is a DIRECTORY of one file per 50 k-vector
+    chunk, not a single fat file: a real corpus is many files, and a
+    single 205 MB file byte-splits into only ⌈size/maxPartitionBytes⌉
+    = 2 scan tasks — which serialized the decode and was measured as
+    the DOMINANT cost of the 800 k rung (113.8 s stage wall, of which
+    the actual signature compute was ~24 s). Honest scan parallelism
+    is part of what the ladder claims to measure."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     rng = np.random.default_rng(seed + 7)
-    os.makedirs(out_dir, exist_ok=True)
     path = os.path.join(out_dir, "embeddings.parquet")
     ppath = os.path.join(out_dir, "planted_pairs.parquet")
+    import shutil
+
+    for p in (path, ppath):
+        if os.path.isdir(p):
+            shutil.rmtree(p)
+        elif os.path.exists(p):
+            os.remove(p)
+    os.makedirs(path)
     schema = pa.schema(
         [
             ("vec_id", pa.int64()),
@@ -250,9 +267,8 @@ def gen_vectors(out_dir: str, n_vecs: int, dup_rate: float, seed: int = SEED) ->
         ]
     )
     pschema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
-    chunk = 100_000
+    chunk = 50_000
     n_dup_total = 0
-    writer = pq.ParquetWriter(path, schema)
     pwriter = pq.ParquetWriter(ppath, pschema)
     try:
         for start in range(0, n_vecs, chunk):
@@ -267,7 +283,7 @@ def gen_vectors(out_dir: str, n_vecs: int, dup_rate: float, seed: int = SEED) ->
                 * rng.standard_normal((n_dup, VEC_DIM)).astype(np.float32)
             )
             vecs = np.vstack([base, dups])
-            writer.write_table(
+            pq.write_table(
                 pa.table(
                     {
                         "vec_id": np.arange(start, start + c, dtype=np.int64),
@@ -277,7 +293,8 @@ def gen_vectors(out_dir: str, n_vecs: int, dup_rate: float, seed: int = SEED) ->
                         "label": np.zeros(c, dtype=np.int32),
                     },
                     schema=schema,
-                )
+                ),
+                os.path.join(path, f"part-{start // chunk:05d}.parquet"),
             )
             # planted pair = (base id, dup id), base always first/lower
             base_ids = start + picks.astype(np.int64)
@@ -289,8 +306,8 @@ def gen_vectors(out_dir: str, n_vecs: int, dup_rate: float, seed: int = SEED) ->
             )
             n_dup_total += n_dup
     finally:
-        writer.close()
         pwriter.close()
+    n_files = len(os.listdir(path))
     return {
         "path": path,
         "n_vecs": n_vecs,
@@ -299,7 +316,10 @@ def gen_vectors(out_dir: str, n_vecs: int, dup_rate: float, seed: int = SEED) ->
         "dim": VEC_DIM,
         "noise": VEC_NOISE,
         "seed": seed,
-        "bytes": os.path.getsize(path),
+        "n_files": n_files,
+        "bytes": sum(
+            os.path.getsize(os.path.join(path, f)) for f in os.listdir(path)
+        ),
     }
 
 
@@ -526,12 +546,14 @@ def main() -> None:
     )
     ap.add_argument(
         "--vec-extras",
-        action="store_true",
-        help="for the named vec tiers, run ONLY the attribution extras "
-        "(threshold-0.8 LSH variant + IVF rung), merging new keys into "
-        "the existing tier entries",
+        default="",
+        help="comma list from {thr08,ivf,ann}: for the named vec tiers "
+        "run ONLY these attribution extras (threshold-0.8 LSH variant, "
+        "IVF rung, the REGISTERED ann_lsh_topk verbatim), merging new "
+        "keys into the existing tier entries",
     )
     args = ap.parse_args()
+    vec_extras = {e for e in args.vec_extras.split(",") if e}
     qfilter = {q for q in args.queries.split(",") if q}
     tier_names = args.tiers.split(",")
 
@@ -567,8 +589,10 @@ def main() -> None:
             lambda: gen_vectors(wdir, 2_000, 0.2),
         )
         vector_lsh_run(spark, wdir, 1, None)
-        if args.vec_extras:
+        if "ivf" in vec_extras:
             vector_ivf_run(spark, wdir, 1)
+        if "ann" in vec_extras:
+            time_query(spark, "ann_lsh_topk", wdir, 1)
         print("[warmup] vector JIT pass done", flush=True)
 
     from bench import _calibration_probe
@@ -597,17 +621,31 @@ def main() -> None:
             stats["gen_sec"] = round(time.time() - t0, 2)
             entry = {"corpus": stats}
             print(f"[{tier}] corpus: {stats}", flush=True)
-            if args.vec_extras:
+            if vec_extras:
                 # attribution extras: thr-0.8 LSH (bounds the output at
                 # the planted pairs — separates result-set growth from
-                # candidate cost) and the IVF rung (the last vector-
-                # family member without scale evidence)
-                entry["auto_thr08"] = vector_lsh_run(
-                    spark, tdir, args.repeats, None, None, threshold=0.8
-                )
-                print(f"[{tier}] auto_thr08: {entry['auto_thr08']}", flush=True)
-                entry["ivf"] = vector_ivf_run(spark, tdir, args.repeats)
-                print(f"[{tier}] ivf: {entry['ivf']}", flush=True)
+                # candidate cost), the IVF rung, and the REGISTERED
+                # ann_lsh_topk run verbatim on the tier corpus
+                if "thr08" in vec_extras:
+                    entry["auto_thr08"] = vector_lsh_run(
+                        spark, tdir, args.repeats, None, None, threshold=0.8
+                    )
+                    print(
+                        f"[{tier}] auto_thr08: {entry['auto_thr08']}",
+                        flush=True,
+                    )
+                if "ivf" in vec_extras:
+                    entry["ivf"] = vector_ivf_run(spark, tdir, args.repeats)
+                    print(f"[{tier}] ivf: {entry['ivf']}", flush=True)
+                if "ann" in vec_extras:
+                    entry["ann_lsh_registered"] = time_query(
+                        spark, "ann_lsh_topk", tdir, args.repeats
+                    )
+                    print(
+                        f"[{tier}] ann_lsh_registered: "
+                        f"{entry['ann_lsh_registered']}",
+                        flush=True,
+                    )
                 result["tiers"][tier] = entry
                 continue
             tables = 16 if tier.endswith("_t16") else None
