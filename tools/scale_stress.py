@@ -108,7 +108,10 @@ def _doc_params(n_docs: int, dup_rate: float) -> dict:
         "seed": SEED,
         "vocab": VOCAB_SIZE,
         "doc_len": list(DOC_LEN),
-        "gen_version": 1,
+        # v2: documents.parquet became a one-file-per-chunk DIRECTORY
+        # (honest scan parallelism — see gen_corpus docstring); content
+        # is identical to v1, only the layout changed
+        "gen_version": 2,
     }
 
 
@@ -147,18 +150,30 @@ def _reuse_or_gen(out_dir: str, params: dict, gen_fn) -> dict:
 
 
 def gen_corpus(out_dir: str, n_docs: int, dup_rate: float, seed: int = SEED) -> dict:
-    """Write ``{out_dir}/documents.parquet`` (driver-table schema) and
-    return generation stats. Chunked so the file carries multiple row
-    groups (honest scan parallelism) and generation stays in bounded
-    memory."""
+    """Write ``{out_dir}/documents.parquet`` (driver-table schema) as a
+    DIRECTORY of one file per 30 k-doc chunk and return generation
+    stats. Chunked generation keeps memory bounded; the multi-file
+    layout keeps the SCAN honest — a single ~1 GB file byte-splits into
+    only ~9 tasks on this host (size/maxPartitionBytes), serializing
+    the decode that every shingle consumer pays first (the same
+    bottleneck the vector ladder measured and fixed; real corpora are
+    many files). Same seed and chunk order as the v1 single-file
+    layout, so the CONTENT is byte-identical — only the layout (and
+    scan parallelism) changes."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     rng = np.random.default_rng(seed)
     vocab = np.array([f"tok{i:05d}" for i in range(VOCAB_SIZE)])
-    os.makedirs(out_dir, exist_ok=True)
+    import shutil
+
     path = os.path.join(out_dir, "documents.parquet")
+    if os.path.isdir(path):
+        shutil.rmtree(path)
+    elif os.path.exists(path):
+        os.remove(path)
+    os.makedirs(path)
 
     schema = pa.schema(
         [
@@ -171,43 +186,40 @@ def gen_corpus(out_dir: str, n_docs: int, dup_rate: float, seed: int = SEED) -> 
     )
     chunk = 30_000
     n_dup_total = 0
-    writer = pq.ParquetWriter(path, schema)
-    try:
-        for start in range(0, n_docs, chunk):
-            c = min(chunk, n_docs - start)
-            n_dup = int(c * dup_rate)
-            n_base = c - n_dup
-            lengths = rng.integers(DOC_LEN[0], DOC_LEN[1] + 1, size=n_base)
-            bases = [
-                rng.integers(0, VOCAB_SIZE, size=ln) for ln in lengths
-            ]
-            docs = list(bases)
-            # near-copies: random base from THIS chunk, 0-2 substitutions
-            base_pick = rng.integers(0, n_base, size=n_dup)
-            n_mut = rng.integers(0, 3, size=n_dup)
-            for b, k in zip(base_pick, n_mut):
-                d = bases[b].copy()
-                if k:
-                    pos = rng.choice(len(d), size=k, replace=False)
-                    d[pos] = rng.integers(0, VOCAB_SIZE, size=k)
-                docs.append(d)
-            texts = [" ".join(vocab[d]) for d in docs]
-            ids = np.arange(start, start + c, dtype=np.int64)
-            writer.write_table(
-                pa.table(
-                    {
-                        "doc_id": ids,
-                        "text": texts,
-                        "lang": ["en"] * c,
-                        "source": [f"src{i % 10}" for i in range(start, start + c)],
-                        "n_chars": np.array([len(t) for t in texts], dtype=np.int64),
-                    },
-                    schema=schema,
-                )
-            )
-            n_dup_total += n_dup
-    finally:
-        writer.close()
+    for start in range(0, n_docs, chunk):
+        c = min(chunk, n_docs - start)
+        n_dup = int(c * dup_rate)
+        n_base = c - n_dup
+        lengths = rng.integers(DOC_LEN[0], DOC_LEN[1] + 1, size=n_base)
+        bases = [
+            rng.integers(0, VOCAB_SIZE, size=ln) for ln in lengths
+        ]
+        docs = list(bases)
+        # near-copies: random base from THIS chunk, 0-2 substitutions
+        base_pick = rng.integers(0, n_base, size=n_dup)
+        n_mut = rng.integers(0, 3, size=n_dup)
+        for b, k in zip(base_pick, n_mut):
+            d = bases[b].copy()
+            if k:
+                pos = rng.choice(len(d), size=k, replace=False)
+                d[pos] = rng.integers(0, VOCAB_SIZE, size=k)
+            docs.append(d)
+        texts = [" ".join(vocab[d]) for d in docs]
+        ids = np.arange(start, start + c, dtype=np.int64)
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": ids,
+                    "text": texts,
+                    "lang": ["en"] * c,
+                    "source": [f"src{i % 10}" for i in range(start, start + c)],
+                    "n_chars": np.array([len(t) for t in texts], dtype=np.int64),
+                },
+                schema=schema,
+            ),
+            os.path.join(path, f"part-{start // chunk:05d}.parquet"),
+        )
+        n_dup_total += n_dup
     return {
         "path": path,
         "n_docs": n_docs,
@@ -216,7 +228,10 @@ def gen_corpus(out_dir: str, n_docs: int, dup_rate: float, seed: int = SEED) -> 
         "vocab": VOCAB_SIZE,
         "doc_len": list(DOC_LEN),
         "seed": seed,
-        "bytes": os.path.getsize(path),
+        "n_files": len(os.listdir(path)),
+        "bytes": sum(
+            os.path.getsize(os.path.join(path, f)) for f in os.listdir(path)
+        ),
     }
 
 
