@@ -454,7 +454,7 @@ def _embedding_lsh_oracle() -> str:
     from stream_processing_test_spark.llm.similarity import bucket_ctes
 
     return f"""
-WITH {bucket_ctes(n_planes=None)},
+WITH {bucket_ctes(n_tables=None, n_planes=None)},
 cand AS (
     SELECT DISTINCT a.vec_id AS doc_a, b.vec_id AS doc_b
     FROM buckets a JOIN buckets b
@@ -486,7 +486,10 @@ def embedding_lsh_pairs(
 
     ``n_planes=None`` sizes the planes from a corpus COUNT probe via
     ``similarity.auto_planes`` (optionally at an explicit
-    ``target_occupancy``) — the production default. Explicit values
+    ``target_occupancy``); ``n_tables=None`` then sizes the table count
+    from the resolved plane count via ``similarity.auto_tables`` — the
+    r9 hold-recall policy (recall >= RECALL_FLOOR at COS_DESIGN as
+    planes rise). Both are the production default. Explicit values
     support the scale ladder (tools/scale_stress.py), which measures
     this exact pipeline at several (tables, occupancy) points, and the
     fixed-plane contrast rung that demonstrates the quadratic the auto
@@ -500,15 +503,13 @@ def embedding_lsh_pairs(
     at ladder scale (39 M candidates at 800 k vectors) that exchange
     is the pipeline's dominant bytes."""
     from stream_processing_test_spark.llm.similarity import (
-        N_TABLES,
         _dot,
         _norm,
         auto_planes,
+        auto_tables,
         hyperplane_tables,
     )
 
-    if n_tables is None:
-        n_tables = N_TABLES
     if n_planes is None:
         kw = (
             {}
@@ -516,6 +517,8 @@ def embedding_lsh_pairs(
             else {"target_occupancy": target_occupancy}
         )
         n_planes = auto_planes(emb.select("vec_id").count(), **kw)
+    if n_tables is None:
+        n_tables = auto_tables(n_planes)
     # signature stage folds against double plane weights: hand it the
     # widened view (tables never carry v, so this costs no shuffle)
     embd = emb.select("vec_id", F.col("v").cast("array<double>").alias("v"))
@@ -593,11 +596,15 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus, so since r8 the plane count comes from a corpus COUNT
     probe through ``similarity.auto_planes`` (expected occupancy
     capped at LSH_TARGET_OCCUPANCY; the r7-flagged fixed-4-plane
-    ~n²/16 default is retired). The DuckDB oracle recomputes the same
-    integer rule from its own COUNT(*)
-    (``similarity.auto_planes_ctes``), so the driver gate replays
-    whatever plane count the corpus implies — at fixture sizes
-    (≤16 k vectors) that resolves to the same 4-plane floor as before.
+    ~n²/16 default is retired), and since r9 the TABLE count rises
+    with the plane count through ``similarity.auto_tables`` — the
+    hold-recall policy (recall >= RECALL_FLOOR at COS_DESIGN; the
+    priced dial VERDICT r8 asked to wire in). The DuckDB oracle
+    recomputes both integer rules from its own COUNT(*)
+    (``similarity.auto_planes_ctes`` / ``auto_tables_ctes``), so the
+    driver gate replays whatever (planes, tables) the corpus implies —
+    at fixture sizes (≤16 k vectors) that resolves to the same 16×4
+    floor as before.
     Stage 2 (verify): exact JVM-side cosine on the candidates only,
     keeping pairs >= EMBED_COSINE_THRESHOLD.
 

@@ -614,3 +614,175 @@ def test_leakage_safe_split_component_coherence(spark):
     assert abs(share - TRAIN_PCT) < 10  # md5 gate ≈ uniform
     again = leakage_safe_split(spark, SF_SMALL).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_auto_tables_sql_twin_matches_python():
+    """The r9 hold-recall policy sizes the table count from the plane
+    count (Python ``auto_tables``) while the oracles recompute it via a
+    generated CASE (``auto_tables_ctes``) chained off the same
+    ``np.planes`` CTE — the two must agree exactly at every corpus
+    count, or the driver gate would compare different table sets."""
+    import duckdb
+
+    from stream_processing_test_spark.llm.similarity import (
+        auto_planes,
+        auto_planes_ctes,
+        auto_tables,
+        auto_tables_ctes,
+    )
+
+    con = duckdb.connect()
+    for n in [1, 500, 1024, 16385, 10**5, 10**6, 5 * 10**7, 10**9,
+              10**10, 10**11]:
+        con.execute(
+            f"CREATE OR REPLACE VIEW embeddings AS "
+            f"SELECT range AS vec_id FROM range(1)"  # count replaced below
+        )
+        # probe the rule at synthetic counts without materializing 1e11
+        # rows: nv is COUNT(*)-shaped, so substitute the count directly
+        got = con.sql(
+            f"WITH nv AS (SELECT {n} AS n), "
+            + auto_planes_ctes().split(",\n", 1)[1]
+            + f", {auto_tables_ctes()} SELECT tables FROM nt"
+        ).fetchone()[0]
+        assert got == auto_tables(auto_planes(n)), (n, got)
+
+
+def test_auto_tables_policy_curve():
+    """The AUTO_TABLES lookup IS the hold-recall guarantee: at every
+    plane count where the clamp allows it, design-point recall
+    1-(1-p)^tables must be >= RECALL_DESIGN (> RECALL_FLOOR); the
+    curve must be monotone (more planes never fewer tables) and both
+    clamps respected. Pure math over the shipped dict — if someone
+    edits a constant, this pins the declared floor."""
+    import math
+
+    from stream_processing_test_spark.llm.similarity import (
+        AUTO_TABLES,
+        COS_DESIGN,
+        MAX_PLANES,
+        MAX_TABLES,
+        N_PLANES,
+        N_TABLES,
+        RECALL_DESIGN,
+        RECALL_FLOOR,
+    )
+
+    assert RECALL_DESIGN > RECALL_FLOOR
+    prev = 0
+    for planes in range(N_PLANES, MAX_PLANES + 1):
+        t = AUTO_TABLES[planes]
+        assert N_TABLES <= t <= MAX_TABLES
+        assert t >= prev, "auto_tables must be monotone in planes"
+        prev = t
+        p = (1.0 - math.acos(COS_DESIGN) / math.pi) ** planes
+        recall = 1.0 - (1.0 - p) ** t
+        if t < MAX_TABLES:
+            assert recall >= RECALL_DESIGN, (planes, t, recall)
+    # the clamp saturates only past planes 22 (occupancy-1024 corpora
+    # beyond ~4.3e12/1024 rows) — the documented IVF-handoff regime
+    assert AUTO_TABLES[22] < MAX_TABLES
+
+
+def test_auto_tables_holds_recall_on_planted_corpus(spark):
+    """The policy's BEHAVIOR, end to end on the registered pipeline: a
+    synthetic corpus with planted near-dups at cos ~0.894 (the ladder
+    generator's regime), forced to planes=16 — the operating point the
+    registered occupancy-1024 rule reaches at ~33 M rows. With the old
+    fixed 16 tables, planted recall erodes well below the floor; with
+    auto_tables(16)=22 the same pipeline holds recall >= RECALL_FLOOR.
+    Deterministic (seeded numpy + md5 hyperplanes)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from stream_processing_test_spark.llm.dedup import embedding_lsh_pairs
+    from stream_processing_test_spark.llm.similarity import (
+        RECALL_FLOOR,
+        auto_tables,
+    )
+
+    rng = np.random.default_rng(20260814)
+    n_base, n_dup, dim, noise = 1600, 400, 64, 0.5
+    base = rng.standard_normal((n_base, dim))
+    picks = rng.integers(0, n_base, size=n_dup)
+    dups = base[picks] + noise * rng.standard_normal((n_dup, dim))
+    vecs = np.vstack([base, dups])
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n_base + n_dup)],
+        "vec_id: long, v: array<double>",
+    )
+    # planted pairs whose exact cosine clears the verify threshold —
+    # the only ones the candidate/verify contract can ever emit
+    thr = 0.8
+    planted = set()
+    for j in range(n_dup):
+        a, b = int(picks[j]), n_base + j
+        cos = float(
+            vecs[a] @ vecs[b] / (np.linalg.norm(vecs[a]) * np.linalg.norm(vecs[b]))
+        )
+        if cos >= thr:
+            planted.add((min(a, b), max(a, b)))
+    assert len(planted) > 300
+
+    def recall(n_tables: int) -> float:
+        got = {
+            (r["doc_a"], r["doc_b"])
+            for r in embedding_lsh_pairs(
+                emb, n_tables=n_tables, n_planes=16, threshold=thr
+            ).collect()
+        }
+        return len(planted & got) / len(planted)
+
+    t_auto = auto_tables(16)
+    assert t_auto == 22
+    r_fixed, r_auto = recall(16), recall(t_auto)
+    assert r_auto >= RECALL_FLOOR, f"policy recall {r_auto:.3f}"
+    assert r_auto > r_fixed + 0.05, (r_auto, r_fixed)
+
+
+def test_ivf_sampled_training_cross_engine_parity(spark, tmp_path):
+    """The r9 training gate, exercised where it is ACTIVE: 6 000
+    vectors > IVF_TRAIN_TARGET=4096 resolves auto_train_shift to 1, so
+    the driver-local numpy Lloyd trains on the ~3 000-row md5 half and
+    the full corpus is assigned once. The DuckDB oracle must replay the
+    WHOLE pipeline — gate, seeds, two Lloyd passes, full assignment,
+    routing, probed search — row-for-row. (Driver fixtures are all
+    <= train_target, so without this test the shift>0 branch of the
+    oracle would never be executed.)"""
+    import numpy as np
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from stream_processing_test_spark.llm.similarity import (
+        IVF_TRAIN_TARGET,
+        _ivf_oracle,
+        auto_train_shift,
+    )
+    from stream_processing_test_spark.registry import all_queries
+
+    n, dim = 6000, 64
+    assert auto_train_shift(n, IVF_TRAIN_TARGET) == 1
+    rng = np.random.default_rng(42)
+    vecs = rng.standard_normal((n, dim)).astype(np.float32)
+    path = str(tmp_path / "embeddings.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": np.arange(n, dtype=np.int64),
+                "embedding": pa.array(list(vecs), type=pa.list_(pa.float32())),
+                "label": np.zeros(n, dtype=np.int32),
+            }
+        ),
+        path,
+    )
+    got = sorted(
+        (r["query_id"], r["neighbor_id"], r["cos_sim"], r["rk"])
+        for r in all_queries()["ann_ivf_topk"].fn(spark, str(tmp_path)).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{path}')"
+    )
+    want = sorted(map(tuple, con.sql(_ivf_oracle()).fetchall()))
+    assert got == want
