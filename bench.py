@@ -131,6 +131,8 @@ BENCH_EXCLUDED = {
     "probe_source_events": "wall time is the synthetic prober loop (stub), not engine stages; connector timed end-to-end by its pytest contract",
     "envelope_rollup": "wall time is the local tempdir JSON write of its own fixture; the ingest edges are pinned by the driver correctness row",
     "envelope_rollup_csv": "CSV format twin of envelope_rollup: wall time is the local tempdir CSV write of its own fixture; the CSV binding edges are pinned by its driver correctness row",
+    "envelope_rollup_parquet": "parquet format twin of envelope_rollup: wall time is the local tempdir fixture write; the binding edges are pinned by its driver correctness row",
+    "envelope_rollup_orc": "ORC format twin of envelope_rollup: same fixture-write-dominated wall; pinned by its driver correctness row",
     "multimodal_features": "3-row binary fixture through stub codecs; measures Arrow setup, not engine throughput",
     "multimodal_preprocess": "2-row binary fixture through stub codecs; same",
     "dedup_embedding_cosine": "guarded quadratic ORACLE TWIN, hard-capped at 1M rows; the scale path timed is dedup_embedding_lsh",
@@ -187,7 +189,13 @@ def main() -> None:
     # per-query minimum is the best available estimate of true cost.
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     _calibration_probe(spark)  # JIT the probe itself (first run ~4x)
-    cal_start = _calibration_probe(spark)
+    # probe BETWEEN repeat rounds, not just at the ends: a throttle
+    # window confined to the middle of the run is invisible to a
+    # start/end bracket, so the normalized value could carry
+    # uncorrected drift while reading as drift-free (ADVICE r8). With
+    # per-round probes the normalization mean is run-weighted and any
+    # mid-run window shows up in the cal list itself.
+    cals = [_calibration_probe(spark)]
     samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
     for _ in range(repeats):
         for name in HEADLINE:
@@ -196,7 +204,8 @@ def main() -> None:
             t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             samples[name].append(round(time.time() - t0, 3))
-    cal_end = _calibration_probe(spark)
+        cals.append(_calibration_probe(spark))
+    cal_start, cal_end = cals[0], cals[-1]
 
     timings = {name: min(ts) for name, ts in samples.items()}
     # per-query [min, median, max]: throttle noise shows up as a
@@ -206,7 +215,7 @@ def main() -> None:
         for name, ts in samples.items()
     }
     total = round(sum(timings.values()), 3)
-    cal_mean = (cal_start + cal_end) / 2
+    cal_mean = sum(cals) / len(cals)
     total_cal = round(total * CAL_REF_SEC / cal_mean, 3) if cal_mean else None
     sf_num = float(sf) if sf.replace(".", "").isdigit() else sf
     # Full detail to a committed side file: the driver's BENCH artifact
@@ -227,6 +236,10 @@ def main() -> None:
             "probe": "sum(xxhash64(id)) over range(150e6), 32 tasks",
             "start_sec": cal_start,
             "end_sec": cal_end,
+            # one probe before the first repeat round + one after each:
+            # mid-run throttle windows are visible here, and the
+            # normalization mean below is run-weighted over all of them
+            "round_sec": cals,
             "drift_ratio": round(cal_end / cal_start, 3) if cal_start else None,
             "cal_ref_sec": CAL_REF_SEC,
         },
@@ -252,7 +265,8 @@ def main() -> None:
                 "metric": "headline_queries_total_wall",
                 "unit": "sec",
                 "sf": sf_num,
-                "cal": [cal_start, cal_end],
+                "cal": cals,
+                "cal_ref": CAL_REF_SEC,
                 "value_cal_normalized": total_cal,
                 "value": total,
             },

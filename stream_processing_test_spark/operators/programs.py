@@ -74,7 +74,7 @@ WHERE s.program_id IN (
 """
 
 
-@register("failing_programs", oracle=_FAILING_ORACLE, survey_ops="J1,J2,A2,A5,A6,P7")
+@register("failing_programs", oracle=_FAILING_ORACLE, survey_ops="S2,J1,J2,A2,A5,A6,P7")
 def failing_programs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """"All sources of this program are failing" (GetValidStreamNames,
     StreamTest.cpp:626-638): per-source availability scores (A6) →
@@ -132,7 +132,7 @@ FROM src s LEFT JOIN dim d ON s.want_name = d.stream_name
 """
 
 
-@register("program_match", oracle=_MATCH_ORACLE, survey_ops="J3,F4,F8,F9,F12")
+@register("program_match", oracle=_MATCH_ORACLE, survey_ops="S2,J3,F4,F8,F9,F12")
 def program_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Suffix-match program join (J3): build the lookup key as
     ``name + (" FHD" if hi-res else " HD")`` (F4 concat + the F8

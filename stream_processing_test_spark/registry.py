@@ -34,73 +34,79 @@ class QuerySpec:
 
 _REGISTRY: dict[str, QuerySpec] = {}
 
-# Round-8 rotation (VERDICT r7 items 1/2/5): the driver checks a
-# 50-query prefix. Tier (0) = owed a fresh row THIS round because the
-# code changed or the query is new: ``dedup_embedding_lsh`` and
-# ``ann_lsh_topk`` (now auto_planes-sized with the dynamic-plane
-# oracle), the NEW ``envelope_rollup_csv`` (CSV ingest driver-gated),
-# and ``decontaminate_overlap`` (eval-first index restriction). Tier
-# (1) = 46 of the 48 queries whose newest driver row is r6 — the
-# stalest evidence after r7; 4 + 46 fills the 50-slot window exactly.
-# The two r6-row queries deferred to r9 are the shape-duplicate twins
-# ``user_cardinality_approx`` and ``doc_fingerprint``: their headline
-# shapes (user_cardinality, token_count/lang_id_ngram) are in this
-# window on unchanged code, so the deferral leaves no code path
-# without fresh-or-near-fresh evidence. Unlisted queries keep
-# ``10 + tier``.
+# Round-9 rotation (VERDICT r8 item 2): the driver checks a 50-query
+# prefix. Tier (0) = owed a fresh row THIS round — 8 queries: the two
+# r6-row deferrals from r8 (``user_cardinality_approx``,
+# ``doc_fingerprint``), ``streaming_rate_rollup`` (registered r8,
+# never driver-gated — ADVICE r8 #1), the NEW
+# ``envelope_rollup_parquet``/``envelope_rollup_orc`` (VERDICT r8
+# missing #2), and the three queries whose implementation changed in
+# r9: ``dedup_embedding_lsh`` + ``ann_lsh_topk`` (auto_tables
+# hold-recall policy, dynamic-tables oracle) and ``ann_ivf_topk``
+# (sampled driver-local training, train-gate oracle). Tier (1) = 42 of
+# the 47 queries whose newest driver row is r7; 8 + 42 fills the
+# 50-slot window exactly. The five r7-row queries deferred to r10 are
+# unchanged-code shape twins whose physical shape holds a FRESH row:
+# ``quantity_grouping_sets`` (rollup machinery twin of in-window
+# ``revenue_cube``), ``q14_promo_revenue_share`` (join+CASE-ratio twin
+# of in-window ``q9_product_profit``), ``q19_disjunctive_revenue``
+# (pushed-predicate-scan twin of r8-row ``q6_forecast_revenue``),
+# ``pii_redact`` (regexp map-pass twin of r8-row ``lang_id_ngram``),
+# and ``doc_repetition_stats`` (explode→keyed-agg twin of r8-row
+# ``tfidf_top_terms``). Unlisted queries keep ``10 + tier``.
 _ROTATION_TIERS: dict[str, int] = {
-    # (0) new or implementation-changed in r8
+    # (0) new, never-gated, r8-deferred, or implementation-changed in r9
+    "user_cardinality_approx": 0,
+    "doc_fingerprint": 0,
+    "streaming_rate_rollup": 0,
+    "envelope_rollup_parquet": 0,
+    "envelope_rollup_orc": 0,
     "dedup_embedding_lsh": 0,
     "ann_lsh_topk": 0,
-    "envelope_rollup_csv": 0,
-    "decontaminate_overlap": 0,
-    # (1) newest driver row is r6
-    "active_sources": 1,
-    "ann_cosine_topk": 1,
-    "ann_ivf_topk": 1,
-    "asof_click_attribution": 1,
-    "corpus_curation_pipeline": 1,
-    "daily_report_pipeline": 1,
-    "daily_scores": 1,
-    "day_close_trigger": 1,
-    "dedup_embedding_cosine": 1,
-    "dedup_exact": 1,
-    "dedup_keep_canonical": 1,
-    "doc_chunking": 1,
-    "doc_quality_score": 1,
-    "embedding_centroids": 1,
-    "embedding_norm_stats": 1,
-    "engaged_users_setops": 1,
-    "error_labels": 1,
-    "failing_programs": 1,
-    "lang_id_ngram": 1,
-    "leakage_safe_split": 1,
-    "monotonic_violations": 1,
-    "per_source_rollup": 1,
-    "probe_source_events": 1,
-    "program_match": 1,
-    "props_json_stats": 1,
-    "range_join_error_context": 1,
-    "records_in_window": 1,
-    "report_batches": 1,
-    "resolution_classify": 1,
-    "revenue_rollup": 1,
-    "rolling_user_stats": 1,
-    "session_windows": 1,
-    "source_mixing": 1,
-    "sql_daily_event_summary": 1,
-    "stratified_sample": 1,
-    "streaming_click_purchase_join": 1,
-    "streaming_daily_scores": 1,
-    "streaming_dedup": 1,
-    "streaming_failure_streaks": 1,
-    "substring_dup_coverage": 1,
-    "suppliers_with_bulk_items": 1,
-    "tfidf_top_terms": 1,
-    "token_count": 1,
-    "top_events_per_user": 1,
-    "user_cardinality": 1,
-    "users_without_big_purchase": 1,
+    "ann_ivf_topk": 0,
+    # (1) newest driver row is r7
+    "attribute_rollup": 1,
+    "balance_quartiles": 1,
+    "cohort_retention": 1,
+    "decayed_user_scores": 1,
+    "dedup_minhash_lsh": 1,
+    "dedup_ngram_jaccard": 1,
+    "dedup_simhash": 1,
+    "dup_clusters": 1,
+    "dup_clusters_star": 1,
+    "envelope_rollup": 1,
+    "funnel_conversion": 1,
+    "multimodal_features": 1,
+    "multimodal_preprocess": 1,
+    "price_percentiles": 1,
+    "q10_returned_items": 1,
+    "q11_important_parts": 1,
+    "q12_priority_shipping": 1,
+    "q13_order_count_distribution": 1,
+    "q15_top_supplier": 1,
+    "q16_part_supplier_variety": 1,
+    "q17_small_quantity_revenue": 1,
+    "q18_large_orders": 1,
+    "q1_pricing_summary": 1,
+    "q20_excess_suppliers": 1,
+    "q21_blocking_suppliers": 1,
+    "q22_idle_customers": 1,
+    "q2_min_cost_supplier": 1,
+    "q3_shipping_priority": 1,
+    "q4_order_priority": 1,
+    "q5_region_revenue": 1,
+    "q6_forecast_revenue": 1,
+    "q7_nation_trade_volume": 1,
+    "q8_market_share": 1,
+    "q9_product_profit": 1,
+    "revenue_cube": 1,
+    "rich_accounts_union": 1,
+    "skew_salted_rollup": 1,
+    "stats_moments": 1,
+    "streaming_envelope_rollup": 1,
+    "streaming_session_windows": 1,
+    "user_value_percentiles": 1,
+    "vendor_flow_stats": 1,
 }
 
 

@@ -374,8 +374,17 @@ def _envelope_fixture(spark: SparkSession, sf_dir: str, fmt: str = "json") -> st
         key.alias("target_matching_id"),
         F.lit("").alias("target_matching"),
     )
+    # euid in the digest: the stable path (and its .lock file) live in
+    # the world-writable tempdir, so two USERS running this code would
+    # otherwise share a path whose lock file only the first creator can
+    # reopen (open(..., 'w') on another uid's file raises
+    # PermissionError and silently degrades every later run to an
+    # unshared private copy). Per-user dirs make cross-user collisions
+    # impossible; same-user processes still share.
+    uid = getattr(os, "geteuid", lambda: 0)()
     digest = hashlib.md5(
-        f"{sf_dir}|{fmt}|v{_FIXTURE_VERSION}|{TRANSPORT_SCHEMA.json()}".encode()
+        f"{sf_dir}|{fmt}|v{_FIXTURE_VERSION}|uid{uid}|"
+        f"{TRANSPORT_SCHEMA.json()}".encode()
     ).hexdigest()[:8]
     out = os.path.join(tempfile.gettempdir(), f"envelope_rollup_{digest}")
     app = spark.sparkContext.applicationId
@@ -493,6 +502,43 @@ def _register_envelope_rollup() -> None:
         cycle corrupted a value in transit."""
         out = _envelope_fixture(spark, sf_dir, fmt="csv")
         landed = read_probe_events(spark, out, fmt="csv")
+        return _envelope_rollup_agg(landed)
+
+    @register(
+        "envelope_rollup_parquet",
+        oracle=_envelope_oracle(),
+        survey_ops="S5,S11,A3,F9",
+        tier=0,
+    )
+    def envelope_rollup_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """The PARQUET half of the S5 adapter, driver-checked
+        end-to-end (VERDICT r8 missing #2 — previously pytest-only):
+        the same deterministic envelope events landed as a parquet
+        envelope via :func:`write_probe_events` (self-describing, so
+        no string serialization edge) and ingested back through
+        :func:`read_probe_events` (``_normalize`` casts to the typed
+        schema, '' -> NULL). Same rollup, same oracle as
+        ``envelope_rollup``: a hash mismatch means the parquet
+        write/read cycle corrupted a value in transit."""
+        out = _envelope_fixture(spark, sf_dir, fmt="parquet")
+        landed = read_probe_events(spark, out, fmt="parquet")
+        return _envelope_rollup_agg(landed)
+
+    @register(
+        "envelope_rollup_orc",
+        oracle=_envelope_oracle(),
+        survey_ops="S5,S11,A3,F9",
+        tier=0,
+    )
+    def envelope_rollup_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """The ORC half of the S5 adapter, driver-checked end-to-end
+        (VERDICT r8 missing #2): the same deterministic envelope
+        events landed as an ORC envelope via
+        :func:`write_probe_events` and ingested back through
+        :func:`read_probe_events`. Same rollup, same oracle as
+        ``envelope_rollup``."""
+        out = _envelope_fixture(spark, sf_dir, fmt="orc")
+        landed = read_probe_events(spark, out, fmt="orc")
         return _envelope_rollup_agg(landed)
 
     @register(

@@ -366,12 +366,15 @@ def test_multiline_csv_is_one_task_per_file(spark, tmp_path):
 
 def test_envelope_fixture_dir_is_process_stable_and_version_keyed(spark):
     """The fixture dir key is a stable digest (md5, not the per-process-
-    salted ``hash``) of (sf_dir, fmt, _FIXTURE_VERSION, transport
-    schema) — so a re-run in a NEW process lands on the same path, while
-    a derivation/serialization change (version bump) or a schema change
-    lands on a FRESH path instead of silently reusing a stale fixture
-    written by an older build."""
+    salted ``hash``) of (sf_dir, fmt, _FIXTURE_VERSION, euid, transport
+    schema) — so a re-run in a NEW process (same user) lands on the same
+    path, while a derivation/serialization change (version bump) or a
+    schema change lands on a FRESH path instead of silently reusing a
+    stale fixture written by an older build. The euid component keeps
+    two USERS from sharing a path whose .lock file only the first
+    creator's uid can reopen (ADVICE r8)."""
     import hashlib
+    import os
     import tempfile
 
     from stream_processing_test_spark.sources.envelope import (
@@ -383,15 +386,18 @@ def test_envelope_fixture_dir_is_process_stable_and_version_keyed(spark):
     sf = "/root/testdata/sf0.001"
     p1 = _envelope_fixture(spark, sf)
     assert p1 == _envelope_fixture(spark, sf)
+    uid = getattr(os, "geteuid", lambda: 0)()
     digest = hashlib.md5(
-        f"{sf}|json|v{_FIXTURE_VERSION}|{TRANSPORT_SCHEMA.json()}".encode()
+        f"{sf}|json|v{_FIXTURE_VERSION}|uid{uid}|"
+        f"{TRANSPORT_SCHEMA.json()}".encode()
     ).hexdigest()[:8]
     assert p1 == f"{tempfile.gettempdir()}/envelope_rollup_{digest}"
     # no applicationId in the path: a new process computes the same dir
     assert spark.sparkContext.applicationId not in p1
     # a version bump changes the path
     bumped = hashlib.md5(
-        f"{sf}|json|v{_FIXTURE_VERSION + 1}|{TRANSPORT_SCHEMA.json()}".encode()
+        f"{sf}|json|v{_FIXTURE_VERSION + 1}|uid{uid}|"
+        f"{TRANSPORT_SCHEMA.json()}".encode()
     ).hexdigest()[:8]
     assert bumped != digest
 
