@@ -94,7 +94,24 @@ TIERS = {
     # the node set exceed the 10 MB AQE threshold too, so the verdict
     # join executes as a genuine shuffle join end-to-end
     "overbudget_xl": (1_680_000, 0.4),
+    # streaming rungs (VERDICT r8 item 3): 10x / 100x the sf0.1
+    # fixture's 100k events, replayed as sustained availableNow
+    # micro-batches through the two headline streaming pipelines
+    "stream_x10": (1_000_000, 0.0),
+    "stream_x100": (10_000_000, 0.0),
 }
+
+
+def _stream_params(n_events: int) -> dict:
+    """Marker params for gen_events — same staleness contract as the
+    doc/vector generators."""
+    return {
+        "n_events": n_events,
+        "seed": SEED,
+        "events_per_user": STREAM_EVENTS_PER_USER,
+        "days": STREAM_DAYS,
+        "gen_version": 1,
+    }
 
 
 def _doc_params(n_docs: int, dup_rate: float) -> dict:
@@ -133,13 +150,26 @@ def _reuse_or_gen(out_dir: str, params: dict, gen_fn) -> dict:
     """Skip regeneration when the tier dir already holds a corpus
     produced with identical parameters (marker json written after a
     successful generation) — re-running one tier or one query no
-    longer pays the multi-minute corpus write of the big tiers."""
+    longer pays the multi-minute corpus write of the big tiers.
+
+    EVERY ``*path`` key the generator recorded must still exist
+    (ADVICE r8 #2): vec tiers also write planted_pairs.parquet, and a
+    marker whose main path survives but whose pairs file was deleted
+    (or belongs to an older partial run) must regenerate, not let a
+    recall measurement run against a stale/missing pair set."""
     marker = os.path.join(out_dir, "gen_stats.json")
     if os.path.exists(marker):
         try:
             prev = json.loads(Path(marker).read_text())
-            if all(prev.get(k) == v for k, v in params.items()) and os.path.exists(
-                prev.get("path", "")
+            paths = [
+                v
+                for k, v in prev.items()
+                if k.endswith("path") and isinstance(v, str)
+            ]
+            if (
+                all(prev.get(k) == v for k, v in params.items())
+                and paths
+                and all(os.path.exists(p) for p in paths)
             ):
                 return {**prev, "reused": True}
         except (OSError, ValueError):
@@ -325,6 +355,7 @@ def gen_vectors(out_dir: str, n_vecs: int, dup_rate: float, seed: int = SEED) ->
     n_files = len(os.listdir(path))
     return {
         "path": path,
+        "pairs_path": ppath,
         "n_vecs": n_vecs,
         "n_planted_pairs": n_dup_total,
         "dup_rate": dup_rate,
@@ -407,6 +438,119 @@ def vector_lsh_run(
     return out
 
 
+def lsh_recall_probe(
+    spark,
+    tdir: str,
+    points: list[tuple[int | None, int | None]],
+    threshold: float | None = None,
+) -> list[dict]:
+    """Planted-pair recall of (planes, tables) operating points WITHOUT
+    paying the corpus self-join (VERDICT r8 item 1).
+
+    WHY THIS IS EXACT: the registered pipeline
+    (llm.dedup.embedding_lsh_pairs) emits a pair iff (a) its two
+    vectors share a bucket in >= 1 table and (b) exact cosine >=
+    threshold. Bucketing is PER-VECTOR independent
+    (similarity.hyperplane_tables — deterministic md5 hyperplanes), so
+    both conditions are checkable per planted pair by hashing only the
+    vectors that appear in planted pairs — the full run's output
+    restricted to the planted set is identical by construction. That
+    makes the REGISTERED occupancy-1024 parameterization measurable at
+    rungs where its full self-join (candidates ~ n·occupancy·tables)
+    exceeds this host, and the >= planes-16 operating points the rule
+    reaches at 33 M-840 M rows measurable on ladder corpora at all —
+    recall depends on (planes, tables, pair similarity), not corpus
+    size, and the probe validates THAT claim too (the harness runs one
+    (planes, tables) point on two corpus sizes, and one point that the
+    full pipeline also ran, as cross-checks).
+
+    ``points``: (n_planes, n_tables) pairs; ``None`` planes = the
+    registered occupancy-1024 auto_planes; ``None`` tables = the
+    registered auto_tables policy. Per point records recall vs ALL
+    planted pairs (comparable to vector_lsh_run's planted_recall) and
+    vs the exact-cosine-eligible subset (isolating the LSH stage)."""
+    from pyspark.sql import functions as F
+
+    from stream_processing_test_spark.llm.dedup import EMBED_COSINE_THRESHOLD
+    from stream_processing_test_spark.llm.similarity import (
+        auto_planes,
+        auto_tables,
+        cosine,
+        hyperplane_tables,
+    )
+    from stream_processing_test_spark.tables import load
+
+    thr = EMBED_COSINE_THRESHOLD if threshold is None else threshold
+    emb = load(spark, tdir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    n = emb.count()
+    planted = spark.read.parquet(os.path.join(tdir, "planted_pairs.parquet"))
+    n_planted = planted.count()
+    # vectors appearing in any planted pair — the only ones the probe hashes
+    pair_ids = (
+        planted.select(F.col("doc_a").alias("vec_id"))
+        .union(planted.select(F.col("doc_b").alias("vec_id")))
+        .distinct()
+    )
+    sub = emb.join(pair_ids, "vec_id", "semi").persist()
+    # exact-verify eligibility per planted pair (condition (b))
+    va = sub.select(F.col("vec_id").alias("doc_a"), F.col("v").alias("va"))
+    vb = sub.select(F.col("vec_id").alias("doc_b"), F.col("v").alias("vb"))
+    elig = (
+        planted.join(va, "doc_a")
+        .join(vb, "doc_b")
+        .filter(cosine(F.col("va"), F.col("vb")) >= thr)
+        .select("doc_a", "doc_b")
+        .persist()
+    )
+    n_elig = elig.count()
+    out = []
+    for n_planes, n_tables in points:
+        planes = (
+            auto_planes(n) if n_planes is None else n_planes
+        )
+        tables = auto_tables(planes) if n_tables is None else n_tables
+        bk = hyperplane_tables(sub, n_tables=tables, n_planes=planes)
+        a = bk.select(F.col("vec_id").alias("doc_a"), "table_id", "bucket")
+        b = bk.select(
+            F.col("vec_id").alias("db"),
+            F.col("table_id").alias("tb"),
+            F.col("bucket").alias("bb"),
+        )
+        collided = (
+            planted.join(a, "doc_a")
+            .join(
+                b,
+                (F.col("doc_b") == F.col("db"))
+                & (F.col("table_id") == F.col("tb"))
+                & (F.col("bucket") == F.col("bb")),
+            )
+            .select("doc_a", "doc_b")
+            .distinct()
+        )
+        hits = collided.join(elig, ["doc_a", "doc_b"], "semi").count()
+        rec = {
+            "planes": planes,
+            "tables": tables,
+            "mode": (
+                ("auto_planes" if n_planes is None else f"planes={n_planes}")
+                + "/"
+                + ("auto_tables" if n_tables is None else f"tables={n_tables}")
+            ),
+            "threshold": thr,
+            "n_planted": n_planted,
+            "n_eligible": n_elig,
+            "recall_planted": round(hits / max(n_planted, 1), 3),
+            "recall_eligible": round(hits / max(n_elig, 1), 3),
+        }
+        out.append(rec)
+        print(f"  recall probe: {rec}", flush=True)
+    sub.unpersist()
+    elig.unpersist()
+    return out
+
+
 def vector_ivf_run(spark, tdir: str, repeats: int) -> dict:
     """Time the IVF ANN core (llm.similarity.ivf_topk — the registered
     ``ann_ivf_topk`` code path: deterministic k-means training + probed
@@ -442,6 +586,141 @@ def vector_ivf_run(spark, tdir: str, repeats: int) -> dict:
         release_local_checkpoint(res)
     out["wall_sec"] = min(samples)
     out["samples"] = samples
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Streaming rung (VERDICT r8 item 3): sustained events/s + state-store
+# size for the two headline streaming queries at 10x/100x the sf0.1
+# fixture event volume. The reference's engineered ceiling is 2.5
+# probe-events/s (BASELINE.md) — this is the measured margin over it.
+# ---------------------------------------------------------------------------
+
+STREAM_EVENTS_PER_USER = 67  # fixture ratio: sf0.1 = 100k events / 1.5k users
+STREAM_DAYS = 30  # fixture span; state rows for the rollup = users x days
+STREAM_CHUNK = 250_000  # one parquet file per chunk -> honest multi-file
+#                         stream; maxFilesPerTrigger then yields ~4
+#                         sustained micro-batches per run
+
+
+def gen_events(out_dir: str, n_events: int, seed: int = SEED) -> dict:
+    """Write ``{out_dir}/events.parquet`` (driver events schema:
+    event_id, ts[us], user_id, event_type, value, props) as a DIRECTORY
+    of one file per STREAM_CHUNK rows. event_id is globally sequential
+    and ts increases with it (file order == event order, the shape a
+    probe-connector append stream produces); user_id is uniform over
+    n/STREAM_EVENTS_PER_USER users; event_type uniform over the
+    fixture's five types (20% 'error' — what the streak operator
+    walks)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import shutil
+
+    rng = np.random.default_rng(seed + 13)
+    path = os.path.join(out_dir, "events.parquet")
+    if os.path.isdir(path):
+        shutil.rmtree(path)
+    elif os.path.exists(path):
+        os.remove(path)
+    os.makedirs(path)
+    n_users = max(1, n_events // STREAM_EVENTS_PER_USER)
+    base_us = 1_704_067_200_000_000  # 2024-01-01 UTC in epoch micros
+    span_us = STREAM_DAYS * 86_400_000_000
+    types = np.array(["signup", "purchase", "view", "click", "error"])
+    for start in range(0, n_events, STREAM_CHUNK):
+        c = min(STREAM_CHUNK, n_events - start)
+        eid = np.arange(start, start + c, dtype=np.int64)
+        ts = base_us + (eid * (span_us // max(n_events, 1))).astype(np.int64)
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": eid,
+                    "ts": pa.array(ts, type=pa.timestamp("us")),
+                    "user_id": rng.integers(0, n_users, size=c, dtype=np.int64),
+                    "event_type": types[rng.integers(0, 5, size=c)],
+                    "value": rng.random(c),
+                    "props": np.full(c, "{}", dtype=object),
+                }
+            ),
+            os.path.join(path, f"part-{start // STREAM_CHUNK:05d}.parquet"),
+        )
+    n_files = len(os.listdir(path))
+    return {
+        "path": path,
+        "n_events": n_events,
+        "n_users": n_users,
+        "days": STREAM_DAYS,
+        "n_files": n_files,
+        "bytes": sum(
+            os.path.getsize(os.path.join(path, f)) for f in os.listdir(path)
+        ),
+    }
+
+
+def streaming_run(spark, tdir: str, which: str, repeats: int) -> dict:
+    """Run one headline streaming pipeline (``scores`` =
+    events_stream -> daily_rollup, complete mode — the
+    streaming_daily_scores path; ``streaks`` = events_stream ->
+    failure_streaks, append mode — the streaming_failure_streaks path)
+    over the tier's event directory with availableNow micro-batches
+    (maxFilesPerTrigger sized for ~4 sustained batches), into a noop
+    sink (full computation, no driver-side result retention).
+
+    Records min-of-``repeats`` wall, the derived sustained events/s,
+    and the final-progress state-store numbers (rows + bytes) — the
+    state-growth story the batch ladders can't see. Same 8
+    state-partition setting as the registered queries (scoped to a
+    cloned session)."""
+    from stream_processing_test_spark.streaming.pipeline import (
+        daily_rollup,
+        events_stream,
+    )
+    from stream_processing_test_spark.streaming.stateful import (
+        failure_streaks,
+    )
+
+    path = os.path.join(tdir, "events.parquet")
+    n_files = len(
+        [f for f in os.listdir(path) if not f.startswith("_")]
+    )
+    n_events = None
+    out: dict = {"which": which, "n_files": n_files}
+    samples: list[float] = []
+    for i in range(repeats):
+        scoped = spark.newSession()
+        scoped.conf.set("spark.sql.shuffle.partitions", "8")
+        ev = events_stream(
+            scoped, path, max_files_per_trigger=max(1, n_files // 4)
+        )
+        if n_events is None:
+            n_events = scoped.read.parquet(path).count()
+            out["n_events"] = n_events
+        if which == "scores":
+            result, mode = daily_rollup(ev), "complete"
+        else:
+            result, mode = failure_streaks(ev), "append"
+        t0 = time.time()
+        q = (
+            result.writeStream.format("noop")
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        samples.append(round(time.time() - t0, 2))
+        if i == 0:
+            progs = q.recentProgress
+            out["n_batches"] = len(progs)
+            last_state = (progs[-1].get("stateOperators") or [{}])[0] if progs else {}
+            out["state_rows_total"] = last_state.get("numRowsTotal")
+            out["state_memory_bytes"] = last_state.get("memoryUsedBytes")
+            out["sink_rows_final_batch"] = (
+                (progs[-1].get("sink") or {}).get("numOutputRows") if progs else None
+            )
+    out["wall_sec"] = min(samples)
+    out["samples"] = samples
+    out["events_per_sec"] = round(n_events / max(min(samples), 0.01))
     return out
 
 
@@ -562,10 +841,12 @@ def main() -> None:
     ap.add_argument(
         "--vec-extras",
         default="",
-        help="comma list from {thr08,ivf,ann}: for the named vec tiers "
-        "run ONLY these attribution extras (threshold-0.8 LSH variant, "
-        "IVF rung, the REGISTERED ann_lsh_topk verbatim), merging new "
-        "keys into the existing tier entries",
+        help="comma list from {thr08,ivf,ann,recall,policywall}: for the "
+        "named vec tiers run ONLY these attribution extras (threshold-0.8 "
+        "LSH variant, IVF rung, the REGISTERED ann_lsh_topk verbatim, the "
+        "planted-pair recall probe at the registered + policy operating "
+        "points, the full-pipeline wall price of auto_tables at planes=16),"
+        " merging new keys into the existing tier entries",
     )
     args = ap.parse_args()
     vec_extras = {e for e in args.vec_extras.split(",") if e}
@@ -586,7 +867,9 @@ def main() -> None:
     # small corpus — the first execution of each operator family pays
     # codegen/JIT (measured ~4-10x on this host), which would land
     # entirely on the first tier's first query and corrupt every ratio
-    if any(not t.startswith("vec_") for t in tier_names):
+    if any(
+        not t.startswith(("vec_", "stream_")) for t in tier_names
+    ):
         wdir = os.path.join(args.scratch, "warmup")
         _reuse_or_gen(
             wdir,
@@ -603,12 +886,25 @@ def main() -> None:
             _vec_params(2_000, 0.2),
             lambda: gen_vectors(wdir, 2_000, 0.2),
         )
-        vector_lsh_run(spark, wdir, 1, None)
+        if not vec_extras or "thr08" in vec_extras or "policywall" in vec_extras:
+            vector_lsh_run(spark, wdir, 1, None)
         if "ivf" in vec_extras:
             vector_ivf_run(spark, wdir, 1)
         if "ann" in vec_extras:
             time_query(spark, "ann_lsh_topk", wdir, 1)
+        if "recall" in vec_extras:
+            lsh_recall_probe(spark, wdir, [(6, 4)])
         print("[warmup] vector JIT pass done", flush=True)
+    if any(t.startswith("stream_") for t in tier_names):
+        wdir = os.path.join(args.scratch, "warmup_stream")
+        _reuse_or_gen(
+            wdir,
+            _stream_params(20_000),
+            lambda: gen_events(wdir, 20_000),
+        )
+        streaming_run(spark, wdir, "scores", 1)
+        streaming_run(spark, wdir, "streaks", 1)
+        print("[warmup] streaming JIT pass done", flush=True)
 
     from bench import _calibration_probe
 
@@ -627,6 +923,20 @@ def main() -> None:
         n_docs, dup_rate = TIERS[tier]
         tdir = os.path.join(args.scratch, tier)
         t0 = time.time()
+        if tier.startswith("stream_"):
+            stats = _reuse_or_gen(
+                tdir,
+                _stream_params(n_docs),
+                lambda: gen_events(tdir, n_docs),
+            )
+            stats["gen_sec"] = round(time.time() - t0, 2)
+            entry = {"corpus": stats}
+            print(f"[{tier}] corpus: {stats}", flush=True)
+            for which in ("scores", "streaks"):
+                entry[which] = streaming_run(spark, tdir, which, args.repeats)
+                print(f"[{tier}] {which}: {entry[which]}", flush=True)
+            result["tiers"][tier] = entry
+            continue
         if tier.startswith("vec_"):
             stats = _reuse_or_gen(
                 tdir,
@@ -659,6 +969,45 @@ def main() -> None:
                     print(
                         f"[{tier}] ann_lsh_registered: "
                         f"{entry['ann_lsh_registered']}",
+                        flush=True,
+                    )
+                if "recall" in vec_extras:
+                    # (None, None) = the REGISTERED operating point
+                    # (occupancy-1024 auto_planes + auto_tables — shared
+                    # by dedup_embedding_lsh and ann_lsh_topk). The
+                    # planes-16/20 points are what the registered rule
+                    # reaches at ~33M / ~840M rows: fixed-16-tables
+                    # (the retired policy) vs auto_tables, measured on
+                    # two corpus sizes to validate that recall is
+                    # n-independent. vec_x1 adds (12, 8) — the point
+                    # its FULL-pipeline 'auto' entry measured — as the
+                    # probe-vs-pipeline cross-check.
+                    pts: list = [(None, None)]
+                    if tier == "vec_x1":
+                        pts.append((12, 8))
+                    if tier in ("vec_x4", "vec_x16"):
+                        pts += [(16, 16), (16, None), (20, 16), (20, None)]
+                    entry["recall_probe"] = lsh_recall_probe(spark, tdir, pts)
+                if "policywall" in vec_extras:
+                    # full-pipeline wall price of the hold-recall policy
+                    # at the planes-16 operating point (auto_tables=22
+                    # vs the retired fixed 16), on the same corpus
+                    from stream_processing_test_spark.llm.similarity import (
+                        auto_tables as _at,
+                    )
+
+                    entry["policy_fixed16"] = vector_lsh_run(
+                        spark, tdir, args.repeats, 16, 16
+                    )
+                    print(
+                        f"[{tier}] policy_fixed16: {entry['policy_fixed16']}",
+                        flush=True,
+                    )
+                    entry["policy_auto"] = vector_lsh_run(
+                        spark, tdir, args.repeats, 16, _at(16)
+                    )
+                    print(
+                        f"[{tier}] policy_auto: {entry['policy_auto']}",
                         flush=True,
                     )
                 result["tiers"][tier] = entry
