@@ -581,6 +581,7 @@ def test_no_query_force_broadcasts_fact_scaled_frames(spark):
                 "Scan parquet" in plan
                 or "Scan json" in plan
                 or "Scan csv" in plan
+                or "Scan orc" in plan
             ), f"{name}: expected a lazy plan"
             if "BroadcastExchange" in plan:
                 forced.add(name)
