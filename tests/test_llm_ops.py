@@ -634,10 +634,6 @@ def test_auto_tables_sql_twin_matches_python():
     con = duckdb.connect()
     for n in [1, 500, 1024, 16385, 10**5, 10**6, 5 * 10**7, 10**9,
               10**10, 10**11]:
-        con.execute(
-            f"CREATE OR REPLACE VIEW embeddings AS "
-            f"SELECT range AS vec_id FROM range(1)"  # count replaced below
-        )
         # probe the rule at synthetic counts without materializing 1e11
         # rows: nv is COUNT(*)-shaped, so substitute the count directly
         got = con.sql(

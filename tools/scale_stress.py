@@ -146,32 +146,40 @@ def _vec_params(n_vecs: int, dup_rate: float) -> dict:
     }
 
 
-def _reuse_or_gen(out_dir: str, params: dict, gen_fn) -> dict:
+def _reuse_or_gen(
+    out_dir: str,
+    params: dict,
+    gen_fn,
+    expect_paths: dict[str, str] = {"path": None},
+) -> dict:
     """Skip regeneration when the tier dir already holds a corpus
     produced with identical parameters (marker json written after a
     successful generation) — re-running one tier or one query no
     longer pays the multi-minute corpus write of the big tiers.
 
-    EVERY ``*path`` key the generator recorded must still exist
-    (ADVICE r8 #2): vec tiers also write planted_pairs.parquet, and a
-    marker whose main path survives but whose pairs file was deleted
-    (or belongs to an older partial run) must regenerate, not let a
-    recall measurement run against a stale/missing pair set."""
+    EVERY artifact the caller expects must still exist (ADVICE r8
+    #2): vec tiers also write planted_pairs.parquet, and a marker
+    whose main path survives but whose pairs file was deleted must
+    regenerate, not let a recall measurement run against a missing
+    pair set. ``expect_paths`` maps marker keys to the artifact's
+    conventional filename under ``out_dir``; a pre-r9 marker that
+    never recorded the key is backfilled from that default — sound
+    because markers are written only AFTER a fully successful
+    generation, so any artifact at the default location came from the
+    same gen (partial runs never write markers)."""
     marker = os.path.join(out_dir, "gen_stats.json")
     if os.path.exists(marker):
         try:
             prev = json.loads(Path(marker).read_text())
-            paths = [
-                v
-                for k, v in prev.items()
-                if k.endswith("path") and isinstance(v, str)
-            ]
-            if (
-                all(prev.get(k) == v for k, v in params.items())
-                and paths
-                and all(os.path.exists(p) for p in paths)
+            resolved = {
+                k: prev.get(k)
+                or (os.path.join(out_dir, fname) if fname else None)
+                for k, fname in expect_paths.items()
+            }
+            if all(prev.get(k) == v for k, v in params.items()) and all(
+                p and os.path.exists(p) for p in resolved.values()
             ):
-                return {**prev, "reused": True}
+                return {**prev, **resolved, "reused": True}
         except (OSError, ValueError):
             pass
     stats = {**params, **gen_fn()}
@@ -885,6 +893,10 @@ def main() -> None:
             wdir,
             _vec_params(2_000, 0.2),
             lambda: gen_vectors(wdir, 2_000, 0.2),
+            expect_paths={
+                "path": "embeddings.parquet",
+                "pairs_path": "planted_pairs.parquet",
+            },
         )
         if not vec_extras or "thr08" in vec_extras or "policywall" in vec_extras:
             vector_lsh_run(spark, wdir, 1, None)
@@ -942,6 +954,10 @@ def main() -> None:
                 tdir,
                 _vec_params(n_docs, dup_rate),
                 lambda: gen_vectors(tdir, n_docs, dup_rate),
+                expect_paths={
+                    "path": "embeddings.parquet",
+                    "pairs_path": "planted_pairs.parquet",
+                },
             )
             stats["gen_sec"] = round(time.time() - t0, 2)
             entry = {"corpus": stats}
