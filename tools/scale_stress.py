@@ -559,18 +559,33 @@ def lsh_recall_probe(
     return out
 
 
-def vector_ivf_run(spark, tdir: str, repeats: int) -> dict:
+def vector_ivf_run(
+    spark, tdir: str, repeats: int, train_target: int | None = None
+) -> dict:
     """Time the IVF ANN core (llm.similarity.ivf_topk — the registered
-    ``ann_ivf_topk`` code path: deterministic k-means training + probed
-    search for a 5-query set) on the tier's embeddings table. Training
-    dominates: iters+1 broadcast-centroid corpus scans plus a
-    dimension-major centroid mean whose shuffle is map-side-combined to
-    k*dim rows — the claimed-linear shape this rung measures."""
+    ``ann_ivf_topk`` code path: sampled driver-local k-means training +
+    one full-corpus assignment + probed search for a 5-query set) on
+    the tier's embeddings table, and record recall@k against the exact
+    broadcast brute-force top-k computed in-harness.
+
+    Recall context: on near-random base vectors no routing structure
+    exists, so IVF recall sits near the fraction-searched floor
+    nprobe/n_lists BY CONSTRUCTION (documented since r8; real routing
+    gain on clustered corpora is pytest-pinned) — the number that
+    matters here is sampled-vs-full-training recall on the SAME
+    corpus, which bounds what the 4096-row training cap costs.
+    ``train_target`` overrides the sample cap (a huge value trains on
+    the FULL corpus — same driver-local numpy engine, no cap; it
+    driver-collects the whole corpus, so this contrast arm is viable
+    at ladder scale only)."""
+    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     from stream_processing_test_spark.llm.similarity import (
         IVF_LISTS,
         N_PROBE,
+        TOP_K,
+        cosine,
         ivf_topk,
     )
     from stream_processing_test_spark.session import release_local_checkpoint
@@ -583,14 +598,38 @@ def vector_ivf_run(spark, tdir: str, repeats: int) -> dict:
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
     out: dict = {"n_lists": IVF_LISTS, "n_probe": N_PROBE, "n_queries": 5}
+    kw = {} if train_target is None else {"train_target": train_target}
+    if train_target is not None:
+        out["train_target"] = train_target
     samples: list[float] = []
     for i in range(repeats):
         spark.catalog.clearCache()
         t0 = time.time()
-        res = ivf_topk(emb, q)
+        res = ivf_topk(emb, q, **kw)
         samples.append(round(time.time() - t0, 2))
         if i == 0:
             out["rows"] = res.count()
+            # exact top-k (broadcast 5-query brute force) — untimed
+            w = Window.partitionBy("query_id").orderBy(
+                F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+            )
+            exact = (
+                emb.crossJoin(F.broadcast(q))
+                .filter(F.col("vec_id") != F.col("query_id"))
+                .select(
+                    "query_id",
+                    F.col("vec_id").alias("neighbor_id"),
+                    F.round(cosine(F.col("qv"), F.col("v")), 4).alias(
+                        "cos_sim"
+                    ),
+                )
+                .withColumn("rk", F.row_number().over(w))
+                .filter(F.col("rk") <= TOP_K)
+                .select("query_id", "neighbor_id")
+            )
+            hits = res.join(exact, ["query_id", "neighbor_id"], "semi").count()
+            out["recall_at_k"] = round(hits / max(out["rows"], 1), 3)
+            out["fraction_searched_floor"] = round(N_PROBE / IVF_LISTS, 3)
         release_local_checkpoint(res)
     out["wall_sec"] = min(samples)
     out["samples"] = samples
@@ -978,6 +1017,19 @@ def main() -> None:
                 if "ivf" in vec_extras:
                     entry["ivf"] = vector_ivf_run(spark, tdir, args.repeats)
                     print(f"[{tier}] ivf: {entry['ivf']}", flush=True)
+                    if tier == "vec_x4":
+                        # contrast arm: full-corpus training (cap
+                        # disabled, same numpy engine) on the same
+                        # corpus — bounds what the 4096-row sample cap
+                        # costs in recall (and shows the wall it buys)
+                        entry["ivf_fulltrain"] = vector_ivf_run(
+                            spark, tdir, args.repeats, train_target=1 << 40
+                        )
+                        print(
+                            f"[{tier}] ivf_fulltrain: "
+                            f"{entry['ivf_fulltrain']}",
+                            flush=True,
+                        )
                 if "ann" in vec_extras:
                     entry["ann_lsh_registered"] = time_query(
                         spark, "ann_lsh_topk", tdir, args.repeats
