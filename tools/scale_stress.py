@@ -559,6 +559,98 @@ def lsh_recall_probe(
     return out
 
 
+def lsh_scurve_probe(
+    spark, tdir: str, planes_list: tuple[int, ...] = (4, 10, 16, 20)
+) -> list[dict]:
+    """Measured LSH s-curve: recall BY COSINE BIN at the operating
+    points the registered auto rule selects, against the EXACT
+    ground-truth pair set (the quadratic is feasible at this tier's
+    10 k vectors). The hold-recall policy (auto_tables) is declared
+    for the near-dup design point (cos 0.9); pairs less similar get
+    less recall by the LSH collision curve — this probe turns that
+    documented statement into numbers, so the θ=0.35 contract's
+    behavior at corpus scale is measured, not implied: high-cos bins
+    hold near the floor, moderate-sim bins decay toward zero as
+    planes rise (the regime where the exact twin / IVF is the tool)."""
+    from pyspark.sql import functions as F
+
+    from stream_processing_test_spark.llm.dedup import EMBED_COSINE_THRESHOLD
+    from stream_processing_test_spark.llm.similarity import (
+        auto_tables,
+        cosine,
+        hyperplane_tables,
+    )
+    from stream_processing_test_spark.session import parallelize_narrow_scan
+    from stream_processing_test_spark.tables import load
+
+    emb = load(spark, tdir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    # the exact all-pairs join streams one side: a single-file 10k
+    # corpus scans as ONE task, serializing 50M 64-dim folds —
+    # repartition the streamed side so the quadratic runs wide
+    emb = parallelize_narrow_scan(emb)
+    a = emb.select(F.col("vec_id").alias("doc_a"), F.col("v").alias("va"))
+    b = emb.select(F.col("vec_id").alias("doc_b"), F.col("v").alias("vb"))
+    bin_col = (
+        F.when(F.col("cos") >= 0.9, "0.90+")
+        .when(F.col("cos") >= 0.7, "0.70-0.90")
+        .when(F.col("cos") >= 0.5, "0.50-0.70")
+        .otherwise("0.35-0.50")
+    )
+    exact = (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a", "doc_b", cosine(F.col("va"), F.col("vb")).alias("cos")
+        )
+        .filter(F.col("cos") >= EMBED_COSINE_THRESHOLD)
+        .select("doc_a", "doc_b", bin_col.alias("bin"))
+        .persist()
+    )
+    totals = {
+        r["bin"]: r["n"]
+        for r in exact.groupBy("bin").agg(F.count("*").alias("n")).collect()
+    }
+    out = []
+    for planes in planes_list:
+        tables = auto_tables(planes)
+        bk = hyperplane_tables(emb, n_tables=tables, n_planes=planes)
+        ba = bk.select(F.col("vec_id").alias("doc_a"), "table_id", "bucket")
+        bb = bk.select(
+            F.col("vec_id").alias("db"),
+            F.col("table_id").alias("tb"),
+            F.col("bucket").alias("bb"),
+        )
+        hit = (
+            exact.join(ba, "doc_a")
+            .join(
+                bb,
+                (F.col("doc_b") == F.col("db"))
+                & (F.col("table_id") == F.col("tb"))
+                & (F.col("bucket") == F.col("bb")),
+            )
+            .select("doc_a", "doc_b", "bin")
+            .distinct()
+        )
+        hits = {
+            r["bin"]: r["n"]
+            for r in hit.groupBy("bin").agg(F.count("*").alias("n")).collect()
+        }
+        rec = {
+            "planes": planes,
+            "tables": tables,
+            "recall_by_cos_bin": {
+                k: round(hits.get(k, 0) / v, 3)
+                for k, v in sorted(totals.items())
+            },
+            "pairs_by_cos_bin": dict(sorted(totals.items())),
+        }
+        out.append(rec)
+        print(f"  scurve: {rec}", flush=True)
+    exact.unpersist()
+    return out
+
+
 def vector_ivf_run(
     spark, tdir: str, repeats: int, train_target: int | None = None
 ) -> dict:
@@ -1088,6 +1180,9 @@ def main() -> None:
             if tier.startswith("vec_fixed4"):
                 entry["fixed4"] = vector_lsh_run(spark, tdir, args.repeats, 4)
                 print(f"[{tier}] fixed4: {entry['fixed4']}", flush=True)
+            if tier == "vec_fixed4":
+                # the 10k tier is where exact ground truth is feasible
+                entry["scurve"] = lsh_scurve_probe(spark, tdir)
             result["tiers"][tier] = entry
             continue
         stats = _reuse_or_gen(
