@@ -112,6 +112,7 @@ BENCH_EXCLUDED = {
     "monotonic_violations": "lag window over events; window-frame cost timed by rolling_user_stats",
     "resolution_classify": "per-row CASE dispatch; same map stage as headline per_source_rollup",
     "doc_fingerprint": "single JVM map pass over documents; same shape as token_count / lang_id_ngram",
+    "embedding_quantize_int8": "single JVM fold pass over embeddings; same scan+fold shape as headline embedding_norm_stats",
     "pii_redact": "single regexp map pass over documents; same shape as lang_id_ngram",
     "doc_repetition_stats": "explode -> keyed partial agg on documents; same stage shape as tfidf_top_terms",
     "quantity_grouping_sets": "grouping-sets twin of headline revenue_cube; identical rollup machinery",

@@ -104,3 +104,85 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_norm",
         )
     )
+
+
+_QUANTIZE_ORACLE = """
+WITH esig AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+),
+s AS (
+    SELECT vec_id, v,
+           list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+    FROM esig
+),
+qe AS (
+    SELECT vec_id, v, scale,
+           CASE WHEN scale = 0 THEN list_transform(v, x -> 0.0)
+                ELSE list_transform(v, x -> x - CAST(ROUND(x / scale) AS INT) * scale)
+           END AS err
+    FROM s
+)
+SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       ROUND(scale, 6) AS scale_q,
+       ROUND(list_max(list_transform(err, x -> abs(x))), 6) AS max_abs_err,
+       ROUND(list_sum(list_transform(err, x -> x * x)) / len(v), 6) AS mse
+FROM qe
+"""
+
+
+@register(
+    "embedding_quantize_int8",
+    oracle=_QUANTIZE_ORACLE,
+    survey_ops="§7-similarity,⊘quantize",
+    tier=0,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector symmetric int8 quantization with reconstruction-error
+    accounting — the storage op a 100 TB embedding lake runs before
+    anything else (float32→int8 is a 4× footprint cut; the question a
+    pipeline owner needs answered per corpus is what it costs in
+    reconstruction error, per vector, before pointing an ANN index at
+    the quantized column).
+
+    scale = max|x| / 127 (symmetric, no zero-point); q_i =
+    round(x_i / scale) as int8-range ints; the emitted metrics are the
+    reconstruction residual x_i - q_i*scale: max_abs_err (bounded by
+    scale/2 + ulp by construction — pytest pins this) and per-vector
+    MSE. Everything is JVM-side array folds (aggregate/transform/
+    zip_with — no Python, no shuffle beyond the scan); the per-element
+    ops (abs-max, divide, HALF-UP round, int cast, fused back) are
+    exact IEEE in both engines and the error folds accumulate
+    left-to-right like every fold in this package, so the DuckDB
+    oracle replays bit-for-bit. Zero vectors take scale 0 with zero
+    error (guarded CASE in both engines)."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    maxabs = F.aggregate(
+        "v", F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x))
+    )
+    df = emb.withColumn("scale", maxabs / F.lit(127.0))
+    err = F.when(
+        F.col("scale") == 0, F.transform("v", lambda x: F.lit(0.0))
+    ).otherwise(
+        F.transform(
+            "v",
+            lambda x: x
+            - F.round(x / F.col("scale")).cast("int").cast("double")
+            * F.col("scale"),
+        )
+    )
+    df = df.withColumn("err", err)
+    max_abs_err = F.aggregate(
+        "err", F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x))
+    )
+    mse = F.aggregate("err", F.lit(0.0), lambda acc, x: acc + x * x) / F.size(
+        "v"
+    )
+    return df.select(
+        "vec_id",
+        F.round("scale", 6).alias("scale_q"),
+        F.round(max_abs_err, 6).alias("max_abs_err"),
+        F.round(mse, 6).alias("mse"),
+    )

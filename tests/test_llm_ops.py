@@ -782,3 +782,39 @@ def test_ivf_sampled_training_cross_engine_parity(spark, tmp_path):
     )
     want = sorted(map(tuple, con.sql(_ivf_oracle()).fetchall()))
     assert got == want
+
+
+def test_embedding_quantize_error_bound(spark):
+    """int8 quantization contract: per-vector max reconstruction error
+    is bounded by scale/2 (+ float slack) by construction — round() to
+    the nearest level can miss by at most half a step — and MSE never
+    exceeds max_abs_err². A zero vector takes scale 0 with zero error."""
+    from pyspark.sql import functions as F
+
+    from stream_processing_test_spark.registry import all_queries
+    from tests.conftest import SF_SMALL
+
+    rows = (
+        all_queries()["embedding_quantize_int8"]
+        .fn(spark, SF_SMALL)
+        .collect()
+    )
+    assert len(rows) == 500
+    for r in rows:
+        bound = r["scale_q"] / 2 + 1e-6
+        assert 0 <= r["max_abs_err"] <= bound, (r["vec_id"], r)
+        assert 0 <= r["mse"] <= r["max_abs_err"] ** 2 + 1e-9
+
+    emb = spark.createDataFrame(
+        [(0, [0.0] * 8), (1, [1.0] * 8)], "vec_id long, embedding array<float>"
+    )
+    import tempfile, os
+
+    d = tempfile.mkdtemp(prefix="quant_zero_")
+    emb.write.parquet(os.path.join(d, "embeddings.parquet"))
+    out = {
+        r["vec_id"]: r
+        for r in all_queries()["embedding_quantize_int8"].fn(spark, d).collect()
+    }
+    assert out[0]["scale_q"] == 0.0 and out[0]["max_abs_err"] == 0.0
+    assert out[1]["max_abs_err"] <= out[1]["scale_q"] / 2 + 1e-6
