@@ -800,11 +800,15 @@ def gen_events(out_dir: str, n_events: int, seed: int = SEED) -> dict:
 def streaming_run(spark, tdir: str, which: str, repeats: int) -> dict:
     """Run one headline streaming pipeline (``scores`` =
     events_stream -> daily_rollup, complete mode — the
-    streaming_daily_scores path; ``streaks`` = events_stream ->
-    failure_streaks, append mode — the streaming_failure_streaks path)
-    over the tier's event directory with availableNow micro-batches
-    (maxFilesPerTrigger sized for ~4 sustained batches), into a noop
-    sink (full computation, no driver-side result retention).
+    streaming_daily_scores path; ``scores_update`` = the same rollup
+    with a 1-day watermark in update mode — the bounded-state
+    deployment shape, where windows older than the watermark EXPIRE
+    from the store instead of accumulating users x days rows;
+    ``streaks`` = events_stream -> failure_streaks, append mode — the
+    streaming_failure_streaks path) over the tier's event directory
+    with availableNow micro-batches (maxFilesPerTrigger sized for ~4
+    sustained batches), into a noop sink (full computation, no
+    driver-side result retention).
 
     Records min-of-``repeats`` wall, the derived sustained events/s,
     and the final-progress state-store numbers (rows + bytes) — the
@@ -837,6 +841,8 @@ def streaming_run(spark, tdir: str, which: str, repeats: int) -> dict:
             out["n_events"] = n_events
         if which == "scores":
             result, mode = daily_rollup(ev), "complete"
+        elif which == "scores_update":
+            result, mode = daily_rollup(ev, watermark="1 day"), "update"
         else:
             result, mode = failure_streaks(ev), "append"
         t0 = time.time()
@@ -1075,7 +1081,9 @@ def main() -> None:
             stats["gen_sec"] = round(time.time() - t0, 2)
             entry = {"corpus": stats}
             print(f"[{tier}] corpus: {stats}", flush=True)
-            for which in ("scores", "streaks"):
+            for which in ("scores", "scores_update", "streaks"):
+                if qfilter and which not in qfilter:
+                    continue
                 entry[which] = streaming_run(spark, tdir, which, args.repeats)
                 print(f"[{tier}] {which}: {entry[which]}", flush=True)
             result["tiers"][tier] = entry
