@@ -113,6 +113,7 @@ BENCH_EXCLUDED = {
     "resolution_classify": "per-row CASE dispatch; same map stage as headline per_source_rollup",
     "doc_fingerprint": "single JVM map pass over documents; same shape as token_count / lang_id_ngram",
     "embedding_quantize_int8": "single JVM fold pass over embeddings; same scan+fold shape as headline embedding_norm_stats",
+    "ann_cosine_topk_int8": "broadcast brute-force twin of headline ann_cosine_topk over the dequantized column; identical search shape",
     "pii_redact": "single regexp map pass over documents; same shape as lang_id_ngram",
     "doc_repetition_stats": "explode -> keyed partial agg on documents; same stage shape as tfidf_top_terms",
     "quantity_grouping_sets": "grouping-sets twin of headline revenue_cube; identical rollup machinery",

@@ -186,3 +186,115 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(max_abs_err, 6).alias("max_abs_err"),
         F.round(mse, 6).alias("mse"),
     )
+
+
+def _int8_topk_oracle() -> str:
+    from stream_processing_test_spark.llm.similarity import N_QUERIES, TOP_K
+
+    return f"""
+WITH esig AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+),
+s AS (
+    SELECT vec_id, v,
+           list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+    FROM esig
+),
+deq AS (
+    SELECT vec_id,
+           CASE WHEN scale = 0 THEN list_transform(v, x -> 0.0)
+                ELSE list_transform(v, x -> CAST(ROUND(x / scale) AS INT) * scale)
+           END AS v
+    FROM s
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM deq WHERE vec_id < {N_QUERIES}),
+sims AS (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           ROUND(list_cosine_similarity(q.qv, e.v), 4) AS cos_sim
+    FROM q, deq e
+    WHERE e.vec_id <> q.query_id
+),
+ranked AS (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rk
+    FROM sims
+)
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(neighbor_id AS BIGINT) AS neighbor_id,
+       cos_sim,
+       CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= {TOP_K}
+"""
+
+
+@register(
+    "ann_cosine_topk_int8",
+    oracle=_int8_topk_oracle(),
+    survey_ops="§7-similarity,⊘quantize",
+    tier=0,
+)
+def ann_cosine_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k over the INT8-QUANTIZED corpus — the
+    search path a 4x-compressed embedding lake actually serves, closing
+    the loop on ``embedding_quantize_int8``: quantize is not just a
+    metrics query, it is a storage stage the ANN path runs on top of.
+    Same output contract as ``ann_cosine_topk``; pytest measures
+    recall@k of the quantized search against the fp32 exact result (the
+    number a pipeline owner trades the 4x footprint against).
+
+    Dequantization q_i*scale happens at the expression (transform —
+    JVM-side, exact IEEE), so the search itself is the identical
+    broadcast-query/corpus-stream shape as the fp32 twin; in a real
+    lake the int8 column is what's stored and this transform is the
+    scan-time decode. The DuckDB oracle replays
+    quantize→dequantize→rank bit-for-bit."""
+    from stream_processing_test_spark.llm.similarity import (
+        N_QUERIES,
+        TOP_K,
+        cosine,
+    )
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    maxabs = F.aggregate(
+        "v", F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x))
+    )
+    deq = emb.withColumn("scale", maxabs / F.lit(127.0)).select(
+        "vec_id",
+        F.when(
+            F.col("scale") == 0, F.transform("v", lambda x: F.lit(0.0))
+        )
+        .otherwise(
+            F.transform(
+                "v",
+                lambda x: F.round(x / F.col("scale"))
+                .cast("int")
+                .cast("double")
+                * F.col("scale"),
+            )
+        )
+        .alias("v"),
+    )
+    q = deq.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    sims = (
+        deq.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine(F.col("qv"), F.col("v")), 4).alias("cos_sim"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        sims.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= TOP_K)
+    )

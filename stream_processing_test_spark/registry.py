@@ -35,17 +35,18 @@ class QuerySpec:
 _REGISTRY: dict[str, QuerySpec] = {}
 
 # Round-9 rotation (VERDICT r8 item 2): the driver checks a 50-query
-# prefix. Tier (0) = owed a fresh row THIS round — 9 queries: the two
+# prefix. Tier (0) = owed a fresh row THIS round — 10 queries: the two
 # r6-row deferrals from r8 (``user_cardinality_approx``,
 # ``doc_fingerprint``), ``streaming_rate_rollup`` (registered r8,
 # never driver-gated — ADVICE r8 #1), the NEW
 # ``envelope_rollup_parquet``/``envelope_rollup_orc`` (VERDICT r8
-# missing #2) and ``embedding_quantize_int8`` (new r9 operator), and
-# the three queries whose implementation changed in r9:
+# missing #2) and ``embedding_quantize_int8`` + ``ann_cosine_topk_int8``
+# (new r9 operators), and the three queries whose implementation
+# changed in r9:
 # ``dedup_embedding_lsh`` + ``ann_lsh_topk`` (auto_tables hold-recall
 # policy, dynamic-tables oracle) and ``ann_ivf_topk`` (sampled
 # driver-local training, train-gate oracle). Tier (1) = 41 of the 47
-# queries whose newest driver row is r7; 9 + 41 fills the 50-slot
+# queries whose newest driver row is r7; 10 + 40 fills the 50-slot
 # window exactly. The six r7-row queries deferred to r10 are
 # unchanged-code shape twins whose physical shape holds a FRESH row:
 # ``quantity_grouping_sets`` (rollup machinery twin of in-window
@@ -54,10 +55,12 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # (pushed-predicate-scan twin of r8-row ``q6_forecast_revenue``),
 # ``pii_redact`` (regexp map-pass twin of r8-row ``lang_id_ngram``),
 # ``doc_repetition_stats`` (explode→keyed-agg twin of r8-row
-# ``tfidf_top_terms``), and ``q11_important_parts`` (scalar-subquery
-# share-filter twin of in-window ``q16_part_supplier_variety`` — its
-# slot went to the NEW ``embedding_quantize_int8``). Unlisted queries
-# keep ``10 + tier``.
+# ``tfidf_top_terms``), ``q11_important_parts`` (scalar-subquery
+# share-filter twin of in-window ``q16_part_supplier_variety``), and
+# ``q12_priority_shipping`` (lineitem join + conditional-agg twin of
+# in-window ``q10_returned_items``) — the last two slots went to the
+# NEW ``embedding_quantize_int8`` and ``ann_cosine_topk_int8``.
+# Unlisted queries keep ``10 + tier``.
 _ROTATION_TIERS: dict[str, int] = {
     # (0) new, never-gated, r8-deferred, or implementation-changed in r9
     "user_cardinality_approx": 0,
@@ -66,6 +69,7 @@ _ROTATION_TIERS: dict[str, int] = {
     "envelope_rollup_parquet": 0,
     "envelope_rollup_orc": 0,
     "embedding_quantize_int8": 0,
+    "ann_cosine_topk_int8": 0,
     "dedup_embedding_lsh": 0,
     "ann_lsh_topk": 0,
     "ann_ivf_topk": 0,
@@ -85,7 +89,6 @@ _ROTATION_TIERS: dict[str, int] = {
     "multimodal_preprocess": 1,
     "price_percentiles": 1,
     "q10_returned_items": 1,
-    "q12_priority_shipping": 1,
     "q13_order_count_distribution": 1,
     "q15_top_supplier": 1,
     "q16_part_supplier_variety": 1,

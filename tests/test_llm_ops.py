@@ -818,3 +818,23 @@ def test_embedding_quantize_error_bound(spark):
     }
     assert out[0]["scale_q"] == 0.0 and out[0]["max_abs_err"] == 0.0
     assert out[1]["max_abs_err"] <= out[1]["scale_q"] / 2 + 1e-6
+
+
+def test_int8_ann_recall_vs_fp32(spark):
+    """The number the 4x footprint cut is traded against: top-k search
+    over the int8-dequantized corpus must recover (nearly) the fp32
+    exact top-k. At 64 dims the quantization noise is far below the
+    cosine gaps between rank-adjacent neighbors on this corpus, so
+    recall@10 should be near 1; the floor leaves slack for rank flips
+    at the rounded-4-decimal tie boundary."""
+    fp32 = {
+        (r["query_id"], r["neighbor_id"])
+        for r in _q("ann_cosine_topk").fn(spark, SF).collect()
+    }
+    int8 = {
+        (r["query_id"], r["neighbor_id"])
+        for r in _q("ann_cosine_topk_int8").fn(spark, SF).collect()
+    }
+    assert len(fp32) == len(int8)
+    recall = len(fp32 & int8) / len(fp32)
+    assert recall >= 0.9, f"int8 ANN recall {recall:.2f}"
