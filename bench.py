@@ -73,6 +73,7 @@ HEADLINE = [
     "dedup_simhash",
     "dedup_keep_canonical",
     "decontaminate_overlap",
+    "decontaminate_bloom",
     "corpus_curation_pipeline",
     "dedup_embedding_lsh",
     "ann_lsh_topk",
@@ -143,6 +144,7 @@ BENCH_EXCLUDED = {
     "streaming_envelope_rollup": "wall time is memory-sink micro-batch harness setup over the tiny envelope fixture; streaming perf represented by streaming_daily_scores + streaming_failure_streaks",
     "streaming_session_windows": "wall time dominated by the sentinel-replay rewrite (test harness, not engine work); same representatives",
     "streaming_rate_rollup": "wall time is processing-time trigger latency of a 4-batch synthetic rate source (poll-then-stop harness), not engine stages; same streaming representatives",
+    "streaming_sliding_rollup": "memory-sink micro-batch harness setup dominates at fixture size; streaming perf represented by streaming_daily_scores + streaming_failure_streaks",
 }
 
 

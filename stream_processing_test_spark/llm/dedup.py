@@ -873,3 +873,199 @@ def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("train_doc").alias("doc_id"), "n_eval_docs", "max_shared"
     )
     return finish_with(result, hit)
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter decontamination — bounded-memory membership at 100 TB
+# ---------------------------------------------------------------------------
+
+BLOOM_K = 4  # hash functions per key
+BLOOM_BITS_PER_KEY = 16  # target bits/key -> FP rate (1-e^-0.25)^4 ~ 0.24%
+BLOOM_MIN_EXP = 10  # filter never smaller than 2^10 bits
+BLOOM_MAX_EXP = 28  # hard cap: 2^28 bits = 32 MiB of bitset (~8.4 M
+#                     words as (bucket, mask) rows) — a broadcastable
+#                     bound NO MATTER how large the eval suite grows.
+#                     Past 16 M eval shingles the FP rate rises
+#                     gracefully (both engines replay the same FPs, so
+#                     correctness parity is unaffected); an eval suite
+#                     that big should shard the filter instead.
+BLOOM_FLAG_FRAC = 0.05  # flag a train doc when >= 5% of its shingles hit
+
+
+def bloom_m_bits(n_keys: int) -> int:
+    """Filter size: smallest power of two >= BITS_PER_KEY * n_keys,
+    clamped to [2^MIN_EXP, 2^MAX_EXP]. Integer-exact (no float log2),
+    mirroring :func:`llm.similarity.auto_planes`'s sizing idiom, so the
+    oracle's SQL twin (a MIN over ``range(min_exp, max_exp+1)``) can
+    never disagree at a power-of-two boundary."""
+    e = BLOOM_MIN_EXP
+    while e < BLOOM_MAX_EXP and (1 << e) < BLOOM_BITS_PER_KEY * n_keys:
+        e += 1
+    return 1 << e
+
+
+def _bloom_pos(j: int, m_bits: int) -> "F.Column":
+    """Bit position j of the current row's ``shingle`` hash key."""
+    return (
+        phash(
+            F.concat(F.lit("bf:"), F.col("shingle").cast("string")), seed=j
+        )
+        % m_bits
+    )
+
+
+def _bloom_pos_sql(j: int) -> str:
+    """DuckDB twin of :func:`_bloom_pos` (``m`` from the ``mm`` CTE)."""
+    key = "'bf:' || CAST(shingle AS VARCHAR)"
+    return f"({phash_sql(key, seed=j)} % m)"
+
+
+_BLOOM_POS_LIST = ", ".join(_bloom_pos_sql(j) for j in range(BLOOM_K))
+
+_BLOOM_ORACLE = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh0 AS (
+    SELECT doc_id,
+           unnest(list_transform(range(len(w) - {CONTAM_N - 1}),
+                  i -> {phash_sql(_CONTAM_GRAM)})) AS shingle
+    FROM toks WHERE len(w) >= {CONTAM_N}
+),
+sh AS (SELECT DISTINCT doc_id, shingle FROM sh0),
+ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % {EVAL_MOD} = 0),
+nk AS (SELECT COUNT(*) AS n FROM ev),
+mm AS (
+    SELECT (SELECT MIN(CAST(1 AS BIGINT) << e)
+            FROM range({BLOOM_MIN_EXP}, {BLOOM_MAX_EXP + 1}) t(e)
+            WHERE (CAST(1 AS BIGINT) << e) >= {BLOOM_BITS_PER_KEY} * n
+               OR e = {BLOOM_MAX_EXP}) AS m
+    FROM nk
+),
+evpos AS (
+    SELECT unnest([{_BLOOM_POS_LIST}]) AS pos FROM ev CROSS JOIN mm
+),
+bits AS (
+    SELECT (pos >> 5) AS bucket,
+           bit_or(CAST(1 AS BIGINT) << CAST((pos & 31) AS INT)) AS mask
+    FROM evpos GROUP BY 1
+),
+tr AS (SELECT doc_id, shingle FROM sh WHERE doc_id % {EVAL_MOD} <> 0),
+probe AS (
+    SELECT doc_id, shingle, unnest([{_BLOOM_POS_LIST}]) AS pos
+    FROM tr CROSS JOIN mm
+),
+hitsh AS (
+    SELECT p.doc_id, p.shingle
+    FROM probe p
+    JOIN bits b ON (p.pos >> 5) = b.bucket
+    WHERE ((b.mask >> CAST((p.pos & 31) AS INT)) & 1) = 1
+    GROUP BY p.doc_id, p.shingle
+    HAVING COUNT(*) = {BLOOM_K}
+)
+SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(COUNT(h.shingle) AS BIGINT) AS n_bloom_hits,
+       ROUND(CAST(COUNT(h.shingle) AS DOUBLE) / COUNT(*), 4) AS hit_frac,
+       CAST(CAST(COUNT(h.shingle) AS DOUBLE) / COUNT(*)
+            >= {BLOOM_FLAG_FRAC} AS BOOLEAN) AS flagged
+FROM tr t LEFT JOIN hitsh h USING (doc_id, shingle)
+GROUP BY t.doc_id
+"""
+
+
+@register(
+    "decontaminate_bloom",
+    oracle=_BLOOM_ORACLE,
+    survey_ops="§7-dedup,J1,A1,A7",
+    tier=0,
+)
+def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination: the bounded-memory sibling of
+    :func:`decontaminate_overlap`. The eval split's rare-phrase keys
+    are folded into a Bloom bitset (BLOOM_K portable hash functions
+    over 2^e bits, e sized by :func:`bloom_m_bits`); every train doc
+    then reports what fraction of its CONTAM_N-gram shingles the
+    filter claims to have seen, and docs over BLOOM_FLAG_FRAC are
+    flagged for removal/inspection.
+
+    Why this exists next to the exact overlap scan: the overlap scan
+    broadcasts the eval KEY SET, whose size grows with the eval suite
+    (8 bytes+overhead per distinct shingle). The Bloom filter is the
+    standard constant-memory answer — BLOOM_BITS_PER_KEY bits per key
+    (16 here → ~0.24% false-positive rate), hard-capped at 2^28 bits
+    = 32 MiB no matter how large the benchmark suite grows. False
+    positives are inherent to the structure and *deterministic*: both
+    engines derive positions from the same md5 family
+    (``hashing.phash``), so the oracle replays the exact same filter,
+    same collisions included — approximate structure, exact parity.
+
+    Plan shape at scale: (1) a ~1% eval scan builds the (bucket, mask)
+    bitset via bit_or — one tiny shuffle; (2) ONE pass over the train
+    corpus's distinct (doc, shingle) stream probes all BLOOM_K
+    positions through BLOOM_K *broadcast* hash joins on the word index
+    — zero additional shuffles, no corpus-wide index build, no
+    key-set-sized exchange anywhere; (3) a doc_id rollup. The filter
+    build reads the eval slice twice (count to size m, then fold) —
+    both reads are of the ~1% slice, mirroring decontaminate_overlap's
+    eval-first discipline.
+
+    Parity trap documented once: 32-bit words in BIGINT masks (not
+    64) so every shift stays clear of the sign bit in BOTH engines —
+    DuckDB raises on BIGINT shift overflow where Spark wraps, so the
+    portable form is the one that never touches bit 63.
+    """
+    from functools import reduce
+    from operator import and_
+
+    docs = load(spark, sf_dir, "documents")
+    is_eval = F.col("doc_id") % EVAL_MOD == 0
+    ev_keys = (
+        shingles(docs.filter(is_eval), n=CONTAM_N, distinct=False)
+        .select("shingle")
+        .distinct()
+    )
+    m_bits = bloom_m_bits(ev_keys.count())
+    bits = (
+        ev_keys.select(
+            F.explode(
+                F.array(*[_bloom_pos(j, m_bits) for j in range(BLOOM_K)])
+            ).alias("pos")
+        )
+        .select(
+            F.shiftright("pos", 5).alias("bucket"),
+            F.col("pos").bitwiseAND(31).cast("int").alias("bit"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).alias(
+                "mask"
+            )
+        )
+    )
+
+    cur = shingles(docs.filter(~is_eval), n=CONTAM_N, distinct=True)
+    hit_tests = []
+    for j in range(BLOOM_K):
+        pos = _bloom_pos(j, m_bits)
+        cur = cur.withColumn(f"b{j}", F.shiftright(pos, 5)).withColumn(
+            f"t{j}", pos.bitwiseAND(31).cast("int")
+        )
+        bj = bits.select(
+            F.col("bucket").alias(f"b{j}"), F.col("mask").alias(f"m{j}")
+        )
+        cur = cur.join(F.broadcast(bj), f"b{j}", "left")
+        hit_tests.append(
+            F.coalesce(
+                F.expr(f"(shiftright(m{j}, t{j}) & 1) = 1"), F.lit(False)
+            )
+        )
+    in_bloom = reduce(and_, hit_tests)
+
+    n_hits = F.sum(in_bloom.cast("int"))
+    n_shingles = F.count("*")
+    frac = n_hits.cast("double") / n_shingles
+    return cur.groupBy("doc_id").agg(
+        n_shingles.alias("n_shingles"),
+        n_hits.alias("n_bloom_hits"),
+        F.round(frac, 4).alias("hit_frac"),
+        (frac >= BLOOM_FLAG_FRAC).alias("flagged"),
+    )

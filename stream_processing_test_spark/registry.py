@@ -60,6 +60,12 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # ``q12_priority_shipping`` (lineitem join + conditional-agg twin of
 # in-window ``q10_returned_items``) — the last two slots went to the
 # NEW ``embedding_quantize_int8`` and ``ann_cosine_topk_int8``.
+# Two more r7-row shape twins were deferred when the NEW
+# ``decontaminate_bloom`` and ``streaming_sliding_rollup`` took tier-0
+# slots late in r9: ``q3_shipping_priority`` (customer⋈orders⋈lineitem
+# agg+topN twin of in-window ``q10_returned_items``) and
+# ``q5_region_revenue`` (region/nation-dim join twin of in-window
+# ``q8_market_share``). All nine deferrals MUST head r10's window.
 # Unlisted queries keep ``10 + tier``.
 _ROTATION_TIERS: dict[str, int] = {
     # (0) new, never-gated, r8-deferred, or implementation-changed in r9
@@ -73,6 +79,8 @@ _ROTATION_TIERS: dict[str, int] = {
     "dedup_embedding_lsh": 0,
     "ann_lsh_topk": 0,
     "ann_ivf_topk": 0,
+    "decontaminate_bloom": 0,
+    "streaming_sliding_rollup": 0,
     # (1) newest driver row is r7
     "attribute_rollup": 1,
     "balance_quartiles": 1,
@@ -99,9 +107,7 @@ _ROTATION_TIERS: dict[str, int] = {
     "q21_blocking_suppliers": 1,
     "q22_idle_customers": 1,
     "q2_min_cost_supplier": 1,
-    "q3_shipping_priority": 1,
     "q4_order_priority": 1,
-    "q5_region_revenue": 1,
     "q6_forecast_revenue": 1,
     "q7_nation_trade_volume": 1,
     "q8_market_share": 1,
@@ -171,6 +177,7 @@ PLAN_OPAQUE_QUERIES: dict[str, str] = {
     "streaming_failure_streaks": "streaming sink",
     "streaming_rate_rollup": "streaming sink",
     "streaming_session_windows": "streaming sink",
+    "streaming_sliding_rollup": "streaming sink",
 }
 
 

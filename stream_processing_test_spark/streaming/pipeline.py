@@ -569,3 +569,94 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"stream_sessions_{abs(hash(sf_dir)) % 10_000}"
     out = run_to_memory(sessions, name, output_mode="append")
     return out.filter(F.col("user_id") >= 0)
+
+
+# ---------------------------------------------------------------------------
+# Sliding-window rollup — the overlapping-window member of the T2 family
+# ---------------------------------------------------------------------------
+
+SLIDE_SEC = 7_200  # 2 h hop
+SLIDE_SIZE_SEC = 21_600  # 6 h window = 3 hops -> each event in exactly 3 windows
+
+# Per-event window enumeration, replayed in SQL: event at epoch second
+# ``es`` belongs to window starts ((es // slide) - k) * slide for
+# k in [0, size/slide) — exactly Spark's epoch-aligned assignment.
+_STREAM_SLIDING_ORACLE = f"""
+WITH ev AS (
+    SELECT event_type, value, CAST(floor(epoch(ts)) AS BIGINT) AS es
+    FROM events
+),
+w AS (
+    SELECT event_type, value,
+           unnest(list_transform(range({SLIDE_SIZE_SEC // SLIDE_SEC}),
+                  k -> ((es // {SLIDE_SEC}) - k) * {SLIDE_SEC})) AS window_start
+    FROM ev
+)
+SELECT CAST(window_start AS BIGINT) AS window_start,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM w GROUP BY 1, 2
+"""
+
+
+def sliding_rollup(events: DataFrame, watermark: str = "0 seconds") -> DataFrame:
+    """T2 variant: 6-hour windows hopping every 2 hours — each event
+    lands in exactly size/slide = 3 overlapping windows. Value totals
+    aggregate as integer cents (``floor(value*100)``): unlike the
+    tumbling family's fixture-stable double sums, the 3× row
+    duplication here triples the float-merge reorder surface, and
+    integer addition is associative — cross-engine parity by
+    construction, not by luck."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", "6 hours", "2 hours").alias("win"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100).cast("long")).alias(
+                "value_cents"
+            ),
+        )
+        .select(
+            F.col("win.start").cast("long").alias("window_start"),
+            "event_type",
+            "n_events",
+            "value_cents",
+        )
+    )
+
+
+@register(
+    "streaming_sliding_rollup",
+    oracle=_STREAM_SLIDING_ORACLE,
+    survey_ops="T1,T2,T3,F1",
+    tier=0,
+)
+def streaming_sliding_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) windowed aggregation AS A STREAM: the events
+    parquet replayed through a file source, every event assigned to
+    its 3 overlapping 6-hour windows, counted and value-summed per
+    (window, event_type) — proven equal to a per-event window
+    enumeration in the DuckDB oracle.
+
+    The reference's engine has only tumbling re-aggregation (its T2/T3
+    daily recompute, PollingScheduler.cpp — see SURVEY §2.8); sliding
+    windows are the standard Spark-first generalization and come free
+    from ``F.window(ts, size, slide)``. Window starts are emitted as
+    epoch seconds (``win.start`` cast to long): integer-exact in both
+    engines, immune to timezone/render differences, and the natural
+    key a downstream sink would partition on.
+
+    Scale shape: Spark expands each event to size/slide window rows
+    before the keyed state update — state rows = windows × types, and
+    shuffle volume is 3× events. At 100 TB the slide/size ratio is the
+    operator's cost dial (the reference's daily tumbling is the 1×
+    special case); watermarking bounds state to the open-window set.
+    Like the other replay queries it runs on a CLONED session so
+    run_to_memory's state-partition override cannot leak."""
+    scoped = spark.newSession()
+    ev = events_stream(scoped, os.path.join(sf_dir, "events.parquet"))
+    name = f"stream_sliding_{abs(hash(sf_dir)) % 10_000}"
+    return run_to_memory(sliding_rollup(ev), name)

@@ -838,3 +838,70 @@ def test_int8_ann_recall_vs_fp32(spark):
     assert len(fp32) == len(int8)
     recall = len(fp32 & int8) / len(fp32)
     assert recall >= 0.9, f"int8 ANN recall {recall:.2f}"
+
+
+def test_bloom_m_bits_sql_twin_matches_python():
+    """The Bloom sizing rule and its DuckDB CTE twin agree on every
+    power-of-two boundary and at both clamps."""
+    import duckdb
+
+    from stream_processing_test_spark.llm.dedup import (
+        BLOOM_BITS_PER_KEY,
+        BLOOM_MAX_EXP,
+        BLOOM_MIN_EXP,
+        bloom_m_bits,
+    )
+
+    con = duckdb.connect()
+    probe = (
+        [0, 1, 2, 63, 64, 65]
+        + [(1 << e) // BLOOM_BITS_PER_KEY + d
+           for e in range(BLOOM_MIN_EXP, BLOOM_MIN_EXP + 6) for d in (-1, 0, 1)]
+        + [10**9, 10**12]
+    )
+    for n in probe:
+        sql = f"""
+        SELECT (SELECT MIN(CAST(1 AS BIGINT) << e)
+                FROM range({BLOOM_MIN_EXP}, {BLOOM_MAX_EXP + 1}) t(e)
+                WHERE (CAST(1 AS BIGINT) << e) >= {BLOOM_BITS_PER_KEY} * CAST({n} AS BIGINT)
+                   OR e = {BLOOM_MAX_EXP})
+        """
+        assert con.execute(sql).fetchone()[0] == bloom_m_bits(n), n
+
+
+def test_bloom_planted_contamination(spark, tmp_path):
+    """No false negatives by construction: a train doc identical to an
+    eval doc hits on every shingle (hit_frac 1.0, flagged); a partial
+    copy is flagged by the fraction rule; a disjoint doc stays clean;
+    eval docs never appear in the output."""
+    from stream_processing_test_spark.llm.dedup import (
+        BLOOM_FLAG_FRAC,
+        EVAL_MOD,
+        decontaminate_bloom,
+    )
+
+    ev_text = "alpha beta gamma delta epsilon"
+    docs = {
+        EVAL_MOD: ev_text,  # eval
+        1: ev_text,  # exact copy -> all 3 shingles hit
+        2: "zeta eta theta iota kappa",  # disjoint
+        3: "alpha beta gamma zzz yyy",  # shares 1 of 3 shingles
+    }
+    pdf = pd.DataFrame(
+        {
+            "doc_id": list(docs),
+            "text": list(docs.values()),
+            "lang": ["en"] * len(docs),
+            "source": ["s"] * len(docs),
+            "n_chars": [len(t) for t in docs.values()],
+        }
+    )
+    sf = str(tmp_path)
+    spark.createDataFrame(pdf).write.parquet(f"{sf}/documents.parquet")
+    out = {r["doc_id"]: r for r in decontaminate_bloom(spark, sf).collect()}
+
+    assert set(out) == {1, 2, 3}  # train docs only, eval never emitted
+    assert out[1]["hit_frac"] == 1.0 and out[1]["flagged"]
+    assert out[1]["n_shingles"] == 3 and out[1]["n_bloom_hits"] == 3
+    assert not out[2]["flagged"] and out[2]["hit_frac"] < BLOOM_FLAG_FRAC
+    assert out[3]["n_bloom_hits"] >= 1 and out[3]["flagged"]

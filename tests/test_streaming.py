@@ -467,3 +467,47 @@ def test_streaming_rate_rollup_matches_oracle(spark):
         "min_value", "max_value", "min_ts", "max_ts",
     ]
     assert got == want
+
+
+def test_sliding_rollup_stream_batch_parity_and_coverage(spark):
+    """The streaming sliding-window rollup equals the same F.window
+    expression run as a batch query (incremental execution is an
+    implementation detail), every event lands in exactly size/slide
+    windows, and all window starts are slide-aligned."""
+    from stream_processing_test_spark.streaming.pipeline import (
+        SLIDE_SEC,
+        SLIDE_SIZE_SEC,
+        streaming_sliding_rollup,
+    )
+    from stream_processing_test_spark.tables import load
+
+    out = streaming_sliding_rollup(spark, SF_SMALL)
+    rows = out.collect()
+    ev = load(spark, SF_SMALL, "events")
+
+    n_events_total = ev.count()
+    per_event_windows = SLIDE_SIZE_SEC // SLIDE_SEC
+    assert sum(r["n_events"] for r in rows) == per_event_windows * n_events_total
+    assert all(r["window_start"] % SLIDE_SEC == 0 for r in rows)
+
+    batch = (
+        ev.groupBy(
+            F.window("ts", "6 hours", "2 hours").alias("win"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100).cast("long")).alias(
+                "value_cents"
+            ),
+        )
+        .select(
+            F.col("win.start").cast("long").alias("window_start"),
+            "event_type",
+            "n_events",
+            "value_cents",
+        )
+        .collect()
+    )
+    key = lambda r: (r["window_start"], r["event_type"])
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, batch))
+    assert {key(r) for r in rows} == {key(r) for r in batch}

@@ -884,6 +884,7 @@ EXTRA_LADDER = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "decontaminate_overlap",
+    "decontaminate_bloom",
 ]
 
 
