@@ -78,7 +78,7 @@ HEADLINE = [
     "dedup_embedding_lsh",
     "ann_lsh_topk",
     "ann_ivf_topk",
-    "lang_id_ngram",
+    "ann_pq_topk",
     "day_close_trigger",
     "daily_report_pipeline",
     "attribute_rollup",
@@ -112,10 +112,11 @@ BENCH_EXCLUDED = {
     "records_in_window": "time-range count; the P2 pushed-predicate scan is timed by q6_forecast_revenue",
     "monotonic_violations": "lag window over events; window-frame cost timed by rolling_user_stats",
     "resolution_classify": "per-row CASE dispatch; same map stage as headline per_source_rollup",
-    "doc_fingerprint": "single JVM map pass over documents; same shape as token_count / lang_id_ngram",
+    "doc_fingerprint": "single JVM map pass over documents; same shape as token_count / doc_quality_score",
     "embedding_quantize_int8": "single JVM fold pass over embeddings; same scan+fold shape as headline embedding_norm_stats",
     "ann_cosine_topk_int8": "broadcast brute-force twin of headline ann_cosine_topk over the dequantized column; identical search shape",
-    "pii_redact": "single regexp map pass over documents; same shape as lang_id_ngram",
+    "pii_redact": "single regexp map pass over documents; same scan+map shape as headline token_count",
+    "lang_id_ngram": "marker-count map pass over documents; same scan+map shape as headline token_count + doc_quality_score (slot ceded to the distinct ADC shape of ann_pq_topk)",
     "doc_repetition_stats": "explode -> keyed partial agg on documents; same stage shape as tfidf_top_terms",
     "quantity_grouping_sets": "grouping-sets twin of headline revenue_cube; identical rollup machinery",
     "engaged_users_setops": "INTERSECT/EXCEPT over per-user aggregates; same distinct-exchange shape as user_cardinality",

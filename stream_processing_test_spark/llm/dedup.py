@@ -904,20 +904,49 @@ def bloom_m_bits(n_keys: int) -> int:
     return 1 << e
 
 
-def _bloom_pos(j: int, m_bits: int) -> "F.Column":
-    """Bit position j of the current row's ``shingle`` hash key."""
-    return (
-        phash(
-            F.concat(F.lit("bf:"), F.col("shingle").cast("string")), seed=j
+from functools import lru_cache
+
+
+@lru_cache(maxsize=1)
+def _bloom_coeffs() -> tuple[tuple[int, int], ...]:
+    """BLOOM_K members of the universal affine family
+    ``h_j(x) = (a_j * (x % P) + b_j) % P`` over the Mersenne prime
+    P = 2^31 - 1 — the same portable construction MinHash uses
+    (hashing.minfam_coeffs), with its own ``bf:``-prefixed coefficient
+    derivation so the two operators' hash families stay independent.
+
+    Why affine, not md5: the Bloom key (``shingle``) is ALREADY a
+    60-bit md5-derived hash, so re-digesting it BLOOM_K times per
+    occurrence made md5 the probe stage's dominant cost (~4 digests ×
+    ~130 occurrences/doc — at the 1.68 M-doc ladder rung that is
+    ~900 M md5s in the map pass). Integer double-hashing
+    (Kirsch-Mitzenmacher 2006 shows k affine combinations of two
+    hashes preserve the Bloom FP bound; a full universal family per j
+    is strictly stronger) costs two int64 ops per position, is exact
+    and overflow-free in Spark, DuckDB, and Python alike
+    (a_j, x%P < 2^31 → a*x+b < 2^62), and replays identically."""
+    from stream_processing_test_spark.llm.hashing import MINFAM_P, phash_py
+
+    return tuple(
+        (
+            phash_py(f"bf:a:{j}") % (MINFAM_P - 1) + 1,
+            phash_py(f"bf:b:{j}") % MINFAM_P,
         )
-        % m_bits
+        for j in range(BLOOM_K)
     )
+
+
+def _bloom_pos(j: int, m_bits: int) -> "F.Column":
+    """Bit position j of the current row's ``shingle`` hash key —
+    pure int64 arithmetic (see :func:`_bloom_coeffs`)."""
+    a, b = _bloom_coeffs()[j]
+    return ((F.col("shingle") % MINFAM_P) * a + b) % MINFAM_P % m_bits
 
 
 def _bloom_pos_sql(j: int) -> str:
     """DuckDB twin of :func:`_bloom_pos` (``m`` from the ``mm`` CTE)."""
-    key = "'bf:' || CAST(shingle AS VARCHAR)"
-    return f"({phash_sql(key, seed=j)} % m)"
+    a, b = _bloom_coeffs()[j]
+    return f"((((shingle % {MINFAM_P}) * {a} + {b}) % {MINFAM_P}) % m)"
 
 
 _BLOOM_POS_LIST = ", ".join(_bloom_pos_sql(j) for j in range(BLOOM_K))
@@ -930,8 +959,7 @@ sh0 AS (
                   i -> {phash_sql(_CONTAM_GRAM)})) AS shingle
     FROM toks WHERE len(w) >= {CONTAM_N}
 ),
-sh AS (SELECT DISTINCT doc_id, shingle FROM sh0),
-ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % {EVAL_MOD} = 0),
+ev AS (SELECT DISTINCT shingle FROM sh0 WHERE doc_id % {EVAL_MOD} = 0),
 nk AS (SELECT COUNT(*) AS n FROM ev),
 mm AS (
     SELECT (SELECT MIN(CAST(1 AS BIGINT) << e)
@@ -948,10 +976,10 @@ bits AS (
            bit_or(CAST(1 AS BIGINT) << CAST((pos & 31) AS INT)) AS mask
     FROM evpos GROUP BY 1
 ),
-tr AS (SELECT doc_id, shingle FROM sh WHERE doc_id % {EVAL_MOD} <> 0),
+trd AS (SELECT DISTINCT doc_id, shingle FROM sh0 WHERE doc_id % {EVAL_MOD} <> 0),
 probe AS (
     SELECT doc_id, shingle, unnest([{_BLOOM_POS_LIST}]) AS pos
-    FROM tr CROSS JOIN mm
+    FROM trd CROSS JOIN mm
 ),
 hitsh AS (
     SELECT p.doc_id, p.shingle
@@ -967,7 +995,8 @@ SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
        ROUND(CAST(COUNT(h.shingle) AS DOUBLE) / COUNT(*), 4) AS hit_frac,
        CAST(CAST(COUNT(h.shingle) AS DOUBLE) / COUNT(*)
             >= {BLOOM_FLAG_FRAC} AS BOOLEAN) AS flagged
-FROM tr t LEFT JOIN hitsh h USING (doc_id, shingle)
+FROM (SELECT doc_id, shingle FROM sh0 WHERE doc_id % {EVAL_MOD} <> 0) t
+LEFT JOIN hitsh h USING (doc_id, shingle)
 GROUP BY t.doc_id
 """
 
@@ -983,9 +1012,13 @@ def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     :func:`decontaminate_overlap`. The eval split's rare-phrase keys
     are folded into a Bloom bitset (BLOOM_K portable hash functions
     over 2^e bits, e sized by :func:`bloom_m_bits`); every train doc
-    then reports what fraction of its CONTAM_N-gram shingles the
-    filter claims to have seen, and docs over BLOOM_FLAG_FRAC are
-    flagged for removal/inspection.
+    then reports what fraction of its CONTAM_N-gram shingle
+    OCCURRENCES the filter claims to have seen, and docs over
+    BLOOM_FLAG_FRAC are flagged for removal/inspection.
+    Occurrence-weighted on purpose: a contaminated phrase repeated
+    through a doc contributes its full mass, AND the raw
+    (non-distinct) stream keeps the train-side plan shuffle-free —
+    see the plan-shape paragraph.
 
     Why this exists next to the exact overlap scan: the overlap scan
     broadcasts the eval KEY SET, whose size grows with the eval suite
@@ -1000,13 +1033,23 @@ def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan shape at scale: (1) a ~1% eval scan builds the (bucket, mask)
     bitset via bit_or — one tiny shuffle; (2) ONE pass over the train
-    corpus's distinct (doc, shingle) stream probes all BLOOM_K
+    corpus's RAW (non-distinct) shingle stream probes all BLOOM_K
     positions through BLOOM_K *broadcast* hash joins on the word index
-    — zero additional shuffles, no corpus-wide index build, no
-    key-set-sized exchange anywhere; (3) a doc_id rollup. The filter
-    build reads the eval slice twice (count to size m, then fold) —
-    both reads are of the ~1% slice, mirroring decontaminate_overlap's
-    eval-first discipline.
+    — no corpus-wide distinct, no index build, no key-set-sized
+    exchange anywhere (the first registered form deduped (doc,
+    shingle) pairs first; that one corpus-wide shuffle measured 53.2 s
+    at the 420 k-doc ladder rung vs decontaminate_overlap's 29.6 s,
+    and removing it is what the occurrence-weighted semantics buy);
+    (3) the only train-side exchange left: a doc_id rollup whose rows
+    are already partially aggregated map-side. The filter build reads
+    the eval slice twice (count to size m, then fold) — both reads are
+    of the ~1% slice, mirroring decontaminate_overlap's eval-first
+    discipline. Measured ladder (BENCH_NOTES §r9, min-of-2 walls at
+    5 k/50 k/420 k/1.68 M docs): 2.05/4.87/25.47/110.96 s — docs-linear
+    (5.2× for 8.4× docs, 4.4× for 4×) and at-or-under the exact
+    overlap scan's walls at every rung; the first registered form
+    (distinct + md5 probe) read 3.18/7.17/53.23/184.47 s before the
+    raw-stream and affine-hash rewrites.
 
     Parity trap documented once: 32-bit words in BIGINT masks (not
     64) so every shift stays clear of the sign bit in BOTH engines —
@@ -1042,7 +1085,7 @@ def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    cur = shingles(docs.filter(~is_eval), n=CONTAM_N, distinct=True)
+    cur = shingles(docs.filter(~is_eval), n=CONTAM_N, distinct=False)
     hit_tests = []
     for j in range(BLOOM_K):
         pos = _bloom_pos(j, m_bits)

@@ -60,12 +60,14 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # ``q12_priority_shipping`` (lineitem join + conditional-agg twin of
 # in-window ``q10_returned_items``) — the last two slots went to the
 # NEW ``embedding_quantize_int8`` and ``ann_cosine_topk_int8``.
-# Two more r7-row shape twins were deferred when the NEW
-# ``decontaminate_bloom`` and ``streaming_sliding_rollup`` took tier-0
-# slots late in r9: ``q3_shipping_priority`` (customer⋈orders⋈lineitem
-# agg+topN twin of in-window ``q10_returned_items``) and
-# ``q5_region_revenue`` (region/nation-dim join twin of in-window
-# ``q8_market_share``). All nine deferrals MUST head r10's window.
+# Three more r7-row shape twins were deferred when the NEW
+# ``decontaminate_bloom``, ``streaming_sliding_rollup`` and
+# ``ann_pq_topk`` took tier-0 slots late in r9:
+# ``q3_shipping_priority`` (customer⋈orders⋈lineitem agg+topN twin of
+# in-window ``q10_returned_items``), ``q5_region_revenue``
+# (region/nation-dim join twin of in-window ``q8_market_share``) and
+# ``q15_top_supplier`` (scalar-subquery-max twin of in-window
+# ``q2_min_cost_supplier``). All ten deferrals MUST head r10's window.
 # Unlisted queries keep ``10 + tier``.
 _ROTATION_TIERS: dict[str, int] = {
     # (0) new, never-gated, r8-deferred, or implementation-changed in r9
@@ -81,6 +83,7 @@ _ROTATION_TIERS: dict[str, int] = {
     "ann_ivf_topk": 0,
     "decontaminate_bloom": 0,
     "streaming_sliding_rollup": 0,
+    "ann_pq_topk": 0,
     # (1) newest driver row is r7
     "attribute_rollup": 1,
     "balance_quartiles": 1,
@@ -98,7 +101,6 @@ _ROTATION_TIERS: dict[str, int] = {
     "price_percentiles": 1,
     "q10_returned_items": 1,
     "q13_order_count_distribution": 1,
-    "q15_top_supplier": 1,
     "q16_part_supplier_variety": 1,
     "q17_small_quantity_revenue": 1,
     "q18_large_orders": 1,
@@ -206,6 +208,7 @@ def all_queries() -> dict[str, QuerySpec]:
         embeddings,
         filters,
         multimodal,
+        pq,
         sampling,
         similarity,
         text,

@@ -987,11 +987,12 @@ def main() -> None:
     ap.add_argument(
         "--vec-extras",
         default="",
-        help="comma list from {thr08,ivf,ann,recall,policywall}: for the "
+        help="comma list from {thr08,ivf,ann,recall,policywall,pq}: for the "
         "named vec tiers run ONLY these attribution extras (threshold-0.8 "
         "LSH variant, IVF rung, the REGISTERED ann_lsh_topk verbatim, the "
         "planted-pair recall probe at the registered + policy operating "
-        "points, the full-pipeline wall price of auto_tables at planes=16),"
+        "points, the full-pipeline wall price of auto_tables at planes=16, "
+        "PQ ADC+rerank vs brute-force exact with recall@10),"
         " merging new keys into the existing tier entries",
     )
     args = ap.parse_args()
@@ -1044,6 +1045,9 @@ def main() -> None:
             time_query(spark, "ann_lsh_topk", wdir, 1)
         if "recall" in vec_extras:
             lsh_recall_probe(spark, wdir, [(6, 4)])
+        if "pq" in vec_extras:
+            time_query(spark, "ann_pq_topk", wdir, 1)
+            time_query(spark, "ann_cosine_topk", wdir, 1)
         print("[warmup] vector JIT pass done", flush=True)
     if any(t.startswith("stream_") for t in tier_names):
         wdir = os.path.join(args.scratch, "warmup_stream")
@@ -1157,6 +1161,52 @@ def main() -> None:
                     if tier in ("vec_x4", "vec_x16"):
                         pts += [(16, 16), (16, None), (20, 16), (20, None)]
                     entry["recall_probe"] = lsh_recall_probe(spark, tdir, pts)
+                if "pq" in vec_extras:
+                    # PQ (ADC+rerank) vs brute-force exact on the same
+                    # tier corpus: wall for both (the brute arm IS the
+                    # baseline PQ competes with at a fixed 5-query
+                    # batch — PQ's encode pass is index-build cost that
+                    # amortizes over query batches, so the honest read
+                    # is scoring-vs-scoring at large n) and recall@10
+                    # of the PQ output against the exact top-k.
+                    entry["ann_pq_registered"] = time_query(
+                        spark, "ann_pq_topk", tdir, args.repeats
+                    )
+                    print(
+                        f"[{tier}] ann_pq_registered: "
+                        f"{entry['ann_pq_registered']}",
+                        flush=True,
+                    )
+                    entry["ann_brute"] = time_query(
+                        spark, "ann_cosine_topk", tdir, args.repeats
+                    )
+                    print(
+                        f"[{tier}] ann_brute: {entry['ann_brute']}",
+                        flush=True,
+                    )
+                    from stream_processing_test_spark.registry import (
+                        all_queries as _aq,
+                    )
+
+                    exact_pairs = {
+                        (r["query_id"], r["neighbor_id"])
+                        for r in _aq()["ann_cosine_topk"]
+                        .fn(spark, tdir)
+                        .collect()
+                    }
+                    pq_pairs = {
+                        (r["query_id"], r["neighbor_id"])
+                        for r in _aq()["ann_pq_topk"].fn(spark, tdir).collect()
+                    }
+                    entry["pq_recall_at_10"] = round(
+                        len(exact_pairs & pq_pairs) / max(len(exact_pairs), 1),
+                        3,
+                    )
+                    print(
+                        f"[{tier}] pq_recall_at_10: "
+                        f"{entry['pq_recall_at_10']}",
+                        flush=True,
+                    )
                 if "policywall" in vec_extras:
                     # full-pipeline wall price of the hold-recall policy
                     # at the planes-16 operating point (auto_tables=22
