@@ -106,8 +106,18 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_QUANTIZE_ORACLE = """
-WITH esig AS (
+
+# --- shared int8 quantization core -----------------------------------------
+# ONE definition of the symmetric-int8 rule, used by BOTH registered
+# int8 ops (embedding_quantize_int8's error accounting and
+# ann_cosine_topk_int8's dequantized search) on BOTH engines: a change
+# to the quantization rule (clamping, zero-point, ...) lands here and
+# in _SCALE_CTES/_DEQ_ELEM_SQL or nowhere.
+
+# DuckDB: esig + per-vector scale CTEs, and the per-element
+# dequantized value (inside a list_transform over v, with `scale` in
+# scope from the s CTE)
+_SCALE_CTES = """esig AS (
     SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
     FROM embeddings
 ),
@@ -115,11 +125,43 @@ s AS (
     SELECT vec_id, v,
            list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
     FROM esig
-),
+)"""
+_DEQ_ELEM_SQL = "CAST(ROUND(x / scale) AS INT) * scale"
+
+
+def _with_scale(emb: DataFrame) -> DataFrame:
+    """(vec_id, v, scale): scale = max|x| / 127 (symmetric, no
+    zero-point), one JVM fold per row."""
+    maxabs = F.aggregate(
+        "v", F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x))
+    )
+    return emb.withColumn("scale", maxabs / F.lit(127.0))
+
+
+def _deq_elem(x):
+    """Dequantized element q_i * scale where q_i = HALF-UP
+    round(x/scale) as an int8-range int — the Spark twin of
+    ``_DEQ_ELEM_SQL``."""
+    return (
+        F.round(x / F.col("scale")).cast("int").cast("double")
+        * F.col("scale")
+    )
+
+
+def _guard_zero(arr):
+    """Zero vectors take scale 0: guard any per-element transform with
+    the all-zeros branch (both engines carry the same CASE)."""
+    return F.when(
+        F.col("scale") == 0, F.transform("v", lambda x: F.lit(0.0))
+    ).otherwise(arr)
+
+
+_QUANTIZE_ORACLE = f"""
+WITH {_SCALE_CTES},
 qe AS (
     SELECT vec_id, v, scale,
            CASE WHEN scale = 0 THEN list_transform(v, x -> 0.0)
-                ELSE list_transform(v, x -> x - CAST(ROUND(x / scale) AS INT) * scale)
+                ELSE list_transform(v, x -> x - ({_DEQ_ELEM_SQL}))
            END AS err
     FROM s
 )
@@ -159,20 +201,8 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    maxabs = F.aggregate(
-        "v", F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x))
-    )
-    df = emb.withColumn("scale", maxabs / F.lit(127.0))
-    err = F.when(
-        F.col("scale") == 0, F.transform("v", lambda x: F.lit(0.0))
-    ).otherwise(
-        F.transform(
-            "v",
-            lambda x: x
-            - F.round(x / F.col("scale")).cast("int").cast("double")
-            * F.col("scale"),
-        )
-    )
+    df = _with_scale(emb)
+    err = _guard_zero(F.transform("v", lambda x: x - _deq_elem(x)))
     df = df.withColumn("err", err)
     max_abs_err = F.aggregate(
         "err", F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x))
@@ -192,19 +222,11 @@ def _int8_topk_oracle() -> str:
     from stream_processing_test_spark.llm.similarity import N_QUERIES, TOP_K
 
     return f"""
-WITH esig AS (
-    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-    FROM embeddings
-),
-s AS (
-    SELECT vec_id, v,
-           list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
-    FROM esig
-),
+WITH {_SCALE_CTES},
 deq AS (
     SELECT vec_id,
            CASE WHEN scale = 0 THEN list_transform(v, x -> 0.0)
-                ELSE list_transform(v, x -> CAST(ROUND(x / scale) AS INT) * scale)
+                ELSE list_transform(v, x -> {_DEQ_ELEM_SQL})
            END AS v
     FROM s
 ),
@@ -258,24 +280,9 @@ def ann_cosine_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    maxabs = F.aggregate(
-        "v", F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x))
-    )
-    deq = emb.withColumn("scale", maxabs / F.lit(127.0)).select(
+    deq = _with_scale(emb).select(
         "vec_id",
-        F.when(
-            F.col("scale") == 0, F.transform("v", lambda x: F.lit(0.0))
-        )
-        .otherwise(
-            F.transform(
-                "v",
-                lambda x: F.round(x / F.col("scale"))
-                .cast("int")
-                .cast("double")
-                * F.col("scale"),
-            )
-        )
-        .alias("v"),
+        _guard_zero(F.transform("v", _deq_elem)).alias("v"),
     )
     q = deq.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")

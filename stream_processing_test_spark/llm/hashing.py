@@ -128,3 +128,15 @@ def plane_weights_cte(n_tables: int, n_planes: int, dim: int) -> str:
     FROM range({n_tables}) tt(t), range({n_planes}) pp(p), range({dim}) dd(d)
     GROUP BY t, p
 )"""
+
+
+def round6_np(x):
+    """numpy twin of the engines' 6-decimal HALF-UP rounding (round
+    half AWAY FROM ZERO — ``np.round`` is banker's and must not be
+    used). One definition, shared by every driver-local trainer
+    (IVF's ``_lloyd_numpy``, PQ's ``_pq_lloyd_numpy``): the rounding
+    boundary is a cross-engine correctness invariant, so a fix here
+    reaches every operator family at once."""
+    import numpy as np
+
+    return np.copysign(np.floor(np.abs(x) * 1e6 + 0.5), x) / 1e6

@@ -33,7 +33,7 @@ ann_cosine_topk / ann_lsh_topk / ann_ivf_topk.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from stream_processing_test_spark.llm.similarity import (
@@ -43,7 +43,6 @@ from stream_processing_test_spark.llm.similarity import (
     _dot,
     _norm,
     _train_shift_ctes,
-    auto_train_shift,
 )
 from stream_processing_test_spark.registry import register
 from stream_processing_test_spark.tables import load
@@ -105,8 +104,7 @@ def _pq_lloyd_numpy(
     vecs = np.array([v for _, v in id_vecs], dtype=np.float64)
     m = vecs.shape[0]
 
-    def round6(x: "np.ndarray") -> "np.ndarray":
-        return np.copysign(np.floor(np.abs(x) * 1e6 + 0.5), x) / 1e6
+    from stream_processing_test_spark.llm.hashing import round6_np as round6
 
     def seq_sq_l2(A: "np.ndarray", C: "np.ndarray") -> "np.ndarray":
         # (ma,d) x (mc,d) -> (ma,mc) squared L2 in the module's shared
@@ -169,16 +167,9 @@ def pq_codebooks(emb: DataFrame) -> list[tuple[int, int, list[float]]]:
     codebook is bounded model state, not data — it is embedded as
     literal expressions by :func:`pq_encode` and shipped as a small
     local relation for the query LUTs."""
-    from stream_processing_test_spark.llm.hashing import phash
+    from stream_processing_test_spark.llm.similarity import train_sample
 
-    base = emb.select("vec_id", "v")
-    n = base.count()
-    shift = auto_train_shift(n)
-    train = (
-        base.filter(phash(F.col("vec_id").cast("string")) % (1 << shift) == 0)
-        if shift
-        else base
-    )
+    train = train_sample(emb.select("vec_id", "v"))
     return _pq_lloyd_numpy([(r["vec_id"], r["v"]) for r in train.collect()])
 
 
@@ -466,6 +457,16 @@ def pq_topk(
     from pyspark.sql import Window
 
     rows = pq_codebooks(emb)
+    if not rows:
+        # empty corpus (or a training gate that kept no rows): no
+        # codebook means no c{s} columns to project — return the
+        # contract's empty result instead of failing analysis (the
+        # same guard the IVF twin's _lloyd_numpy carries)
+        return emb.sparkSession.createDataFrame(
+            [],
+            "query_id long, neighbor_id long, cos_sim double, "
+            "approx_cos double, rk long",
+        )
     enc = pq_encode(emb.select("vec_id", "v"), rows)
     codebook = emb.sparkSession.createDataFrame(
         rows, "s int, code int, centroid array<double>"
@@ -556,7 +557,7 @@ def pq_topk(
     tier=1,
 )
 def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantization ANN over the embeddings table: 4×4-bit
+    """Product-quantization ANN over the embeddings table: 16×4-bit
     codes per vector, asymmetric-distance (ADC) cosine scoring from
     integer lookup tables, per-query top-k. See the module docstring
     for the compression/scale story and the oracle-parity design

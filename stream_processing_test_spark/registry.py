@@ -35,20 +35,23 @@ class QuerySpec:
 _REGISTRY: dict[str, QuerySpec] = {}
 
 # Round-9 rotation (VERDICT r8 item 2): the driver checks a 50-query
-# prefix. Tier (0) = owed a fresh row THIS round — 10 queries: the two
+# prefix. Tier (0) = owed a fresh row THIS round — 13 queries: the two
 # r6-row deferrals from r8 (``user_cardinality_approx``,
 # ``doc_fingerprint``), ``streaming_rate_rollup`` (registered r8,
 # never driver-gated — ADVICE r8 #1), the NEW
 # ``envelope_rollup_parquet``/``envelope_rollup_orc`` (VERDICT r8
-# missing #2) and ``embedding_quantize_int8`` + ``ann_cosine_topk_int8``
-# (new r9 operators), and the three queries whose implementation
+# missing #2), the five NEW r9 operators
+# (``embedding_quantize_int8``, ``ann_cosine_topk_int8``,
+# ``decontaminate_bloom``, ``streaming_sliding_rollup``,
+# ``ann_pq_topk``), and the three queries whose implementation
 # changed in r9:
 # ``dedup_embedding_lsh`` + ``ann_lsh_topk`` (auto_tables hold-recall
 # policy, dynamic-tables oracle) and ``ann_ivf_topk`` (sampled
-# driver-local training, train-gate oracle). Tier (1) = 41 of the 47
-# queries whose newest driver row is r7; 10 + 40 fills the 50-slot
-# window exactly. The six r7-row queries deferred to r10 are
-# unchanged-code shape twins whose physical shape holds a FRESH row:
+# driver-local training, train-gate oracle). Tier (1) = 37 of the 47
+# queries whose newest driver row is r7; 13 + 37 fills the 50-slot
+# window exactly. The TEN r7-row queries deferred to r10 are
+# unchanged-code shape twins whose physical shape holds a FRESH row.
+# The first seven, deferred when the r8-planned window was drawn:
 # ``quantity_grouping_sets`` (rollup machinery twin of in-window
 # ``revenue_cube``), ``q14_promo_revenue_share`` (join+CASE-ratio twin
 # of in-window ``q9_product_profit``), ``q19_disjunctive_revenue``
@@ -58,11 +61,11 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # ``tfidf_top_terms``), ``q11_important_parts`` (scalar-subquery
 # share-filter twin of in-window ``q16_part_supplier_variety``), and
 # ``q12_priority_shipping`` (lineitem join + conditional-agg twin of
-# in-window ``q10_returned_items``) — the last two slots went to the
-# NEW ``embedding_quantize_int8`` and ``ann_cosine_topk_int8``.
-# Three more r7-row shape twins were deferred when the NEW
-# ``decontaminate_bloom``, ``streaming_sliding_rollup`` and
-# ``ann_pq_topk`` took tier-0 slots late in r9:
+# in-window ``q10_returned_items``) — their slots went to the NEW
+# ``embedding_quantize_int8`` and ``ann_cosine_topk_int8``.
+# Three more were deferred when the NEW ``decontaminate_bloom``,
+# ``streaming_sliding_rollup`` and ``ann_pq_topk`` took tier-0 slots
+# late in r9:
 # ``q3_shipping_priority`` (customer⋈orders⋈lineitem agg+topN twin of
 # in-window ``q10_returned_items``), ``q5_region_revenue``
 # (region/nation-dim join twin of in-window ``q8_market_share``) and

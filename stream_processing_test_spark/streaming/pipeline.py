@@ -579,18 +579,27 @@ SLIDE_SEC = 7_200  # 2 h hop
 SLIDE_SIZE_SEC = 21_600  # 6 h window = 3 hops -> each event in exactly 3 windows
 
 # Per-event window enumeration, replayed in SQL: event at epoch second
-# ``es`` belongs to window starts ((es // slide) - k) * slide for
+# ``es`` belongs to window starts (floor(es / slide) - k) * slide for
 # k in [0, size/slide) — exactly Spark's epoch-aligned assignment.
+# The floor is integer-exact via the double-mod idiom rather than
+# DuckDB's ``//``, which truncates toward zero and would mis-align
+# pre-1970 timestamps ((-1) // 7200 = 0, but Spark's window floor
+# puts epoch -1 in the window starting at -7200).
 _STREAM_SLIDING_ORACLE = f"""
 WITH ev AS (
     SELECT event_type, value, CAST(floor(epoch(ts)) AS BIGINT) AS es
     FROM events
 ),
+ew AS (
+    SELECT event_type, value,
+           es - (((es % {SLIDE_SEC}) + {SLIDE_SEC}) % {SLIDE_SEC}) AS w0
+    FROM ev
+),
 w AS (
     SELECT event_type, value,
            unnest(list_transform(range({SLIDE_SIZE_SEC // SLIDE_SEC}),
-                  k -> ((es // {SLIDE_SEC}) - k) * {SLIDE_SEC})) AS window_start
-    FROM ev
+                  k -> w0 - k * {SLIDE_SEC})) AS window_start
+    FROM ew
 )
 SELECT CAST(window_start AS BIGINT) AS window_start,
        event_type,

@@ -670,14 +670,11 @@ def vector_ivf_run(
     the FULL corpus — same driver-local numpy engine, no cap; it
     driver-collects the whole corpus, so this contrast arm is viable
     at ladder scale only)."""
-    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     from stream_processing_test_spark.llm.similarity import (
         IVF_LISTS,
         N_PROBE,
-        TOP_K,
-        cosine,
         ivf_topk,
     )
     from stream_processing_test_spark.session import release_local_checkpoint
@@ -701,26 +698,23 @@ def vector_ivf_run(
         samples.append(round(time.time() - t0, 2))
         if i == 0:
             out["rows"] = res.count()
-            # exact top-k (broadcast 5-query brute force) — untimed
-            w = Window.partitionBy("query_id").orderBy(
-                F.col("cos_sim").desc(), F.col("neighbor_id").asc()
-            )
+            # exact top-k ground truth — the REGISTERED brute-force
+            # query, not an inline re-implementation, so every recall
+            # number in BENCH_SCALE (IVF here, PQ in the `pq` extra)
+            # is measured against the same rounding/tie-break rules
+            from stream_processing_test_spark.registry import all_queries
+
             exact = (
-                emb.crossJoin(F.broadcast(q))
-                .filter(F.col("vec_id") != F.col("query_id"))
-                .select(
-                    "query_id",
-                    F.col("vec_id").alias("neighbor_id"),
-                    F.round(cosine(F.col("qv"), F.col("v")), 4).alias(
-                        "cos_sim"
-                    ),
-                )
-                .withColumn("rk", F.row_number().over(w))
-                .filter(F.col("rk") <= TOP_K)
+                all_queries()["ann_cosine_topk"]
+                .fn(spark, tdir)
                 .select("query_id", "neighbor_id")
             )
+            n_exact = exact.count()
             hits = res.join(exact, ["query_id", "neighbor_id"], "semi").count()
-            out["recall_at_k"] = round(hits / max(out["rows"], 1), 3)
+            # denominator = the EXACT set (recall). Dividing by the IVF
+            # result count measured precision and overstated recall
+            # whenever a probed-list union held < TOP_K members.
+            out["recall_at_k"] = round(hits / max(n_exact, 1), 3)
             out["fraction_searched_floor"] = round(N_PROBE / IVF_LISTS, 3)
         release_local_checkpoint(res)
     out["wall_sec"] = min(samples)
