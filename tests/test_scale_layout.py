@@ -533,7 +533,8 @@ _FORCED_BROADCAST_ALLOWED = {
     "ann_cosine_topk": "k-row query-vector set (crossJoin seed)",
     "ann_cosine_topk_int8": "k-row query-vector set (crossJoin seed)",
     "decontaminate_bloom": "Bloom bitset, hard-capped at 2^28 bits (32 MiB)",
-    "ann_pq_topk": "64-row PQ codebook + (queries x 16)-row integer LUTs",
+    "ann_pq_topk": "PQ codebook rows + (queries x codes)-row integer LUTs",
+    "bm25_topk": "1-row (N, avgdl) scalars + |query-terms|-row idf table",
     "error_labels": "17-row error-code taxonomy dim",
     "failing_programs": "program dim + its HAVING-filtered subset",
     "program_match": "program-name dim (live_broadcast_details)",

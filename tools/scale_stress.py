@@ -812,6 +812,7 @@ def streaming_run(spark, tdir: str, which: str, repeats: int) -> dict:
     from stream_processing_test_spark.streaming.pipeline import (
         daily_rollup,
         events_stream,
+        sliding_rollup,
     )
     from stream_processing_test_spark.streaming.stateful import (
         failure_streaks,
@@ -837,6 +838,12 @@ def streaming_run(spark, tdir: str, which: str, repeats: int) -> dict:
             result, mode = daily_rollup(ev), "complete"
         elif which == "scores_update":
             result, mode = daily_rollup(ev, watermark="1 day"), "update"
+        elif which == "sliding":
+            # hopping 6h/2h windows, 1-day watermark, update mode: the
+            # overlapping-window state shape — 3x the keyed state rows
+            # of the tumbling rollup per (window, type) group, bounded
+            # by the watermark exactly like scores_update
+            result, mode = sliding_rollup(ev, watermark="1 day"), "update"
         else:
             result, mode = failure_streaks(ev), "append"
         t0 = time.time()
@@ -1080,7 +1087,7 @@ def main() -> None:
             stats["gen_sec"] = round(time.time() - t0, 2)
             entry = {"corpus": stats}
             print(f"[{tier}] corpus: {stats}", flush=True)
-            for which in ("scores", "scores_update", "streaks"):
+            for which in ("scores", "scores_update", "sliding", "streaks"):
                 if qfilter and which not in qfilter:
                     continue
                 entry[which] = streaming_run(spark, tdir, which, args.repeats)
