@@ -379,9 +379,14 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("idf"),
         )
     )
-    factor = (F.col("tf") * (BM25_K1 + 1.0)) / (
-        F.col("tf")
-        + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+    # association order matters for the parity contract: the oracle
+    # computes ((idf * num) / den) * 1e6 (SQL left-assoc), so the
+    # Spark expression is built in EXACTLY that shape — idf*(num/den)
+    # differs in the last ulp for ~1/3 of contributions, enough to
+    # flip a micro-unit rounding at a .5 boundary on some corpus
+    num = F.col("idf") * (F.col("tf") * (BM25_K1 + 1.0))
+    den = F.col("tf") + BM25_K1 * (
+        1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")
     )
     contrib = (
         tf.join(F.broadcast(idf), "tok")
@@ -389,9 +394,7 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(scal.select("avgdl")))
         .select(
             "doc_id",
-            F.round(F.col("idf") * factor * 1e6, 0)
-            .cast("long")
-            .alias("c_micro"),
+            F.round(num / den * 1e6, 0).cast("long").alias("c_micro"),
         )
     )
     scores = contrib.groupBy("doc_id").agg(

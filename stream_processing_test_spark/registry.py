@@ -49,7 +49,7 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # policy, dynamic-tables oracle) and ``ann_ivf_topk`` (sampled
 # driver-local training, train-gate oracle). Tier (1) = 36 of the 47
 # queries whose newest driver row is r7; 14 + 36 fills the 50-slot
-# window exactly. The TEN r7-row queries deferred to r10 are
+# window exactly. The ELEVEN r7-row queries deferred to r10 are
 # unchanged-code shape twins whose physical shape holds a FRESH row.
 # The first seven, deferred when the r8-planned window was drawn:
 # ``quantity_grouping_sets`` (rollup machinery twin of in-window

@@ -704,17 +704,24 @@ def vector_ivf_run(
             # is measured against the same rounding/tie-break rules
             from stream_processing_test_spark.registry import all_queries
 
-            exact = (
-                all_queries()["ann_cosine_topk"]
+            # both result sets are <= n_queries * TOP_K rows: collect
+            # once and intersect driver-side (a count + semi-join would
+            # execute the untimed brute-force lineage twice)
+            exact_pairs = {
+                (r["query_id"], r["neighbor_id"])
+                for r in all_queries()["ann_cosine_topk"]
                 .fn(spark, tdir)
-                .select("query_id", "neighbor_id")
-            )
-            n_exact = exact.count()
-            hits = res.join(exact, ["query_id", "neighbor_id"], "semi").count()
+                .collect()
+            }
+            got_pairs = {
+                (r["query_id"], r["neighbor_id"]) for r in res.collect()
+            }
             # denominator = the EXACT set (recall). Dividing by the IVF
             # result count measured precision and overstated recall
             # whenever a probed-list union held < TOP_K members.
-            out["recall_at_k"] = round(hits / max(n_exact, 1), 3)
+            out["recall_at_k"] = round(
+                len(exact_pairs & got_pairs) / max(len(exact_pairs), 1), 3
+            )
             out["fraction_searched_floor"] = round(N_PROBE / IVF_LISTS, 3)
         release_local_checkpoint(res)
     out["wall_sec"] = min(samples)
