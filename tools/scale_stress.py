@@ -995,12 +995,13 @@ def main() -> None:
     ap.add_argument(
         "--vec-extras",
         default="",
-        help="comma list from {thr08,ivf,ann,recall,policywall,pq}: for the "
+        help="comma list from {thr08,ivf,ann,recall,policywall,pq,pqdial}: for the "
         "named vec tiers run ONLY these attribution extras (threshold-0.8 "
         "LSH variant, IVF rung, the REGISTERED ann_lsh_topk verbatim, the "
         "planted-pair recall probe at the registered + policy operating "
         "points, the full-pipeline wall price of auto_tables at planes=16, "
-        "PQ ADC+rerank vs brute-force exact with recall@10),"
+        "PQ ADC+rerank vs brute-force exact with recall@10, the PQ "
+        "rerank-shortlist recall dial at 100/400/1600),"
         " merging new keys into the existing tier entries",
     )
     args = ap.parse_args()
@@ -1053,7 +1054,7 @@ def main() -> None:
             time_query(spark, "ann_lsh_topk", wdir, 1)
         if "recall" in vec_extras:
             lsh_recall_probe(spark, wdir, [(6, 4)])
-        if "pq" in vec_extras:
+        if "pq" in vec_extras or "pqdial" in vec_extras:
             time_query(spark, "ann_pq_topk", wdir, 1)
             time_query(spark, "ann_cosine_topk", wdir, 1)
         print("[warmup] vector JIT pass done", flush=True)
@@ -1215,6 +1216,60 @@ def main() -> None:
                         f"{entry['pq_recall_at_10']}",
                         flush=True,
                     )
+                if "pqdial" in vec_extras:
+                    # the PQ recall dial: the `pq` extra measured
+                    # recall@10 decaying to ~0.40 up the ladder with
+                    # the fixed PQ_RERANK=100 shortlist — this prices
+                    # the documented countermeasure (grow the exact
+                    # re-rank shortlist) on the same corpus, exactly
+                    # like the LSH family's recall-dial rung priced
+                    # n_tables
+                    from pyspark.sql import functions as _F
+
+                    from stream_processing_test_spark.registry import (
+                        all_queries as _aq2,
+                    )
+                    from stream_processing_test_spark.llm.pq import pq_topk
+                    from stream_processing_test_spark.tables import (
+                        load as _load,
+                    )
+
+                    exact_pairs = {
+                        (r["query_id"], r["neighbor_id"])
+                        for r in _aq2()["ann_cosine_topk"]
+                        .fn(spark, tdir)
+                        .collect()
+                    }
+                    _emb = _load(spark, tdir, "embeddings").select(
+                        "vec_id",
+                        _F.col("embedding")
+                        .cast("array<double>")
+                        .alias("v"),
+                    )
+                    _q = _emb.filter(_F.col("vec_id") < 5).select(
+                        _F.col("vec_id").alias("query_id"),
+                        _F.col("v").alias("qv"),
+                    )
+                    dial = {}
+                    for rr in (100, 400, 1600):
+                        t0 = time.time()
+                        got = {
+                            (r["query_id"], r["neighbor_id"])
+                            for r in pq_topk(_emb, _q, rerank=rr).collect()
+                        }
+                        dial[str(rr)] = {
+                            "recall_at_10": round(
+                                len(exact_pairs & got)
+                                / max(len(exact_pairs), 1),
+                                3,
+                            ),
+                            "wall_sec": round(time.time() - t0, 2),
+                        }
+                        print(
+                            f"[{tier}] pq_dial rerank={rr}: {dial[str(rr)]}",
+                            flush=True,
+                        )
+                    entry["pq_rerank_dial"] = dial
                 if "policywall" in vec_extras:
                     # full-pipeline wall price of the hold-recall policy
                     # at the planes-16 operating point (auto_tables=22
