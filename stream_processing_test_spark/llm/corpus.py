@@ -330,7 +330,7 @@ FROM ranked WHERE rk <= {BM25_TOP}
     "bm25_topk",
     oracle=_BM25_ORACLE,
     survey_ops="§7-text,A1,J1,⊘rank",
-    tier=1,
+    tier=0,  # r9-new (was inconsistently 1 — ADVICE r9 #5)
 )
 def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 lexical retrieval (Robertson & Spärck Jones; the Lucene

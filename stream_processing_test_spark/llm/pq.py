@@ -51,7 +51,13 @@ PQ_SUBS = 16  # subspaces (M in the paper)
 PQ_DSUB = EMBED_DIM // PQ_SUBS  # dims per subspace
 PQ_CODES = 16  # codewords per subspace (4-bit codes)
 PQ_ITERS = 2  # Lloyd passes per subspace (fixed — deterministic unroll)
-PQ_RERANK = 100  # ADC shortlist size fed to the exact re-rank stage
+PQ_RERANK = 100  # ADC shortlist FLOOR (the fixture regime's size)
+PQ_RERANK_SHIFT = 7  # auto_rerank: shortlist = n >> 7 (≈0.78% of corpus)
+PQ_RERANK_MAX = 65536  # auto_rerank clamp; past this (n > ~8.4 M), route
+#                        ADC through IVF lists first (ann_ivfpq_topk) —
+#                        growing a global shortlist further means the
+#                        broadcast re-rank join carries |queries| × 64 k+
+#                        rows and the ADC still scans every code row.
 _MICRO = 1_000_000  # LUT quantum: 1e-6 units
 
 
@@ -70,6 +76,47 @@ _MICRO = 1_000_000  # LUT quantum: 1e-6 units
 # expression nodes, whose Catalyst ANALYSIS (not execution — the
 # stage runs warm in 1.6 s at 200 k vectors) dominated the whole
 # query's wall at fixture scale.
+
+
+def auto_rerank(
+    n_rows: int,
+    floor: int = PQ_RERANK,
+    shift: int = PQ_RERANK_SHIFT,
+    cap: int = PQ_RERANK_MAX,
+) -> int:
+    """Hold-recall shortlist policy for ADC+R (VERDICT r9 item 1) —
+    the PQ twin of ``similarity.auto_tables``: with a FIXED shortlist
+    the re-ranked fraction rerank/n shrinks as the corpus grows and
+    measured recall@10 decays 0.98 → 0.40 up the ladder, while the
+    dial that buys it back is free at the wall (the exact re-rank
+    touches only |queries| × rerank raw vectors — BENCH_NOTES.md
+    §r9-pq-dial: rerank 1600 at 200 k = 0.92 recall at FLAT wall).
+
+    The rule holds the fraction instead: ``rerank = n >> shift``
+    (shift 7 ≈ 0.78% of the corpus — the measured 0.92-recall
+    operating point at 200 k vectors, well above the declared 0.75
+    floor), floored at the fixture regime's PQ_RERANK and clamped at
+    PQ_RERANK_MAX (where the IVF-PQ composition takes over — see the
+    constant's comment). Integer-exact (shift, max, min — no float),
+    so the DuckDB oracle recomputes the identical rule from its own
+    COUNT(*) (:func:`_rerank_cte`) and shortlists the identical rows
+    at any corpus size. At fixture sizes (n <= 12 800) this resolves
+    to the PQ_RERANK floor — fixture plans and hashes unchanged."""
+    return min(max(floor, n_rows >> shift), cap)
+
+
+def _rerank_cte(
+    floor: int = PQ_RERANK,
+    shift: int = PQ_RERANK_SHIFT,
+    cap: int = PQ_RERANK_MAX,
+) -> str:
+    """DuckDB CTE ``rr(rerank)`` replaying :func:`auto_rerank` over the
+    ``nv(n)`` corpus-count CTE that ``_train_shift_ctes`` already
+    defines — same integer rule, same count, no float crosses the
+    engine boundary."""
+    return f"""rr AS (
+    SELECT LEAST(GREATEST({floor}, n >> {shift}), {cap}) AS rerank FROM nv
+)"""
 
 
 def _pq_lloyd_numpy(
@@ -118,7 +165,9 @@ def _pq_lloyd_numpy(
             xsq = xsq + A[:, j] * A[:, j]
             dot = dot + A[:, j : j + 1] * C[None, :, j]
             csq = csq + C[:, j] * C[:, j]
-        return (xsq[:, None] - 2.0 * dot) + csq[None, :]
+        # clamp at 0: enforce the nonnegativity invariant the half-up
+        # rounding bridges rely on (identical in encode + oracle)
+        return np.maximum((xsq[:, None] - 2.0 * dot) + csq[None, :], 0.0)
 
     order = sorted(
         range(m), key=lambda i: (phash_py(str(int(ids[i]))), int(ids[i]))
@@ -159,17 +208,21 @@ def _pq_lloyd_numpy(
     return out
 
 
-def pq_codebooks(emb: DataFrame) -> list[tuple[int, int, list[float]]]:
+def pq_codebooks(
+    emb: DataFrame, n_rows: int | None = None
+) -> list[tuple[int, int, list[float]]]:
     """Train the PQ codebooks on the deterministic hash sample
     (same ``auto_train_shift`` gate as the IVF quantizer — training
     cost is capped regardless of corpus size) and return the rows
     (s, code, centroid) driver-side: like the IVF centroids, the
     codebook is bounded model state, not data — it is embedded as
     literal expressions by :func:`pq_encode` and shipped as a small
-    local relation for the query LUTs."""
+    local relation for the query LUTs. ``n_rows`` forwards a corpus
+    count the caller already probed (``pq_topk``'s auto_rerank probe)
+    so the training gate does not re-count."""
     from stream_processing_test_spark.llm.similarity import train_sample
 
-    train = train_sample(emb.select("vec_id", "v"))
+    train = train_sample(emb.select("vec_id", "v"), n_rows=n_rows)
     return _pq_lloyd_numpy([(r["vec_id"], r["v"]) for r in train.collect()])
 
 
@@ -241,7 +294,12 @@ def pq_encode(
             csq = None
             for ci in centroid:  # python-float fold == the engines'
                 csq = ci * ci if csq is None else csq + ci * ci
-            dist = f"((xsq{s} - 2.0D * ({dot})) + {csq!r}D)"
+            # greatest(·, 0): the factored form can go sub-ulp negative
+            # via cancellation when x equals a centroid; the half-up
+            # floor(y+0.5) below relies on nonnegativity, so the
+            # invariant is ENFORCED identically in all three engines
+            # (numpy trainer, this encode, the oracle's GREATEST).
+            dist = f"greatest((xsq{s} - 2.0D * ({dot})) + {csq!r}D, 0D)"
             key_exprs.append(
                 f"(CAST(floor({dist} * {_MICRO}.0D + 0.5D) AS BIGINT)"
                 f" * {PQ_CODES} + {code}) AS k{s}_{code}"
@@ -265,11 +323,13 @@ def _seq_dot_sql(a: str, b: str, d: int) -> str:
 def _seq_sq_l2_sql(a: str, b: str, d: int) -> str:
     """Squared L2 in the module's shared FACTORED form (see the
     convention comment at the top): (xsq - 2.0*dot) + csq, each a
-    left-to-right list_sum fold."""
+    left-to-right list_sum fold; GREATEST-clamped at 0 like the numpy
+    trainer and the Spark encode (nonnegativity enforced, not
+    assumed)."""
     xsq = _seq_dot_sql(a, a, d)
     dot = _seq_dot_sql(a, b, d)
     csq = _seq_dot_sql(b, b, d)
-    return f"(({xsq} - 2.0 * {dot}) + {csq})"
+    return f"GREATEST((({xsq} - 2.0 * {dot}) + {csq}), 0)"
 
 
 def _pq_oracle(
@@ -277,15 +337,24 @@ def _pq_oracle(
     n_codes: int = PQ_CODES,
     iters: int = PQ_ITERS,
     top_k: int = TOP_K,
-    rerank: int = PQ_RERANK,
+    rerank: int | None = None,
 ) -> str:
     """DuckDB oracle replaying the WHOLE PQ pipeline — per-subspace
     codebook training (Lloyd unrolled into CTE pairs over the same
     hash-gated ``train`` CTE the Spark side samples), full-corpus
     encoding, integer LUT construction, ADC scoring, top-k. Follows
     :func:`similarity._ivf_oracle`'s construction; the L2/argmin and
-    integer-LUT specifics are documented at their Spark twins."""
+    integer-LUT specifics are documented at their Spark twins.
+    ``rerank=None`` (the registered mode since r10) recomputes
+    :func:`auto_rerank` from the oracle's own COUNT(*) via
+    :func:`_rerank_cte` — the shortlist bound becomes a scalar
+    subquery over that CTE, so the oracle replays the hold-recall
+    policy at any corpus size."""
     d = PQ_DSUB
+    if rerank is None:
+        rr_cte, rerank_bound = f"{_rerank_cte()},\n", "(SELECT rerank FROM rr)"
+    else:
+        rr_cte, rerank_bound = "", str(rerank)
 
     def assign(name: str, sub_src: str, cents: str) -> str:
         dist = _seq_sq_l2_sql("e.sub", "c.centroid", d)
@@ -378,7 +447,7 @@ WITH esig AS (
     FROM embeddings
 ),
 {_train_shift_ctes()},
-{pieces_sql},
+{rr_cte}{pieces_sql},
 codes AS ({codes_union}),
 lut AS ({lut_union}),
 adc AS (
@@ -403,7 +472,7 @@ shortlist AS (
         SELECT *, ROW_NUMBER() OVER (
             PARTITION BY query_id
             ORDER BY approx_cos DESC, neighbor_id ASC) AS ar
-        FROM sims) WHERE ar <= {rerank}
+        FROM sims) WHERE ar <= {rerank_bound}
 ),
 exact AS (
     SELECT s.query_id, s.neighbor_id, s.approx_cos,
@@ -431,12 +500,15 @@ def pq_topk(
     emb: DataFrame,
     queries: DataFrame,
     top_k: int = TOP_K,
-    rerank: int = PQ_RERANK,
+    rerank: int | None = None,
 ) -> DataFrame:
     """ADC search core with exact re-ranking (ADC+R, Jégou et al.
     2011 §VII): codes + per-query integer lookup tables shortlist
     ``rerank`` candidates per query, then the original vectors score
-    JUST the shortlist exactly.
+    JUST the shortlist exactly. ``rerank=None`` (the registered mode)
+    sizes the shortlist from a corpus count probe via
+    :func:`auto_rerank` — the r10 hold-recall policy; an explicit int
+    pins it (the scale harness's dial).
 
     ``emb`` is (vec_id, v); ``queries`` is (query_id, qv). The
     codebook trains on the hash-capped sample, the corpus encodes in
@@ -456,7 +528,13 @@ def pq_topk(
     windows."""
     from pyspark.sql import Window
 
-    rows = pq_codebooks(emb)
+    # one metadata-cheap count probe feeds BOTH integer rules: the
+    # auto_rerank shortlist policy and the training gate's
+    # auto_train_shift (pq_codebooks forwards it to train_sample)
+    n_rows = emb.select("vec_id").count()
+    if rerank is None:
+        rerank = auto_rerank(n_rows)
+    rows = pq_codebooks(emb, n_rows=n_rows)
     if not rows:
         # empty corpus (or a training gate that kept no rows): no
         # codebook means no c{s} columns to project — return the
@@ -554,15 +632,18 @@ def pq_topk(
     "ann_pq_topk",
     oracle=_pq_oracle(),
     survey_ops="§7-similarity,PQ",
-    tier=1,
+    tier=0,  # r9-new (was inconsistently 1 — ADVICE r9 #5)
 )
 def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN over the embeddings table: 16×4-bit
     codes per vector, asymmetric-distance (ADC) cosine scoring from
-    integer lookup tables, per-query top-k. See the module docstring
-    for the compression/scale story and the oracle-parity design
-    (driver-local bounded training, 6-decimal rounding bridges,
-    associative integer ADC)."""
+    integer lookup tables, per-query top-k with the shortlist sized by
+    the :func:`auto_rerank` hold-recall policy (declared floor:
+    recall@10 >= 0.75 on the ladder corpora; the oracle replays the
+    rule from its own COUNT(*)). See the module docstring for the
+    compression/scale story and the oracle-parity design (driver-local
+    bounded training, 6-decimal rounding bridges, associative integer
+    ADC)."""
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )

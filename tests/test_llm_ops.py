@@ -954,11 +954,48 @@ def test_pq_sampled_training_cross_engine_parity(spark, tmp_path):
     assert got == want
 
 
+def test_auto_rerank_sql_twin_matches_python():
+    """The registered PQ query sizes its ADC shortlist from a corpus-
+    count probe (Python ``auto_rerank``) while the oracle recomputes
+    the rule in SQL (``_rerank_cte`` over the ``nv`` count CTE) — the
+    two must agree EXACTLY or the driver gate would compare different
+    shortlists. Integer arithmetic both sides; probed across the
+    floor boundary (12 800 = PQ_RERANK << PQ_RERANK_SHIFT) and the
+    cap boundary (PQ_RERANK_MAX << PQ_RERANK_SHIFT ≈ 8.4 M)."""
+    import duckdb
+
+    from stream_processing_test_spark.llm.pq import (
+        PQ_RERANK,
+        PQ_RERANK_MAX,
+        _rerank_cte,
+        auto_rerank,
+    )
+
+    con = duckdb.connect()
+    for n in [1, 500, 6000, 12799, 12800, 12801, 50_000, 200_000,
+              800_000, 8_388_607, 8_388_608, 10**8]:
+        con.execute(
+            f"CREATE OR REPLACE VIEW embeddings AS "
+            f"SELECT range AS vec_id FROM range({n})"
+        )
+        got = con.sql(
+            f"WITH nv AS (SELECT COUNT(*) AS n FROM embeddings), "
+            f"{_rerank_cte()} SELECT rerank FROM rr"
+        ).fetchone()[0]
+        assert got == auto_rerank(n), (n, got, auto_rerank(n))
+    # rule shape: floor at fixture sizes, ~0.78% fraction above it,
+    # hard cap where the IVF-PQ composition takes over
+    assert auto_rerank(500) == PQ_RERANK
+    assert auto_rerank(204_800) == 1600  # the measured 0.92-recall point
+    assert auto_rerank(10**9) == PQ_RERANK_MAX
+
+
 def test_pq_rerank_recall_vs_exact(spark):
-    """The ADC+R contract: with a PQ_RERANK=100 shortlist over the
-    500-vector fixture, the exact re-rank must recover (nearly) the
-    fp32 brute-force top-k — measured 0.98 recall@10 and 5/5 top-1 at
-    registration; the floor leaves slack for shortlist-boundary flips.
+    """The ADC+R contract: over the 500-vector fixture ``auto_rerank``
+    resolves to the PQ_RERANK=100 floor, and the exact re-rank must
+    recover (nearly) the fp32 brute-force top-k — measured 0.98
+    recall@10 and 5/5 top-1 at registration; the floor leaves slack
+    for shortlist-boundary flips.
     Pure-ADC recall on this isotropic corpus is ~0.34 (16 subspaces ×
     16 codes = 1 bit/dim) — the re-rank stage is what makes PQ usable,
     which is why it is part of the registered operator and the oracle."""

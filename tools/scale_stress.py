@@ -150,7 +150,7 @@ def _reuse_or_gen(
     out_dir: str,
     params: dict,
     gen_fn,
-    expect_paths: dict[str, str] = {"path": None},
+    expect_paths: dict[str, str] | None = None,
 ) -> dict:
     """Skip regeneration when the tier dir already holds a corpus
     produced with identical parameters (marker json written after a
@@ -167,6 +167,8 @@ def _reuse_or_gen(
     because markers are written only AFTER a fully successful
     generation, so any artifact at the default location came from the
     same gen (partial runs never write markers)."""
+    if expect_paths is None:  # no mutable default (ADVICE r9 #2)
+        expect_paths = {"path": None}
     marker = os.path.join(out_dir, "gen_stats.json")
     if os.path.exists(marker):
         try:
@@ -675,6 +677,7 @@ def vector_ivf_run(
     from stream_processing_test_spark.llm.similarity import (
         IVF_LISTS,
         N_PROBE,
+        N_QUERIES,
         ivf_topk,
     )
     from stream_processing_test_spark.session import release_local_checkpoint
@@ -683,10 +686,14 @@ def vector_ivf_run(
     emb = load(spark, tdir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    q = emb.filter(F.col("vec_id") < 5).select(
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
-    out: dict = {"n_lists": IVF_LISTS, "n_probe": N_PROBE, "n_queries": 5}
+    out: dict = {
+        "n_lists": IVF_LISTS,
+        "n_probe": N_PROBE,
+        "n_queries": N_QUERIES,
+    }
     kw = {} if train_target is None else {"train_target": train_target}
     if train_target is not None:
         out["train_target"] = train_target
@@ -1246,7 +1253,11 @@ def main() -> None:
                         .cast("array<double>")
                         .alias("v"),
                     )
-                    _q = _emb.filter(_F.col("vec_id") < 5).select(
+                    from stream_processing_test_spark.llm.similarity import (
+                        N_QUERIES as _NQ,
+                    )
+
+                    _q = _emb.filter(_F.col("vec_id") < _NQ).select(
                         _F.col("vec_id").alias("query_id"),
                         _F.col("v").alias("qv"),
                     )
