@@ -119,6 +119,7 @@ BENCH_EXCLUDED = {
     "lang_id_ngram": "marker-count map pass over documents; same scan+map shape as headline token_count + doc_quality_score (slot ceded to the distinct ADC shape of ann_pq_topk)",
     "doc_repetition_stats": "explode -> keyed partial agg on documents; same stage shape as tfidf_top_terms",
     "bm25_topk": "query-term-filtered explode + keyed agg + broadcast-scalar join; same stage shapes as headline tfidf_top_terms (and strictly less volume: the explode is term-filtered at the scan)",
+    "bm25_multi_topk": "batched fan-out of the same bm25_scores core over the same term-filtered explode; per-query volume identical to bm25_topk, already shape-timed by tfidf_top_terms",
     "quantity_grouping_sets": "grouping-sets twin of headline revenue_cube; identical rollup machinery",
     "engaged_users_setops": "INTERSECT/EXCEPT over per-user aggregates; same distinct-exchange shape as user_cardinality",
     "substring_dup_coverage": "hashed-gram inverted index on documents; same shingle-index stages as headline dedup_ngram_jaccard",

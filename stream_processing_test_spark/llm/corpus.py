@@ -268,19 +268,59 @@ BM25_K1 = 1.2
 BM25_B = 0.75
 BM25_TOP = 20
 
-_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
+# The multi-query workload (VERDICT r9 item 7): the shape a real
+# retrieval user runs — a BATCH of queries scored in one corpus pass,
+# the term sets broadcast as a (query_id, tok) relation rather than
+# baked into the scan predicate one query at a time. Term sets drawn
+# from the synthetic corpus vocabulary, including one rare term
+# ('dup', df ≈ 0.4% of docs) so the idf spread is exercised.
+BM25_QUERIES: dict[int, tuple[str, ...]] = {
+    0: BM25_QUERY_TERMS,
+    1: ("sort", "merge", "window", "stream"),
+    2: ("vector", "batch", "dup", "query"),
+}
 
-# Cross-engine float discipline (same ladder as decayed_user_scores'
-# pow() and PQ's ADC): ln() is the one transcendental and may differ
-# between engines in the last ulp, so idf is rounded to 6 decimals at
-# the source; everything after is exact IEEE arithmetic on identical
-# inputs (integer tf/dl/df/N, one division chain), and the per-term
-# contributions are quantized to integer micro-units BEFORE the
-# per-doc sum — int64 addition is associative, so aggregation order
-# cannot diverge. avgdl divides an exact integer token-count sum by
-# the exact doc count (no double accumulation on either side).
-_BM25_ORACLE = f"""
-WITH toks AS (
+
+def _bm25_oracle(
+    queries: dict[int, tuple[str, ...]], per_query: bool
+) -> str:
+    """DuckDB oracle builder shared by the single- and multi-query
+    registrations — ONE definition of the scoring SQL so the two can
+    never drift.
+
+    Cross-engine float discipline (same ladder as decayed_user_scores'
+    pow() and PQ's ADC): ln() is the one transcendental and may differ
+    between engines in the last ulp, so idf is rounded to 6 decimals at
+    the source; everything after is exact IEEE arithmetic on identical
+    inputs (integer tf/dl/df/N, one division chain), and the per-term
+    contributions are quantized to integer micro-units BEFORE the
+    per-(query, doc) sum — int64 addition is associative, so
+    aggregation order cannot diverge. avgdl divides an exact integer
+    token-count sum by the exact doc count (no double accumulation on
+    either side). The contribution expression is LEFT-ASSOCIATIVE
+    ``((idf * num) / den) * 1e6`` and the Spark side mirrors that
+    shape exactly (association flips the last ulp on ~1/3 of rows).
+
+    ``per_query=False`` collapses to the single-query contract
+    (no query_id column, one global rank); ``per_query=True`` ranks
+    PARTITION BY query_id. idf is corpus-level (per term, from the
+    distinct-term union) in both."""
+    all_terms = sorted({t for ts in queries.values() for t in ts})
+    terms_sql = ", ".join(f"'{t}'" for t in all_terms)
+    values_sql = ",\n           ".join(
+        f"({qid}, '{t}')" for qid, ts in sorted(queries.items()) for t in ts
+    )
+    if per_query:
+        out_qid = "CAST(query_id AS BIGINT) AS query_id,\n       "
+        part = "PARTITION BY query_id "
+        grp = "query_id, doc_id"
+    else:
+        out_qid, part, grp = "", "", "doc_id"
+    return f"""
+WITH qterms(query_id, tok) AS (
+    VALUES {values_sql}
+),
+toks AS (
     SELECT doc_id, string_split(text, ' ') AS w FROM documents
 ),
 dl AS (SELECT doc_id, len(w) AS dl FROM toks),
@@ -291,7 +331,7 @@ scal AS (
 tf AS (
     SELECT doc_id, tok, COUNT(*) AS tf
     FROM (SELECT doc_id, unnest(w) AS tok FROM toks)
-    WHERE tok IN ({_BM25_TERMS_SQL})
+    WHERE tok IN ({terms_sql})
     GROUP BY doc_id, tok
 ),
 idf AS (
@@ -301,24 +341,25 @@ idf AS (
     FROM tf GROUP BY tok
 ),
 contrib AS (
-    SELECT tf.doc_id,
+    SELECT q.query_id, tf.doc_id,
            CAST(ROUND(
                idf.idf * (tf.tf * ({BM25_K1} + 1.0))
                / (tf.tf + {BM25_K1} * (1.0 - {BM25_B}
                   + {BM25_B} * dl.dl / (SELECT avgdl FROM scal)))
                * 1000000.0, 0) AS BIGINT) AS c_micro
     FROM tf JOIN idf USING (tok) JOIN dl USING (doc_id)
+    JOIN qterms q USING (tok)
 ),
 scores AS (
-    SELECT doc_id, COUNT(*) AS n_terms_matched,
+    SELECT {grp}, COUNT(*) AS n_terms_matched,
            ROUND(SUM(c_micro) / 1000000.0, 4) AS bm25
-    FROM contrib GROUP BY doc_id
+    FROM contrib GROUP BY {grp}
 ),
 ranked AS (
-    SELECT *, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rk
+    SELECT *, ROW_NUMBER() OVER ({part}ORDER BY bm25 DESC, doc_id ASC) AS rk
     FROM scores
 )
-SELECT CAST(doc_id AS BIGINT) AS doc_id,
+SELECT {out_qid}CAST(doc_id AS BIGINT) AS doc_id,
        bm25,
        CAST(n_terms_matched AS BIGINT) AS n_terms_matched,
        CAST(rk AS BIGINT) AS rk
@@ -326,33 +367,37 @@ FROM ranked WHERE rk <= {BM25_TOP}
 """
 
 
-@register(
-    "bm25_topk",
-    oracle=_BM25_ORACLE,
-    survey_ops="§7-text,A1,J1,⊘rank",
-    tier=0,  # r9-new (was inconsistently 1 — ADVICE r9 #5)
-)
-def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 lexical retrieval (Robertson & Spärck Jones; the Lucene
-    ``ln(1 + (N-df+0.5)/(df+0.5))`` idf variant, k1=1.2, b=0.75): the
-    top BM25_TOP documents for a fixed conjunctive query — the
-    retrieval pass a data-curation pipeline runs to pull topical
-    slices out of a web corpus (and the lexical half of the standard
-    retrieval-augmented dedup/decontamination stack next to the ANN
-    family).
+_BM25_ORACLE = _bm25_oracle({0: BM25_QUERY_TERMS}, per_query=False)
+_BM25_MULTI_ORACLE = _bm25_oracle(BM25_QUERIES, per_query=True)
 
-    Scale shape: the explode is FILTERED to the query's terms before
-    any aggregation — the scan emits at most |terms| rows per doc, so
-    the tf groupBy shuffles query-bounded volume, not corpus token
-    volume. Document frequencies and the (N, avgdl) scalars are
-    broadcast-sized by construction (|terms| rows / 1 row); the only
-    corpus-scale exchanges are the skinny tf aggregation and the
-    final top-k window. Float discipline documented at the oracle:
-    round-6 idf (the single transcendental), integer-micro
-    contribution quantization before the per-doc sum, exact-integer
-    avgdl derivation.
-    """
-    docs = load(spark, sf_dir, "documents")
+
+def bm25_scores(
+    docs: DataFrame, terms_rows: list[tuple[int, str]]
+) -> DataFrame:
+    """Shared BM25 scoring core: (query_id, doc_id, bm25,
+    n_terms_matched) for a batch of queries given as literal
+    (query_id, term) rows. The single- and multi-query registered
+    operators are both thin rank stages over this — one definition of
+    the formula, mirrored by :func:`_bm25_oracle`.
+
+    Scale shape: the explode is FILTERED to the batch's distinct-term
+    union before any aggregation — the scan emits at most
+    |distinct terms| rows per doc, so the tf groupBy shuffles
+    query-bounded volume, not corpus token volume; the per-doc length
+    rides along as a group key (dl is functionally dependent on
+    doc_id, so the groups are unchanged and map-side partial agg
+    still collapses), which removes the corpus-sized tf-to-dl doc_id
+    join exchange an earlier form paid (ADVICE r9 #3). tf is computed
+    ONCE over the union and fanned out per query by a broadcast join
+    against the (query_id, tok) relation — adding queries grows the
+    broadcast relation and the post-tf fan-out, never the corpus
+    scan. Document frequencies (idf is corpus-level, per term) and
+    the (N, avgdl) scalars are broadcast-sized by construction; the
+    only corpus-scale exchanges are the skinny term-matched tf
+    aggregation and the single-row avgdl aggregate. Float discipline
+    documented at :func:`_bm25_oracle`."""
+    spark = docs.sparkSession
+    all_terms = sorted({t for _, t in terms_rows})
     toks = F.split(F.col("text"), " ")
     dl = docs.select("doc_id", F.size(toks).alias("dl"))
     scal = dl.agg(
@@ -360,10 +405,10 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
     )
 
-    uni = docs.select("doc_id", F.explode(toks).alias("tok")).filter(
-        F.col("tok").isin(*BM25_QUERY_TERMS)
-    )
-    tf = uni.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    uni = docs.select(
+        "doc_id", F.size(toks).alias("dl"), F.explode(toks).alias("tok")
+    ).filter(F.col("tok").isin(*all_terms))
+    tf = uni.groupBy("doc_id", "dl", "tok").agg(F.count("*").alias("tf"))
     idf = (
         tf.groupBy("tok")
         .agg(F.count("*").alias("df"))
@@ -379,6 +424,7 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("idf"),
         )
     )
+    terms = spark.createDataFrame(terms_rows, "query_id int, tok string")
     # association order matters for the parity contract: the oracle
     # computes ((idf * num) / den) * 1e6 (SQL left-assoc), so the
     # Spark expression is built in EXACTLY that shape — idf*(num/den)
@@ -390,17 +436,40 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     contrib = (
         tf.join(F.broadcast(idf), "tok")
-        .join(dl, "doc_id")
         .crossJoin(F.broadcast(scal.select("avgdl")))
+        .join(F.broadcast(terms), "tok")
         .select(
+            "query_id",
             "doc_id",
             F.round(num / den * 1e6, 0).cast("long").alias("c_micro"),
         )
     )
-    scores = contrib.groupBy("doc_id").agg(
+    return contrib.groupBy("query_id", "doc_id").agg(
         F.count("*").alias("n_terms_matched"),
         F.round(F.sum("c_micro") / 1e6, 4).alias("bm25"),
     )
+
+
+@register(
+    "bm25_topk",
+    oracle=_BM25_ORACLE,
+    survey_ops="§7-text,A1,J1,⊘rank",
+    tier=0,  # r9-new (was inconsistently 1 — ADVICE r9 #5)
+)
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical retrieval (Robertson & Spärck Jones; the Lucene
+    ``ln(1 + (N-df+0.5)/(df+0.5))`` idf variant, k1=1.2, b=0.75): the
+    top BM25_TOP documents for a fixed conjunctive query — the
+    retrieval pass a data-curation pipeline runs to pull topical
+    slices out of a web corpus (and the lexical half of the standard
+    retrieval-augmented dedup/decontamination stack next to the ANN
+    family). Scoring and scale shape live in the shared
+    :func:`bm25_scores` core (one query here); the batch shape a
+    retrieval user runs is ``bm25_multi_topk``."""
+    docs = load(spark, sf_dir, "documents")
+    scores = bm25_scores(
+        docs, [(0, t) for t in BM25_QUERY_TERMS]
+    ).drop("query_id")
     # top-k via orderBy().limit() — Spark plans TakeOrderedAndProject
     # (per-partition heaps + a k-row merge), NOT the single-partition
     # global-window sort; the row_number window then runs on the
@@ -414,4 +483,41 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bm25",
         F.col("n_terms_matched").cast("long").alias("n_terms_matched"),
         "rk",
+    )
+
+
+@register(
+    "bm25_multi_topk",
+    oracle=_BM25_MULTI_ORACLE,
+    survey_ops="§7-text,A1,J1,⊘rank",
+    tier=0,  # new in r10
+)
+def bm25_multi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched BM25 retrieval (VERDICT r9 item 7): BM25_QUERIES query
+    term sets scored in ONE corpus pass, per-query top-BM25_TOP. The
+    term sets travel as a broadcast (query_id, tok) relation joined
+    onto the shared tf stream AFTER the corpus-scale aggregation —
+    adding queries grows the broadcast fan-out, never the corpus scan
+    (see :func:`bm25_scores`). The per-query rank is a
+    query_id-partitioned window: parallel across queries, and the
+    window input is already reduced to matched (query, doc) score
+    rows."""
+    docs = load(spark, sf_dir, "documents")
+    scores = bm25_scores(
+        docs,
+        [(qid, t) for qid, ts in sorted(BM25_QUERIES.items()) for t in ts],
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("bm25").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scores.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= BM25_TOP)
+        .select(
+            F.col("query_id").cast("long").alias("query_id"),
+            "doc_id",
+            "bm25",
+            F.col("n_terms_matched").cast("long").alias("n_terms_matched"),
+            "rk",
+        )
     )

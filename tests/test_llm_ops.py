@@ -1039,3 +1039,38 @@ def test_bm25_ranking_semantics(spark):
         toks = set(texts[r["doc_id"]].split(" "))
         assert len(toks & set(BM25_QUERY_TERMS)) == r["n_terms_matched"]
         assert r["n_terms_matched"] >= 1
+
+
+def test_bm25_multi_query_zero_matches_single(spark):
+    """The batched operator's query 0 IS the single-query operator's
+    workload (BM25_QUERIES[0] == BM25_QUERY_TERMS): its per-query
+    slice must reproduce bm25_topk row-for-row. This pins that the
+    corpus-level idf (computed over the UNION of all queries' terms)
+    does not leak between queries — df per term is corpus truth
+    either way — and that the per-query window ranks exactly like the
+    global top-k."""
+    from stream_processing_test_spark.llm.corpus import (
+        BM25_QUERIES,
+        BM25_QUERY_TERMS,
+        bm25_multi_topk,
+        bm25_topk,
+    )
+
+    assert BM25_QUERIES[0] == BM25_QUERY_TERMS
+    single = sorted(
+        (r["doc_id"], r["bm25"], r["n_terms_matched"], r["rk"])
+        for r in bm25_topk(spark, SF).collect()
+    )
+    multi0 = sorted(
+        (r["doc_id"], r["bm25"], r["n_terms_matched"], r["rk"])
+        for r in bm25_multi_topk(spark, SF).collect()
+        if r["query_id"] == 0
+    )
+    assert multi0 == single
+    # every query produced a full page
+    per_q = {}
+    for r in bm25_multi_topk(spark, SF).collect():
+        per_q.setdefault(r["query_id"], []).append(r["rk"])
+    assert set(per_q) == set(BM25_QUERIES)
+    for ranks in per_q.values():
+        assert sorted(ranks) == list(range(1, 21))
