@@ -227,7 +227,9 @@ def pq_codebooks(
 
 
 def pq_encode(
-    base: DataFrame, rows: list[tuple[int, int, list[float]]]
+    base: DataFrame,
+    rows: list[tuple[int, int, list[float]]],
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """Assign every vector its PQ_SUBS codes in a single MAP-ONLY pass:
     the (PQ_SUBS × PQ_CODES × PQ_DSUB)-double codebook is embedded as
@@ -248,7 +250,10 @@ def pq_encode(
     inside the scan stage. The key packing is exact while
     micro-distance × PQ_CODES stays inside int64 — distances up to
     ~5.7e11, far beyond any normalized-embedding geometry.
-    Output: (vec_id, c0..c{M-1})."""
+    Output: (vec_id, *carry, c0..c{M-1}) — ``carry`` names extra
+    ``base`` columns projected through untouched (the IVF-PQ
+    composition threads ``list_id`` through the encode so codes come
+    out list-tagged without a corpus-scale join)."""
     by_sub: dict[int, list[tuple[int, list[float]]]] = {}
     for s, code, centroid in rows:
         by_sub.setdefault(s, []).append((code, centroid))
@@ -275,6 +280,7 @@ def pq_encode(
     subs = sorted(by_sub)
     l1 = base.selectExpr(
         "vec_id",
+        *carry,
         *[f"element_at(v, {i + 1}) AS x{i}" for i in range(EMBED_DIM)],
     )
     xsq_exprs = []
@@ -304,14 +310,14 @@ def pq_encode(
                 f"(CAST(floor({dist} * {_MICRO}.0D + 0.5D) AS BIGINT)"
                 f" * {PQ_CODES} + {code}) AS k{s}_{code}"
             )
-    l3 = l2.selectExpr("vec_id", *key_exprs)
+    l3 = l2.selectExpr("vec_id", *carry, *key_exprs)
 
     out_exprs = []
     for s in subs:
         ks = [f"k{s}_{code}" for code, _ in sorted(by_sub[s])]
         best = ks[0] if len(ks) == 1 else f"least({', '.join(ks)})"
         out_exprs.append(f"CAST({best} % {PQ_CODES} AS INT) AS c{s}")
-    return l3.selectExpr("vec_id", *out_exprs)
+    return l3.selectExpr("vec_id", *carry, *out_exprs)
 
 
 def _seq_dot_sql(a: str, b: str, d: int) -> str:
@@ -332,29 +338,22 @@ def _seq_sq_l2_sql(a: str, b: str, d: int) -> str:
     return f"GREATEST((({xsq} - 2.0 * {dot}) + {csq}), 0)"
 
 
-def _pq_oracle(
+def _pq_train_ctes(
     n_subs: int = PQ_SUBS,
     n_codes: int = PQ_CODES,
     iters: int = PQ_ITERS,
-    top_k: int = TOP_K,
-    rerank: int | None = None,
-) -> str:
-    """DuckDB oracle replaying the WHOLE PQ pipeline — per-subspace
-    codebook training (Lloyd unrolled into CTE pairs over the same
-    hash-gated ``train`` CTE the Spark side samples), full-corpus
-    encoding, integer LUT construction, ADC scoring, top-k. Follows
-    :func:`similarity._ivf_oracle`'s construction; the L2/argmin and
-    integer-LUT specifics are documented at their Spark twins.
-    ``rerank=None`` (the registered mode since r10) recomputes
-    :func:`auto_rerank` from the oracle's own COUNT(*) via
-    :func:`_rerank_cte` — the shortlist bound becomes a scalar
-    subquery over that CTE, so the oracle replays the hold-recall
-    policy at any corpus size."""
+) -> tuple[str, str, str]:
+    """The per-subspace PQ training/encode/LUT CTE chain shared by the
+    pure-PQ oracle and the IVF-PQ composition's oracle: for each
+    subspace, subtrain → seeds → ``iters`` × (assign → recompute →
+    reseed) Lloyd over the ``train`` CTE → full-corpus ``enc{s}`` →
+    per-query ``qlut{s}``. Returns ``(pieces_sql, codes_union,
+    lut_union)`` — the UNIONs flatten the per-subspace relations into
+    the (vec_id, s, code) code stream and the (query_id, s, code,
+    ipart, cnsq) integer LUT the ADC stage consumes. The L2/argmin
+    and integer-LUT specifics are documented at their Spark twins
+    (:func:`pq_encode`, :func:`pq_topk`)."""
     d = PQ_DSUB
-    if rerank is None:
-        rr_cte, rerank_bound = f"{_rerank_cte()},\n", "(SELECT rerank FROM rr)"
-    else:
-        rr_cte, rerank_bound = "", str(rerank)
 
     def assign(name: str, sub_src: str, cents: str) -> str:
         dist = _seq_sq_l2_sql("e.sub", "c.centroid", d)
@@ -438,26 +437,17 @@ def _pq_oracle(
         f"SELECT query_id, {s} AS s, code, ipart, cnsq FROM {lut_names[s]}"
         for s in range(n_subs)
     )
-    qn_fold = _seq_dot_sql("v", "v", EMBED_DIM)
-    pieces_sql = ",\n".join(pieces)
+    return ",\n".join(pieces), codes_union, lut_union
 
-    return f"""
-WITH esig AS (
-    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-    FROM embeddings
-),
-{_train_shift_ctes()},
-{rr_cte}{pieces_sql},
-codes AS ({codes_union}),
-lut AS ({lut_union}),
-adc AS (
-    SELECT l.query_id, codes.vec_id,
-           SUM(l.ipart) AS idot, SUM(l.cnsq) AS insq
-    FROM codes JOIN lut l USING (s, code)
-    WHERE codes.vec_id <> l.query_id
-    GROUP BY 1, 2
-),
-qn AS (
+
+def _adc_tail_sql(rerank_bound: str, top_k: int) -> str:
+    """The shared oracle tail after the ``adc(query_id, vec_id, idot,
+    insq)`` CTE: approx-cosine reconstruction from the integer sums,
+    shortlist (bounded by ``rerank_bound`` — a literal or a scalar
+    subquery over the ``rr`` policy CTE), exact re-rank, final top-k
+    projection. One definition for the pure-PQ and IVF-PQ oracles."""
+    qn_fold = _seq_dot_sql("v", "v", EMBED_DIM)
+    return f"""qn AS (
     SELECT vec_id AS query_id, sqrt({qn_fold}) AS n
     FROM esig WHERE vec_id < {N_QUERIES}
 ),
@@ -492,7 +482,53 @@ SELECT CAST(query_id AS BIGINT) AS query_id,
        cos_sim,
        approx_cos,
        CAST(rk AS BIGINT) AS rk
-FROM ranked WHERE rk <= {top_k}
+FROM ranked WHERE rk <= {top_k}"""
+
+
+def _pq_oracle(
+    n_subs: int = PQ_SUBS,
+    n_codes: int = PQ_CODES,
+    iters: int = PQ_ITERS,
+    top_k: int = TOP_K,
+    rerank: int | None = None,
+) -> str:
+    """DuckDB oracle replaying the WHOLE PQ pipeline — per-subspace
+    codebook training (Lloyd unrolled into CTE pairs over the same
+    hash-gated ``train`` CTE the Spark side samples:
+    :func:`_pq_train_ctes`), full-corpus encoding, integer LUT
+    construction, ADC scoring, top-k. Follows
+    :func:`similarity._ivf_oracle`'s construction; the L2/argmin and
+    integer-LUT specifics are documented at their Spark twins.
+    ``rerank=None`` (the registered mode since r10) recomputes
+    :func:`auto_rerank` from the oracle's own COUNT(*) via
+    :func:`_rerank_cte` — the shortlist bound becomes a scalar
+    subquery over that CTE, so the oracle replays the hold-recall
+    policy at any corpus size."""
+    if rerank is None:
+        rr_cte, rerank_bound = f"{_rerank_cte()},\n", "(SELECT rerank FROM rr)"
+    else:
+        rr_cte, rerank_bound = "", str(rerank)
+    pieces_sql, codes_union, lut_union = _pq_train_ctes(
+        n_subs=n_subs, n_codes=n_codes, iters=iters
+    )
+
+    return f"""
+WITH esig AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+),
+{_train_shift_ctes()},
+{rr_cte}{pieces_sql},
+codes AS ({codes_union}),
+lut AS ({lut_union}),
+adc AS (
+    SELECT l.query_id, codes.vec_id,
+           SUM(l.ipart) AS idot, SUM(l.cnsq) AS insq
+    FROM codes JOIN lut l USING (s, code)
+    WHERE codes.vec_id <> l.query_id
+    GROUP BY 1, 2
+),
+{_adc_tail_sql(rerank_bound, top_k)}
 """
 
 
@@ -526,8 +562,6 @@ def pq_topk(
     encoding, and it reads exactly |shortlist| of them. Exchanges
     after encoding: the ADC group-sum and the two per-query top-k
     windows."""
-    from pyspark.sql import Window
-
     # one metadata-cheap count probe feeds BOTH integer rules: the
     # auto_rerank shortlist policy and the training gate's
     # auto_train_shift (pq_codebooks forwards it to train_sample)
@@ -536,23 +570,35 @@ def pq_topk(
         rerank = auto_rerank(n_rows)
     rows = pq_codebooks(emb, n_rows=n_rows)
     if not rows:
-        # empty corpus (or a training gate that kept no rows): no
-        # codebook means no c{s} columns to project — return the
-        # contract's empty result instead of failing analysis (the
-        # same guard the IVF twin's _lloyd_numpy carries)
-        return emb.sparkSession.createDataFrame(
-            [],
-            "query_id long, neighbor_id long, cos_sim double, "
-            "approx_cos double, rk long",
-        )
+        return _empty_topk(emb.sparkSession)
     enc = pq_encode(emb.select("vec_id", "v"), rows)
-    codebook = emb.sparkSession.createDataFrame(
-        rows, "s int, code int, centroid array<double>"
+    codes = _explode_codes(enc)
+    lut = _query_luts(queries, rows)
+
+    # ONE broadcast join + ONE keyed integer sum (associative — Spark's
+    # arbitrary merge order and DuckDB's scan order cannot diverge)
+    pairs = codes.join(F.broadcast(lut), ["s", "code"])
+    return _adc_rank(pairs, emb, queries, rerank, top_k)
+
+
+def _empty_topk(spark: SparkSession) -> DataFrame:
+    """The contract's empty result for an empty corpus (or a training
+    gate that kept no rows): no codebook means no c{s} columns to
+    project — return this instead of failing analysis (the same guard
+    the IVF twin's _lloyd_numpy carries)."""
+    return spark.createDataFrame(
+        [],
+        "query_id long, neighbor_id long, cos_sim double, "
+        "approx_cos double, rk long",
     )
 
-    # (vec_id, s, code) — the exact shape of the oracle's codes UNION
-    codes = enc.select(
+
+def _explode_codes(enc: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
+    """(vec_id, *carry, s, code) — the exact shape of the oracle's
+    codes UNION, from :func:`pq_encode`'s wide (c0..c{M-1}) row."""
+    return enc.select(
         "vec_id",
+        *carry,
         F.explode(
             F.array(
                 *[
@@ -563,10 +609,22 @@ def pq_topk(
                 ]
             )
         ).alias("sc"),
-    ).select("vec_id", F.col("sc.s").alias("s"), F.col("sc.code").alias("code"))
+    ).select(
+        "vec_id", *carry, F.col("sc.s").alias("s"), F.col("sc.code").alias("code")
+    )
 
+
+def _query_luts(
+    queries: DataFrame, rows: list[tuple[int, int, list[float]]]
+) -> DataFrame:
+    """The per-query integer ADC lookup table (query_id, s, code,
+    ipart, cnsq): one broadcast crossJoin of the query set against the
+    (PQ_SUBS × PQ_CODES)-row codebook relation."""
+    codebook = queries.sparkSession.createDataFrame(
+        rows, "s int, code int, centroid array<double>"
+    )
     qsub = F.slice("qv", F.col("s") * PQ_DSUB + 1, PQ_DSUB)
-    lut = queries.crossJoin(F.broadcast(codebook)).select(
+    return queries.crossJoin(F.broadcast(codebook)).select(
         "query_id",
         "s",
         "code",
@@ -577,13 +635,28 @@ def pq_topk(
         .cast("long")
         .alias("cnsq"),
     )
-    qn = queries.select("query_id", _norm(F.col("qv")).alias("qn"))
 
-    # ONE broadcast join + ONE keyed integer sum (associative — Spark's
-    # arbitrary merge order and DuckDB's scan order cannot diverge)
+
+def _adc_rank(
+    pairs: DataFrame,
+    emb: DataFrame,
+    queries: DataFrame,
+    rerank: int,
+    top_k: int,
+) -> DataFrame:
+    """The shared ADC+R tail (Spark twin of :func:`_adc_tail_sql`):
+    ``pairs`` is the pre-aggregation (query_id, vec_id, ipart, cnsq)
+    stream — the pure-PQ path feeds codes ⋈ LUT, the IVF-PQ path
+    feeds probed-list codes ⋈ LUT. One keyed integer sum, approx-cos
+    reconstruction, per-query shortlist of ``rerank``, exact re-rank
+    touching only |queries| × rerank raw vectors, top-k."""
+    from pyspark.sql import Window
+
+    from stream_processing_test_spark.llm.similarity import cosine
+
+    qn = queries.select("query_id", _norm(F.col("qv")).alias("qn"))
     agg = (
-        codes.join(F.broadcast(lut), ["s", "code"])
-        .filter(F.col("vec_id") != F.col("query_id"))
+        pairs.filter(F.col("vec_id") != F.col("query_id"))
         .groupBy("query_id", "vec_id")
         .agg(F.sum("ipart").alias("idot"), F.sum("cnsq").alias("insq"))
     )
@@ -604,9 +677,6 @@ def pq_topk(
         .filter(F.col("ar") <= rerank)
         .select("query_id", "neighbor_id", "approx_cos")
     )
-
-    from stream_processing_test_spark.llm.similarity import cosine
-
     exact = (
         emb.select(F.col("vec_id").alias("neighbor_id"), "v")
         .join(F.broadcast(shortlist), "neighbor_id")
@@ -626,6 +696,167 @@ def pq_topk(
         .filter(F.col("rk") <= top_k)
         .select("query_id", "neighbor_id", "cos_sim", "approx_cos", "rk")
     )
+
+
+def ivfpq_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    n_probe: int | None = None,
+    top_k: int = TOP_K,
+    rerank: int | None = None,
+    n_lists: int | None = None,
+) -> DataFrame:
+    """IVF-PQ composition (Jégou et al. 2011 §V — IVFADC): the
+    ≥100 M-vector architecture both module docstrings name. The IVF
+    coarse quantizer routes each query to its n_probe nearest lists,
+    ADC scores ONLY those lists' CODES (never raw vectors), and the
+    exact re-rank reads only |queries| × rerank raw rows — so the two
+    unbounded costs of the constituent operators are both bounded:
+    pure PQ's ADC scan of every code row shrinks to the probed
+    fraction, and pure IVF's raw-vector read of probed lists shrinks
+    to 8-byte code rows plus the shortlist.
+
+    Defaults are the policy rules: ``n_lists`` from
+    :func:`similarity.auto_lists` (lists ≈ sqrt(n/C), so probed code
+    rows grow as sqrt(n) — the sublinearity the ladder measures),
+    ``rerank`` from :func:`auto_rerank` (the r10 hold-recall
+    shortlist), ``n_probe`` = similarity.N_PROBE (the documented
+    constant — recall on structureless corpora is floored at the
+    fraction searched, exactly as ``ann_ivf_topk`` documents; routing
+    gain needs corpus structure and is pytest-pinned there).
+
+    Scale shape: ONE corpus assignment scan (broadcast trained
+    centroids), ONE map-only encode pass over the assignment output
+    (list_id rides the encode via ``pq_encode(carry=...)`` — no
+    corpus-scale code⋈list join), then the ADC group-sum over the
+    probed fraction and the two per-query top-k windows. Both
+    trainers run driver-local on the shared hash-capped sample."""
+    from stream_processing_test_spark.llm.similarity import (
+        N_PROBE,
+        auto_lists,
+        kmeans_lists,
+    )
+
+    if n_probe is None:
+        n_probe = N_PROBE
+    n_rows = emb.select("vec_id").count()
+    if rerank is None:
+        rerank = auto_rerank(n_rows)
+    if n_lists is None:
+        n_lists = auto_lists(n_rows)
+    rows = pq_codebooks(emb, n_rows=n_rows)
+    if not rows:
+        return _empty_topk(emb.sparkSession)
+    assign, centroids = kmeans_lists(emb, k=n_lists, n_rows=n_rows)
+    enc = pq_encode(assign, rows, carry=("list_id",))
+    codes = _explode_codes(enc, carry=("list_id",))
+    lut = _query_luts(queries, rows)
+
+    from pyspark.sql import Window
+
+    from stream_processing_test_spark.llm.similarity import cosine
+
+    w_route = Window.partitionBy("query_id").orderBy(
+        F.col("c_sim").desc(), F.col("list_id").asc()
+    )
+    probed = (
+        queries.crossJoin(F.broadcast(centroids))
+        .select(
+            "query_id",
+            "list_id",
+            F.round(cosine(F.col("qv"), F.col("centroid")), 6).alias("c_sim"),
+        )
+        .withColumn("pr", F.row_number().over(w_route))
+        .filter(F.col("pr") <= n_probe)
+        .select("query_id", "list_id")
+    )
+    # list restriction FIRST (broadcast (query, list) pairs), then the
+    # LUT keyed on (query_id, s, code) — the group-sum input is the
+    # probed fraction of the code stream, not all of it
+    pairs = codes.join(F.broadcast(probed), "list_id").join(
+        F.broadcast(lut), ["query_id", "s", "code"]
+    )
+    return _adc_rank(pairs, emb, queries, rerank, top_k)
+
+
+def _ivfpq_oracle(top_k: int = TOP_K, n_probe: int | None = None) -> str:
+    """DuckDB oracle for the IVF-PQ composition: the IVF Lloyd chain
+    in DYNAMIC-list mode (``_ivf_lloyd_ctes(n_lists=None)`` bounded by
+    the ``nl`` CTE replaying :func:`similarity.auto_lists`) + the PQ
+    training/encode/LUT chain (:func:`_pq_train_ctes`) + the probed
+    ADC join + the shared shortlist/re-rank tail with the ``rr``
+    auto_rerank bound. Both policy rules and the training gate are
+    recomputed from the oracle's own COUNT(*) — the whole composition
+    replays at any corpus size."""
+    from stream_processing_test_spark.llm.similarity import (
+        N_PROBE,
+        _ivf_lloyd_ctes,
+        auto_lists_ctes,
+    )
+
+    if n_probe is None:
+        n_probe = N_PROBE
+    lloyd, cents = _ivf_lloyd_ctes(n_lists=None)
+    pieces_sql, codes_union, lut_union = _pq_train_ctes()
+
+    return f"""
+WITH esig AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+),
+{_train_shift_ctes()},
+{_rerank_cte()},
+{auto_lists_ctes()},
+{lloyd},
+{pieces_sql},
+pcodes AS ({codes_union}),
+codes AS (
+    SELECT p.vec_id, a.list_id, p.s, p.code
+    FROM pcodes p JOIN assign_final a USING (vec_id)
+),
+lut AS ({lut_union}),
+q AS (SELECT vec_id AS query_id, v AS qv FROM esig WHERE vec_id < {N_QUERIES}),
+probed AS (
+    SELECT query_id, list_id FROM (
+        SELECT q.query_id, c.list_id,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                   ORDER BY ROUND(list_cosine_similarity(q.qv, c.centroid), 6) DESC,
+                            c.list_id ASC) AS pr
+        FROM q CROSS JOIN {cents} c) WHERE pr <= {n_probe}
+),
+adc AS (
+    SELECT l.query_id, codes.vec_id,
+           SUM(l.ipart) AS idot, SUM(l.cnsq) AS insq
+    FROM codes
+    JOIN probed p ON p.list_id = codes.list_id
+    JOIN lut l ON l.query_id = p.query_id
+              AND l.s = codes.s AND l.code = codes.code
+    WHERE codes.vec_id <> l.query_id
+    GROUP BY 1, 2
+),
+{_adc_tail_sql("(SELECT rerank FROM rr)", top_k)}
+"""
+
+
+@register(
+    "ann_ivfpq_topk",
+    oracle=_ivfpq_oracle(),
+    survey_ops="§7-similarity,IVF,PQ",
+    tier=0,  # new in r10
+)
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN over the embeddings table: auto-sized coarse lists
+    route each query to N_PROBE lists, 16×4-bit PQ codes ADC-score
+    only those lists, and the auto_rerank shortlist is exactly
+    re-ranked. See :func:`ivfpq_topk` for the composition's scale
+    story and the policy defaults."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    return ivfpq_topk(emb, q)
 
 
 @register(

@@ -990,6 +990,85 @@ def test_auto_rerank_sql_twin_matches_python():
     assert auto_rerank(10**9) == PQ_RERANK_MAX
 
 
+def test_auto_lists_sql_twin_matches_python():
+    """auto_lists (the IVF-PQ composition's coarse-list rule) and its
+    ``nl`` CTE must agree exactly, probed across every power-of-two
+    boundary the rule can select (16·16·64 = 16384, ..., the 256
+    clamp at n > 256²·64)."""
+    import duckdb
+
+    from stream_processing_test_spark.llm.similarity import (
+        auto_lists,
+        auto_lists_ctes,
+    )
+
+    con = duckdb.connect()
+    for n in [1, 500, 16384, 16385, 65536, 65537, 200_000, 800_000,
+              4_194_304, 4_194_305, 10**8]:
+        con.execute(
+            f"CREATE OR REPLACE VIEW embeddings AS "
+            f"SELECT range AS vec_id FROM range({n})"
+        )
+        got = con.sql(
+            f"WITH nv AS (SELECT COUNT(*) AS n FROM embeddings), "
+            f"{auto_lists_ctes()} SELECT lists FROM nl"
+        ).fetchone()[0]
+        assert got == auto_lists(n), (n, got, auto_lists(n))
+    assert auto_lists(500) == 16  # fixture floor
+    assert auto_lists(10**9) == 256  # clamp
+
+
+def test_ivfpq_dynamic_lists_cross_engine_parity(spark, tmp_path):
+    """IVF-PQ end-to-end with BOTH dynamic policies off their floors:
+    50 000 vectors → auto_lists = 32 (> the 16 floor, so the oracle's
+    dynamic seed/reseed bounds actually bind), auto_train_shift = 4
+    (the hash gate keeps ~3 125 training rows), auto_rerank = 390.
+    The DuckDB oracle must replay coarse training, routing, PQ
+    training, encoding, the probed integer ADC, and the policy-sized
+    exact re-rank row-for-row. Driver fixtures are all below every
+    boundary, so this is the only place the dynamic-lists branch of
+    the composed oracle executes."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from stream_processing_test_spark.llm.pq import _ivfpq_oracle, auto_rerank
+    from stream_processing_test_spark.llm.similarity import (
+        auto_lists,
+        auto_train_shift,
+    )
+    from stream_processing_test_spark.registry import all_queries
+
+    n, dim = 50_000, 64
+    assert auto_lists(n) == 32
+    assert auto_train_shift(n) == 4
+    assert auto_rerank(n) == 390
+    rng = np.random.default_rng(11)
+    vecs = rng.standard_normal((n, dim)).astype(np.float32)
+    path = str(tmp_path / "embeddings.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": np.arange(n, dtype=np.int64),
+                "embedding": pa.array(list(vecs), type=pa.list_(pa.float32())),
+                "label": np.zeros(n, dtype=np.int32),
+            }
+        ),
+        path,
+    )
+    got = sorted(
+        (r["query_id"], r["neighbor_id"], r["cos_sim"], r["approx_cos"], r["rk"])
+        for r in all_queries()["ann_ivfpq_topk"].fn(spark, str(tmp_path)).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{path}')"
+    )
+    want = sorted(map(tuple, con.sql(_ivfpq_oracle()).fetchall()))
+    assert got == want
+
+
 def test_pq_rerank_recall_vs_exact(spark):
     """The ADC+R contract: over the 500-vector fixture ``auto_rerank``
     resolves to the PQ_RERANK=100 floor, and the exact re-rank must

@@ -534,7 +534,9 @@ _FORCED_BROADCAST_ALLOWED = {
     "ann_cosine_topk_int8": "k-row query-vector set (crossJoin seed)",
     "decontaminate_bloom": "Bloom bitset, hard-capped at 2^28 bits (32 MiB)",
     "ann_pq_topk": "PQ codebook rows + (queries x codes)-row integer LUTs",
+    "ann_ivfpq_topk": "trained centroids (<=256 rows) + (queries x n_probe) probed-list pairs + (queries x codes)-row integer LUTs",
     "bm25_topk": "1-row (N, avgdl) scalars + |query-terms|-row idf table",
+    "bm25_multi_topk": "same scalar/idf broadcasts + the literal (query_id, term) relation (|queries| x |terms| rows)",
     "error_labels": "17-row error-code taxonomy dim",
     "failing_programs": "program dim + its HAVING-filtered subset",
     "program_match": "program-name dim (live_broadcast_details)",
