@@ -149,6 +149,7 @@ BENCH_EXCLUDED = {
     "streaming_session_windows": "wall time dominated by the sentinel-replay rewrite (test harness, not engine work); same representatives",
     "streaming_rate_rollup": "wall time is processing-time trigger latency of a 4-batch synthetic rate source (poll-then-stop harness), not engine stages; same streaming representatives",
     "streaming_sliding_rollup": "memory-sink micro-batch harness setup dominates at fixture size; streaming perf represented by streaming_daily_scores + streaming_failure_streaks",
+    "streaming_daily_scores_update": "same aggregation and replay as headline streaming_daily_scores, differing only in output mode + watermark (state-size semantics, priced in BENCH_SCALE stream tiers, not wall shape)",
 }
 
 

@@ -62,6 +62,62 @@ def test_incremental_micro_batches_converge(spark, tmp_path):
     assert got == want
 
 
+def test_update_mode_multi_batch_converges(spark, tmp_path):
+    """The bounded-state deployment shape (update mode + 1-day
+    watermark) under a REAL multi-batch replay: events split into 3
+    time-ordered file chunks (ascending, so nothing ever arrives later
+    than the watermark), maxFilesPerTrigger=1. The memory sink then
+    holds a genuine history of per-key updates — more rows than keys —
+    and final_update_state's max-n_detection reduction must recover
+    exactly the batch answer. (The registered query replays one file =
+    one batch, where the reduction is trivially the identity; this is
+    where it does real work.)"""
+    from pyspark.sql import functions as F
+
+    from stream_processing_test_spark.operators.rollup import daily_scores
+    from stream_processing_test_spark.streaming.pipeline import (
+        daily_rollup,
+        events_stream,
+        final_update_state,
+        run_to_memory,
+    )
+
+    src = tmp_path / "events_ordered"
+    src.mkdir()
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    n = ev.count()
+    from pyspark.sql import Window
+
+    ranked = ev.withColumn(
+        "rn", F.row_number().over(Window.orderBy("ts", "user_id"))
+    )
+    for i in range(3):  # contiguous time slices, written in order
+        (
+            ranked.filter(
+                (F.col("rn") > i * n // 3) & (F.col("rn") <= (i + 1) * n // 3)
+            )
+            .drop("rn")
+            .coalesce(1)
+            .write.parquet(str(src / f"chunk{i}"))
+        )
+    raw = run_to_memory(
+        daily_rollup(
+            events_stream(spark, f"{src}/chunk*/", max_files_per_trigger=1),
+            watermark="1 day",
+        ),
+        "update_multi_batch",
+        output_mode="update",
+    )
+    assert raw.count() > raw.select("user_id", "day").distinct().count(), (
+        "expected a multi-update history, got one row per key — the "
+        "multi-batch split did not happen"
+    )
+    got = sorted(map(tuple, final_update_state(raw).collect()))
+    want = sorted(map(tuple, daily_scores(spark, SF_SMALL).collect()))
+    assert got == want
+
+
 def test_finalize_to_dimension_upserts_scores(spark, tmp_path):
     """T8 end-to-end: events stream -> daily scores -> foreachBatch
     upsert into the source-dimension parquet, idempotent on re-run."""
