@@ -34,99 +34,98 @@ class QuerySpec:
 
 _REGISTRY: dict[str, QuerySpec] = {}
 
-# Round-9 rotation (VERDICT r8 item 2): the driver checks a 50-query
-# prefix. Tier (0) = owed a fresh row THIS round — 14 queries: the two
-# r6-row deferrals from r8 (``user_cardinality_approx``,
-# ``doc_fingerprint``), ``streaming_rate_rollup`` (registered r8,
-# never driver-gated — ADVICE r8 #1), the NEW
-# ``envelope_rollup_parquet``/``envelope_rollup_orc`` (VERDICT r8
-# missing #2), the six NEW r9 operators
-# (``embedding_quantize_int8``, ``ann_cosine_topk_int8``,
-# ``decontaminate_bloom``, ``streaming_sliding_rollup``,
-# ``ann_pq_topk``, ``bm25_topk``), and the three queries whose implementation
-# changed in r9:
-# ``dedup_embedding_lsh`` + ``ann_lsh_topk`` (auto_tables hold-recall
-# policy, dynamic-tables oracle) and ``ann_ivf_topk`` (sampled
-# driver-local training, train-gate oracle). Tier (1) = 36 of the 47
-# queries whose newest driver row is r7; 14 + 36 fills the 50-slot
-# window exactly. The ELEVEN r7-row queries deferred to r10 are
-# unchanged-code shape twins whose physical shape holds a FRESH row.
-# The first seven, deferred when the r8-planned window was drawn:
-# ``quantity_grouping_sets`` (rollup machinery twin of in-window
-# ``revenue_cube``), ``q14_promo_revenue_share`` (join+CASE-ratio twin
-# of in-window ``q9_product_profit``), ``q19_disjunctive_revenue``
-# (pushed-predicate-scan twin of r8-row ``q6_forecast_revenue``),
-# ``pii_redact`` (regexp map-pass twin of r8-row ``lang_id_ngram``),
-# ``doc_repetition_stats`` (explode→keyed-agg twin of r8-row
-# ``tfidf_top_terms``), ``q11_important_parts`` (scalar-subquery
-# share-filter twin of in-window ``q16_part_supplier_variety``), and
-# ``q12_priority_shipping`` (lineitem join + conditional-agg twin of
-# in-window ``q10_returned_items``) — their slots went to the NEW
-# ``embedding_quantize_int8`` and ``ann_cosine_topk_int8``.
-# Four more were deferred when the NEW ``decontaminate_bloom``,
-# ``streaming_sliding_rollup``, ``ann_pq_topk`` and ``bm25_topk`` took
-# tier-0 slots late in r9:
-# ``q3_shipping_priority`` (customer⋈orders⋈lineitem agg+topN twin of
-# in-window ``q10_returned_items``), ``q5_region_revenue``
-# (region/nation-dim join twin of in-window ``q8_market_share``) and
-# ``q15_top_supplier`` (scalar-subquery-max twin of in-window
-# ``q2_min_cost_supplier``), and ``q17_small_quantity_revenue``
-# (correlated per-key-threshold twin of in-window
-# ``q18_large_orders``). All ELEVEN deferrals MUST head r10's window.
-# Unlisted queries keep ``10 + tier``.
+# Round-10 rotation (VERDICT r9 item 2): the driver checks a 50-query
+# prefix. Tier (0) = owed a fresh row THIS round — 17 queries: the
+# ELEVEN r7-row deferrals the r9 plan bound r10 to lead with
+# (``quantity_grouping_sets``, ``q3_shipping_priority``,
+# ``q5_region_revenue``, ``q11_important_parts``,
+# ``q12_priority_shipping``, ``q14_promo_revenue_share``,
+# ``q15_top_supplier``, ``q17_small_quantity_revenue``,
+# ``q19_disjunctive_revenue``, ``pii_redact``,
+# ``doc_repetition_stats``), the THREE NEW r10 operators
+# (``bm25_multi_topk``, ``ann_ivfpq_topk``,
+# ``streaming_daily_scores_update``), and the THREE whose
+# implementation or oracle changed in r10: ``ann_pq_topk``
+# (auto_rerank policy + L2 clamp), ``bm25_topk`` (shared bm25_scores
+# core, dl carried through the explode), ``ann_ivf_topk`` (Lloyd CTE
+# chain refactored through _ivf_lloyd_ctes — window-filtered seeds).
+# Tier (1) = 33 of the 47 queries whose newest driver row is r8;
+# 17 + 33 fills the 50-slot window exactly.
+#
+# FOURTEEN r8-row queries are deferred to r11 — all unchanged-code
+# shape twins of queries holding a FRESH (r9/r10-window) row:
+# ``resolution_classify`` (CASE-dispatch twin of in-window
+# ``per_source_rollup``), ``lang_id_ngram`` + ``doc_chunking``
+# (map-pass twins of in-window ``token_count``/``doc_quality_score``),
+# ``user_cardinality`` (exact-distinct twin of r9-row
+# ``user_cardinality_approx``), ``engaged_users_setops`` (set-ops twin
+# of r9-row ``rich_accounts_union``), ``monotonic_violations``
+# (lag-window twin of in-window ``rolling_user_stats``),
+# ``error_labels`` (tiny-dim lookup twin of in-window
+# ``program_match``), ``dedup_embedding_cosine`` (pinned quadratic
+# twin of in-window ``ann_cosine_topk``), ``envelope_rollup_csv``
+# (format twin of r9-row ``envelope_rollup_parquet``/``_orc``),
+# ``daily_scores`` + ``sql_daily_event_summary`` (batch/SQL-API twins
+# sharing the oracle of in-window ``streaming_daily_scores`` and the
+# NEW ``streaming_daily_scores_update``), ``report_batches``
+# (30-row-bounded W2 twin of in-window ``top_events_per_user``),
+# ``source_mixing`` (hash-gate twin of in-window
+# ``stratified_sample``), ``records_in_window`` (pushed-predicate
+# count twin of r9-row ``q6_forecast_revenue``). ALL FOURTEEN must
+# head r11's window. Unlisted queries keep ``10 + tier``.
 _ROTATION_TIERS: dict[str, int] = {
-    # (0) new, never-gated, r8-deferred, or implementation-changed in r9
-    "user_cardinality_approx": 0,
-    "doc_fingerprint": 0,
-    "streaming_rate_rollup": 0,
-    "envelope_rollup_parquet": 0,
-    "envelope_rollup_orc": 0,
-    "embedding_quantize_int8": 0,
-    "ann_cosine_topk_int8": 0,
-    "dedup_embedding_lsh": 0,
-    "ann_lsh_topk": 0,
-    "ann_ivf_topk": 0,
-    "decontaminate_bloom": 0,
-    "streaming_sliding_rollup": 0,
+    # (0) r10-new, r10-changed, or the eleven documented deferrals
+    "quantity_grouping_sets": 0,
+    "q3_shipping_priority": 0,
+    "q5_region_revenue": 0,
+    "q11_important_parts": 0,
+    "q12_priority_shipping": 0,
+    "q14_promo_revenue_share": 0,
+    "q15_top_supplier": 0,
+    "q17_small_quantity_revenue": 0,
+    "q19_disjunctive_revenue": 0,
+    "pii_redact": 0,
+    "doc_repetition_stats": 0,
+    "bm25_multi_topk": 0,
+    "ann_ivfpq_topk": 0,
+    "streaming_daily_scores_update": 0,
     "ann_pq_topk": 0,
     "bm25_topk": 0,
-    # (1) newest driver row is r7
-    "attribute_rollup": 1,
-    "balance_quartiles": 1,
-    "cohort_retention": 1,
-    "decayed_user_scores": 1,
-    "dedup_minhash_lsh": 1,
-    "dedup_ngram_jaccard": 1,
-    "dedup_simhash": 1,
-    "dup_clusters": 1,
-    "dup_clusters_star": 1,
-    "envelope_rollup": 1,
-    "funnel_conversion": 1,
-    "multimodal_features": 1,
-    "multimodal_preprocess": 1,
-    "price_percentiles": 1,
-    "q10_returned_items": 1,
-    "q13_order_count_distribution": 1,
-    "q16_part_supplier_variety": 1,
-    "q18_large_orders": 1,
-    "q1_pricing_summary": 1,
-    "q20_excess_suppliers": 1,
-    "q21_blocking_suppliers": 1,
-    "q22_idle_customers": 1,
-    "q2_min_cost_supplier": 1,
-    "q4_order_priority": 1,
-    "q6_forecast_revenue": 1,
-    "q7_nation_trade_volume": 1,
-    "q8_market_share": 1,
-    "q9_product_profit": 1,
-    "revenue_cube": 1,
-    "rich_accounts_union": 1,
-    "skew_salted_rollup": 1,
-    "stats_moments": 1,
-    "streaming_envelope_rollup": 1,
-    "streaming_session_windows": 1,
-    "user_value_percentiles": 1,
-    "vendor_flow_stats": 1,
+    "ann_ivf_topk": 0,
+    # (1) newest driver row is r8
+    "active_sources": 1,
+    "ann_cosine_topk": 1,
+    "asof_click_attribution": 1,
+    "corpus_curation_pipeline": 1,
+    "daily_report_pipeline": 1,
+    "day_close_trigger": 1,
+    "decontaminate_overlap": 1,
+    "dedup_exact": 1,
+    "dedup_keep_canonical": 1,
+    "doc_quality_score": 1,
+    "embedding_centroids": 1,
+    "embedding_norm_stats": 1,
+    "failing_programs": 1,
+    "leakage_safe_split": 1,
+    "per_source_rollup": 1,
+    "probe_source_events": 1,
+    "program_match": 1,
+    "props_json_stats": 1,
+    "range_join_error_context": 1,
+    "revenue_rollup": 1,
+    "rolling_user_stats": 1,
+    "session_windows": 1,
+    "stratified_sample": 1,
+    "streaming_click_purchase_join": 1,
+    "streaming_daily_scores": 1,
+    "streaming_dedup": 1,
+    "streaming_failure_streaks": 1,
+    "substring_dup_coverage": 1,
+    "suppliers_with_bulk_items": 1,
+    "tfidf_top_terms": 1,
+    "token_count": 1,
+    "top_events_per_user": 1,
+    "users_without_big_purchase": 1,
 }
 
 

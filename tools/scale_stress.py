@@ -99,6 +99,13 @@ TIERS = {
     # micro-batches through the two headline streaming pipelines
     "stream_x10": (1_000_000, 0.0),
     "stream_x100": (10_000_000, 0.0),
+    # multimodal rungs (VERDICT r9 item 5): 10x / 100x the sf0.1
+    # fixture's 5k documents — the registered stub-decode pipelines run
+    # verbatim on the text corpus, and a parallel real-PNG corpus
+    # (64x64 grayscale, one image per doc) measures the pure-stdlib
+    # codec's decode/resize MB/s with a scan-only baseline subtracted
+    "mm_x10": (50_000, 0.0),
+    "mm_x100": (500_000, 0.0),
 }
 
 
@@ -130,6 +137,174 @@ def _doc_params(n_docs: int, dup_rate: float) -> dict:
         # is identical to v1, only the layout changed
         "gen_version": 2,
     }
+
+
+MM_IMG_SIDE = 64  # real-PNG corpus: 64x64 grayscale per doc
+
+
+def _mm_params(n_docs: int) -> dict:
+    """Marker params for gen_media — same staleness contract. The text
+    half reuses _doc_params' generator (dup_rate 0: dedup structure is
+    irrelevant to codec throughput)."""
+    return {
+        "n_docs": n_docs,
+        "seed": SEED,
+        "img_side": MM_IMG_SIDE,
+        "vocab": VOCAB_SIZE,
+        "doc_len": list(DOC_LEN),
+        # v2: PNG corpus chunk dropped 30k -> 4k images/file (~17 MB):
+        # at 30k the x10 tier was TWO ~106 MB files = two scan tasks,
+        # serializing the decode onto 2 of 32 cores (the same fat-file
+        # trap gen_version 2 fixed for text corpora — payload bytes per
+        # row are ~700x a text doc here, so the chunk count must be
+        # sized in bytes, not rows)
+        "gen_version": 2,
+    }
+
+
+def gen_media(out_dir: str, n_docs: int, seed: int = SEED) -> dict:
+    """Write the mm tier's two corpora: ``documents.parquet`` (the
+    registered multimodal queries' input — gen_corpus verbatim at
+    dup_rate 0) and ``media_png.parquet`` (doc_id, media_type,
+    payload: a REAL 64x64 grayscale PNG per doc, deterministic pixels,
+    encoded with the engine's own pure-stdlib encoder) as a chunked
+    directory for honest scan parallelism."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from stream_processing_test_spark.llm.codecs import encode_png
+
+    stats = gen_corpus(out_dir, n_docs, 0.0, seed=seed)
+
+    import shutil
+
+    path = os.path.join(out_dir, "media_png.parquet")
+    if os.path.isdir(path):
+        shutil.rmtree(path)
+    elif os.path.exists(path):
+        os.remove(path)
+    os.makedirs(path)
+    schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("media_type", pa.string()),
+            ("payload", pa.binary()),
+        ]
+    )
+    rng = np.random.default_rng(seed + 1)
+    side, chunk, png_bytes = MM_IMG_SIDE, 4_000, 0
+    for start in range(0, n_docs, chunk):
+        c = min(chunk, n_docs - start)
+        pixels = rng.integers(0, 256, size=(c, side * side), dtype=np.uint8)
+        payloads = [
+            encode_png(side, side, 1, pixels[i].tobytes()) for i in range(c)
+        ]
+        png_bytes += sum(len(p) for p in payloads)
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": np.arange(start, start + c, dtype=np.int64),
+                    "media_type": ["image"] * c,
+                    "payload": payloads,
+                },
+                schema=schema,
+            ),
+            os.path.join(path, f"part-{start // chunk:05d}.parquet"),
+        )
+    stats.update(
+        {
+            "png_path": path,
+            "png_bytes": png_bytes,
+            "img_side": side,
+            "n_images": n_docs,
+        }
+    )
+    return stats
+
+
+def multimodal_run(spark, tdir: str, repeats: int) -> dict:
+    """The mm tier's measurement arms (VERDICT r9 item 5):
+
+    - ``features_registered`` / ``preprocess_registered``: the two
+      registered queries VERBATIM on the tier's documents.parquet
+      (text payloads → stub-branch decode — the driver-gated shape).
+    - ``png_scan``: scan-only baseline over the real-PNG corpus (count
+      + payload-byte sum; pays parquet decode + binary materialization
+      but runs no Python).
+    - ``png_features``: the real extract_features mapInPandas stage on
+      the same corpus — full PNG pixel decode per image. The
+      attributed decode cost is ``full − scan`` and the MB/s figure
+      divides payload bytes by it.
+    - ``png_resize``: resize_images at target 32 (REAL nearest-neighbor
+      resample + PNG re-encode; 64→32 so the kernel does real work).
+
+    All walls min-of-``repeats``.
+    """
+    from pyspark.sql import functions as F
+
+    from stream_processing_test_spark.llm.multimodal import (
+        extract_features,
+        resize_images,
+    )
+
+    out: dict = {}
+    out["features_registered"] = time_query(
+        spark, "multimodal_features", tdir, repeats
+    )
+    out["preprocess_registered"] = time_query(
+        spark, "multimodal_preprocess", tdir, repeats
+    )
+
+    media = spark.read.parquet(os.path.join(tdir, "media_png.parquet"))
+
+    def timed(build_df, agg: bool = False) -> tuple[float, list]:
+        samples = []
+        for _ in range(repeats):
+            spark.catalog.clearCache()
+            t0 = time.time()
+            df = build_df()
+            if agg:
+                df.collect()
+            else:
+                df.write.format("noop").mode("overwrite").save()
+            samples.append(round(time.time() - t0, 2))
+        return min(samples), samples
+
+    n_images, png_mb = media.count(), None
+    bytes_total = media.agg(F.sum(F.length("payload"))).collect()[0][0]
+    png_mb = round(bytes_total / 1e6, 1)
+    scan_wall, scan_samples = timed(
+        lambda: media.agg(
+            F.count("*").alias("n"),
+            F.sum(F.length("payload")).alias("payload_bytes"),
+        ),
+        agg=True,
+    )
+    out["png_scan"] = {
+        "wall_sec": scan_wall,
+        "samples": scan_samples,
+        "n_images": n_images,
+        "payload_mb": png_mb,
+    }
+    feat_wall, feat_samples = timed(lambda: extract_features(media))
+    decode_sec = max(round(feat_wall - scan_wall, 2), 0.01)
+    out["png_features"] = {
+        "wall_sec": feat_wall,
+        "samples": feat_samples,
+        "decode_sec_attributed": decode_sec,
+        "decode_mb_per_s": round(png_mb / decode_sec, 1),
+        "images_per_s": round(n_images / decode_sec),
+    }
+    rz_wall, rz_samples = timed(lambda: resize_images(media, target=32))
+    rz_sec = max(round(rz_wall - scan_wall, 2), 0.01)
+    out["png_resize"] = {
+        "wall_sec": rz_wall,
+        "samples": rz_samples,
+        "resize_sec_attributed": rz_sec,
+        "resize_mb_per_s": round(png_mb / rz_sec, 1),
+    }
+    return out
 
 
 def _vec_params(n_vecs: int, dup_rate: float) -> dict:
@@ -805,6 +980,85 @@ def gen_events(out_dir: str, n_events: int, seed: int = SEED) -> dict:
     }
 
 
+def vector_ivfpq_run(spark, tdir: str, repeats: int) -> dict:
+    """Time the registered IVF-PQ composition (``ann_ivfpq_topk``
+    verbatim) on the tier corpus and record: the auto_lists /
+    auto_rerank operating point, recall@10 against the registered
+    exact brute-force baseline, and the MEASURED scored-code volume —
+    PQ_SUBS × (probed-list assignment rows across the query set), the
+    quantity auto_lists bounds to ~sqrt(n) growth (the composition's
+    sublinearity claim). The volume probe re-derives the deterministic
+    coarse assignment (same trained centroids — hash-seeded sampled
+    Lloyd) and counts rows; it runs once, untimed."""
+    from pyspark.sql import functions as F
+
+    from stream_processing_test_spark.llm.pq import PQ_SUBS, auto_rerank
+    from stream_processing_test_spark.llm.similarity import (
+        N_PROBE,
+        N_QUERIES,
+        auto_lists,
+        cosine,
+        kmeans_lists,
+    )
+    from stream_processing_test_spark.registry import all_queries
+    from stream_processing_test_spark.tables import load
+
+    emb = load(spark, tdir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    n = emb.select("vec_id").count()
+    out: dict = {
+        "n_lists": auto_lists(n),
+        "n_probe": N_PROBE,
+        "rerank": auto_rerank(n),
+        "n_queries": N_QUERIES,
+    }
+    out.update(time_query(spark, "ann_ivfpq_topk", tdir, repeats))
+    exact_pairs = {
+        (r["query_id"], r["neighbor_id"])
+        for r in all_queries()["ann_cosine_topk"].fn(spark, tdir).collect()
+    }
+    got_pairs = {
+        (r["query_id"], r["neighbor_id"])
+        for r in all_queries()["ann_ivfpq_topk"].fn(spark, tdir).collect()
+    }
+    out["recall_at_10"] = round(
+        len(exact_pairs & got_pairs) / max(len(exact_pairs), 1), 3
+    )
+    out["fraction_searched_floor"] = round(N_PROBE / out["n_lists"], 4)
+    # measured scored-code volume: probed lists' member counts × subs
+    assign, centroids = kmeans_lists(emb, k=out["n_lists"], n_rows=n)
+    sizes = {
+        r["list_id"]: r["cnt"]
+        for r in assign.groupBy("list_id").agg(F.count("*").alias("cnt")).collect()
+    }
+    from pyspark.sql import Window
+
+    qv = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    w_route = Window.partitionBy("query_id").orderBy(
+        F.col("c_sim").desc(), F.col("list_id").asc()
+    )
+    probed = (
+        qv.crossJoin(F.broadcast(centroids))
+        .select(
+            "query_id",
+            "list_id",
+            F.round(cosine(F.col("qv"), F.col("centroid")), 6).alias("c_sim"),
+        )
+        .withColumn("pr", F.row_number().over(w_route))
+        .filter(F.col("pr") <= N_PROBE)
+        .select("query_id", "list_id")
+        .collect()
+    )
+    out["scored_code_rows"] = PQ_SUBS * sum(
+        sizes.get(r["list_id"], 0) for r in probed
+    )
+    out["full_adc_code_rows"] = PQ_SUBS * n * N_QUERIES
+    return out
+
+
 def streaming_run(spark, tdir: str, which: str, repeats: int) -> dict:
     """Run one headline streaming pipeline (``scores`` =
     events_stream -> daily_rollup, complete mode — the
@@ -858,6 +1112,33 @@ def streaming_run(spark, tdir: str, which: str, repeats: int) -> dict:
             # of the tumbling rollup per (window, type) group, bounded
             # by the watermark exactly like scores_update
             result, mode = sliding_rollup(ev, watermark="1 day"), "update"
+        elif which == "streaks_jvm":
+            # A/B twin (VERDICT r9 item 6): the same closed-streak
+            # semantics via JVM window functions per micro-batch in
+            # foreachBatch + a driver-carried per-key boundary dict
+            # (pytest-pinned row-equal to the Python-state operator) —
+            # prices applyInPandasWithState's Python walk against a
+            # zero-Python-per-event formulation
+            from stream_processing_test_spark.streaming.stateful import (
+                JvmStreaksForeachBatch,
+            )
+
+            runner = JvmStreaksForeachBatch()
+            t0 = time.time()
+            q = (
+                ev.select("user_id", "event_id", "event_type")
+                .writeStream.foreachBatch(runner)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            samples.append(round(time.time() - t0, 2))
+            if i == 0:
+                progs = q.recentProgress
+                out["n_batches"] = len(progs)
+                out["streaks_emitted"] = runner.rows_emitted
+                out["state_keys_driver_held"] = len(runner.state)
+            continue
         else:
             result, mode = failure_streaks(ev), "append"
         t0 = time.time()
@@ -1002,13 +1283,14 @@ def main() -> None:
     ap.add_argument(
         "--vec-extras",
         default="",
-        help="comma list from {thr08,ivf,ann,recall,policywall,pq,pqdial}: for the "
+        help="comma list from {thr08,ivf,ann,recall,policywall,pq,pqdial,ivfpq}: for the "
         "named vec tiers run ONLY these attribution extras (threshold-0.8 "
         "LSH variant, IVF rung, the REGISTERED ann_lsh_topk verbatim, the "
         "planted-pair recall probe at the registered + policy operating "
         "points, the full-pipeline wall price of auto_tables at planes=16, "
         "PQ ADC+rerank vs brute-force exact with recall@10, the PQ "
-        "rerank-shortlist recall dial at 100/400/1600),"
+        "rerank-shortlist recall dial at 100/400/1600, the registered "
+        "IVF-PQ composition with recall@10 + measured scored-code volume),"
         " merging new keys into the existing tier entries",
     )
     args = ap.parse_args()
@@ -1031,7 +1313,7 @@ def main() -> None:
     # codegen/JIT (measured ~4-10x on this host), which would land
     # entirely on the first tier's first query and corrupt every ratio
     if any(
-        not t.startswith(("vec_", "stream_")) for t in tier_names
+        not t.startswith(("vec_", "stream_", "mm_")) for t in tier_names
     ):
         wdir = os.path.join(args.scratch, "warmup")
         _reuse_or_gen(
@@ -1064,6 +1346,10 @@ def main() -> None:
         if "pq" in vec_extras or "pqdial" in vec_extras:
             time_query(spark, "ann_pq_topk", wdir, 1)
             time_query(spark, "ann_cosine_topk", wdir, 1)
+        if "ivfpq" in vec_extras:
+            time_query(spark, "ann_ivfpq_topk", wdir, 1)
+            if "pq" not in vec_extras:
+                time_query(spark, "ann_cosine_topk", wdir, 1)
         print("[warmup] vector JIT pass done", flush=True)
     if any(t.startswith("stream_") for t in tier_names):
         wdir = os.path.join(args.scratch, "warmup_stream")
@@ -1075,6 +1361,19 @@ def main() -> None:
         streaming_run(spark, wdir, "scores", 1)
         streaming_run(spark, wdir, "streaks", 1)
         print("[warmup] streaming JIT pass done", flush=True)
+    if any(t.startswith("mm_") for t in tier_names):
+        wdir = os.path.join(args.scratch, "warmup_mm")
+        _reuse_or_gen(
+            wdir,
+            _mm_params(2_000),
+            lambda: gen_media(wdir, 2_000),
+            expect_paths={
+                "path": "documents.parquet",
+                "png_path": "media_png.parquet",
+            },
+        )
+        multimodal_run(spark, wdir, 1)
+        print("[warmup] multimodal JIT pass done", flush=True)
 
     from bench import _calibration_probe
 
@@ -1102,11 +1401,41 @@ def main() -> None:
             stats["gen_sec"] = round(time.time() - t0, 2)
             entry = {"corpus": stats}
             print(f"[{tier}] corpus: {stats}", flush=True)
-            for which in ("scores", "scores_update", "sliding", "streaks"):
+            for which in (
+                "scores",
+                "scores_update",
+                "sliding",
+                "streaks",
+                "streaks_jvm",
+            ):
                 if qfilter and which not in qfilter:
                     continue
                 entry[which] = streaming_run(spark, tdir, which, args.repeats)
                 print(f"[{tier}] {which}: {entry[which]}", flush=True)
+            result["tiers"][tier] = entry
+            continue
+        if tier.startswith("mm_"):
+            stats = _reuse_or_gen(
+                tdir,
+                _mm_params(n_docs),
+                lambda: gen_media(tdir, n_docs),
+                expect_paths={
+                    "path": "documents.parquet",
+                    "png_path": "media_png.parquet",
+                },
+            )
+            stats["gen_sec"] = round(time.time() - t0, 2)
+            entry = {"corpus": stats}
+            print(f"[{tier}] corpus: {stats}", flush=True)
+            entry.update(multimodal_run(spark, tdir, args.repeats))
+            for k in (
+                "features_registered",
+                "preprocess_registered",
+                "png_scan",
+                "png_features",
+                "png_resize",
+            ):
+                print(f"[{tier}] {k}: {entry[k]}", flush=True)
             result["tiers"][tier] = entry
             continue
         if tier.startswith("vec_"):
@@ -1223,6 +1552,11 @@ def main() -> None:
                         f"{entry['pq_recall_at_10']}",
                         flush=True,
                     )
+                if "ivfpq" in vec_extras:
+                    entry["ivfpq"] = vector_ivfpq_run(
+                        spark, tdir, args.repeats
+                    )
+                    print(f"[{tier}] ivfpq: {entry['ivfpq']}", flush=True)
                 if "pqdial" in vec_extras:
                     # the PQ recall dial: the `pq` extra measured
                     # recall@10 decaying to ~0.40 up the ladder with
