@@ -178,6 +178,7 @@ PLAN_OPAQUE_QUERIES: dict[str, str] = {
     "leakage_safe_split": "connected-components loop materialized in fn()",
     "streaming_click_purchase_join": "streaming sink",
     "streaming_daily_scores": "streaming sink",
+    "streaming_daily_scores_update": "streaming sink",
     "streaming_dedup": "streaming sink",
     "streaming_envelope_rollup": "streaming sink",
     "streaming_failure_streaks": "streaming sink",
