@@ -21,7 +21,7 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from stream_processing_test_spark.registry import all_queries
-from stream_processing_test_spark.session import get_spark
+from stream_processing_test_spark.session import get_spark, release_pinned_rdds
 
 HEADLINE = [
     "q1_pricing_summary",
@@ -210,6 +210,7 @@ def main() -> None:
         for name in HEADLINE:
             fn = specs[name].fn
             spark.catalog.clearCache()  # each query pays for (only) its own caches
+            release_pinned_rdds(spark)  # incl. checkpoint pins (kmeans assignments)
             t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             samples[name].append(round(time.time() - t0, 3))

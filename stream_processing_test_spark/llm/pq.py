@@ -735,6 +735,7 @@ def ivfpq_topk(
         N_PROBE,
         auto_lists,
         kmeans_lists,
+        route_queries,
     )
 
     if n_probe is None:
@@ -752,24 +753,7 @@ def ivfpq_topk(
     codes = _explode_codes(enc, carry=("list_id",))
     lut = _query_luts(queries, rows)
 
-    from pyspark.sql import Window
-
-    from stream_processing_test_spark.llm.similarity import cosine
-
-    w_route = Window.partitionBy("query_id").orderBy(
-        F.col("c_sim").desc(), F.col("list_id").asc()
-    )
-    probed = (
-        queries.crossJoin(F.broadcast(centroids))
-        .select(
-            "query_id",
-            "list_id",
-            F.round(cosine(F.col("qv"), F.col("centroid")), 6).alias("c_sim"),
-        )
-        .withColumn("pr", F.row_number().over(w_route))
-        .filter(F.col("pr") <= n_probe)
-        .select("query_id", "list_id")
-    )
+    probed = route_queries(queries, centroids, n_probe)
     # list restriction FIRST (broadcast (query, list) pairs), then the
     # LUT keyed on (query_id, s, code) — the group-sum input is the
     # probed fraction of the code stream, not all of it

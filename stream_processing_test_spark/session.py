@@ -101,6 +101,26 @@ def release_local_checkpoint(df) -> None:
         pass
 
 
+def release_pinned_rdds(spark) -> int:
+    """Unpersist EVERY RDD still pinned in the context — the sweep
+    behind the harness loops' per-repeat cleanup. ``catalog.
+    clearCache()`` only drops DataFrame/relation caches; RDD-level
+    pins (each ``localCheckpoint`` inside kmeans_lists/finish_with
+    leaves MEMORY_AND_DISK blocks) otherwise sit until a periodic-GC
+    ContextCleaner pass (~30 min), accumulating corpus-sized blocks
+    across ladder repeats and skewing the walls being measured. Only
+    call between runs, after results are collected: unpersisting a
+    local checkpoint makes the frame behind it unrecoverable (its
+    lineage is truncated). Returns the number of RDDs released."""
+    try:
+        pinned = list(spark.sparkContext._jsc.getPersistentRDDs().values())
+        for rdd in pinned:
+            rdd.unpersist(False)
+        return len(pinned)
+    except Exception:
+        return 0
+
+
 def parallelize_narrow_scan(df, min_partitions: int | None = None):
     """Repartition a SCAN-ROOTED frame that feeds a COMPUTE-HEAVY
     narrow stage when the scan is under-partitioned — otherwise return

@@ -191,10 +191,13 @@ class JvmStreaksForeachBatch:
         islands = b.withColumn(
             "is_error", (F.col("event_type") == "error").cast("int")
         ).withColumn("grp", F.row_number().over(w) - F.row_number().over(we))
+        # bounds is |keys|-sized and feeds both the runs join and the
+        # per-key boundary frame — persisted so the second action
+        # doesn't re-scan the batch for it (same reason as runs below)
         bounds = b.groupBy("user_id").agg(
             F.min("event_id").alias("k_first"),
             F.max("event_id").alias("k_last"),
-        )
+        ).persist()
         runs = (
             islands.filter("is_error = 1")
             .groupBy("user_id", "grp")
@@ -207,6 +210,12 @@ class JvmStreaksForeachBatch:
             .withColumn("leads", F.col("start") == F.col("k_first"))
             .withColumn("trails", F.col("end") == F.col("k_last"))
         )
+        # runs feeds TWO actions (the interior emit and the per-key
+        # boundary collect); without a persist the whole
+        # scan→windows→groupBy lineage executes twice per batch —
+        # which doubled the distributed cost this A/B exists to
+        # measure. Freed before the callback returns.
+        runs = runs.persist()
         # interior runs: maximal error runs not touching either batch
         # boundary of their key — the NEXT key event exists and is a
         # non-error (runs are maximal), so they are closed and
@@ -242,6 +251,8 @@ class JvmStreaksForeachBatch:
             .join(trail, "user_id", "left")
             .collect()
         )
+        runs.unpersist(False)
+        bounds.unpersist(False)
         emit: list[tuple[int, int, int, int]] = []
         for r in per_key:
             uid = int(r["user_id"])

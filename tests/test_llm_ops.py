@@ -573,6 +573,33 @@ def test_kmeans_reseeds_empty_lists(spark):
     assert {r["list_id"] for r in assign.collect()} <= set(range(k))
 
 
+def test_kmeans_assigns_zero_norm_vector_to_smallest_list(spark):
+    """A zero-norm vector's cosine against every centroid is NULL
+    (non-ANSI x/0) — the literal-matrix argmax must not let it vanish
+    from the index. Contract (matching the pre-r10 max-struct form
+    and the oracle's all-tied ROW_NUMBER): it lands in the smallest
+    trained list."""
+    from stream_processing_test_spark.llm.similarity import kmeans_lists
+
+    emb = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "vec_id": [0, 1, 2, 3],
+                "v": [
+                    [0.0, 0.0, 0.0],  # zero-norm: every sim NULL
+                    [1.0, 0.0, 0.0],
+                    [0.0, 1.0, 0.0],
+                    [0.9, 0.1, 0.0],
+                ],
+            }
+        )
+    )
+    assign, cents = kmeans_lists(emb, k=2, iters=2)
+    rows = {r["vec_id"]: r["list_id"] for r in assign.collect()}
+    assert set(rows) == {0, 1, 2, 3}, "zero-norm vector dropped from index"
+    assert rows[0] == min(r["list_id"] for r in cents.collect())
+
+
 def test_connected_components_empty_and_kmeans_tiny(spark):
     """Degenerate inputs must not wedge the iterative operators: an
     empty edge set converges immediately to an empty labeling, and a

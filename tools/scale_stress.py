@@ -57,6 +57,8 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
+from stream_processing_test_spark.session import release_pinned_rdds  # noqa: E402
+
 VOCAB_SIZE = 30_000
 DOC_LEN = (100, 160)  # inclusive token-length bounds; >=100 keeps
 #                       2-mutation pairs above the 0.8 Jaccard threshold
@@ -262,6 +264,7 @@ def multimodal_run(spark, tdir: str, repeats: int) -> dict:
         samples = []
         for _ in range(repeats):
             spark.catalog.clearCache()
+            release_pinned_rdds(spark)
             t0 = time.time()
             df = build_df()
             if agg:
@@ -602,6 +605,7 @@ def vector_lsh_run(
     samples: list[float] = []
     for i in range(repeats):
         spark.catalog.clearCache()
+        release_pinned_rdds(spark)
         t0 = time.time()
         # embedding_lsh_pairs materializes eagerly (finish_with ->
         # localCheckpoint), so the wall below covers the whole pipeline
@@ -875,6 +879,7 @@ def vector_ivf_run(
     samples: list[float] = []
     for i in range(repeats):
         spark.catalog.clearCache()
+        release_pinned_rdds(spark)
         t0 = time.time()
         res = ivf_topk(emb, q, **kw)
         samples.append(round(time.time() - t0, 2))
@@ -997,7 +1002,6 @@ def vector_ivfpq_run(spark, tdir: str, repeats: int) -> dict:
         N_PROBE,
         N_QUERIES,
         auto_lists,
-        cosine,
         kmeans_lists,
     )
     from stream_processing_test_spark.registry import all_queries
@@ -1032,30 +1036,21 @@ def vector_ivfpq_run(spark, tdir: str, repeats: int) -> dict:
         r["list_id"]: r["cnt"]
         for r in assign.groupBy("list_id").agg(F.count("*").alias("cnt")).collect()
     }
-    from pyspark.sql import Window
+    from stream_processing_test_spark.llm.similarity import route_queries
 
     qv = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
-    w_route = Window.partitionBy("query_id").orderBy(
-        F.col("c_sim").desc(), F.col("list_id").asc()
-    )
-    probed = (
-        qv.crossJoin(F.broadcast(centroids))
-        .select(
-            "query_id",
-            "list_id",
-            F.round(cosine(F.col("qv"), F.col("centroid")), 6).alias("c_sim"),
-        )
-        .withColumn("pr", F.row_number().over(w_route))
-        .filter(F.col("pr") <= N_PROBE)
-        .select("query_id", "list_id")
-        .collect()
-    )
+    # the operator's own routing — the recorded probed volume measures
+    # exactly what ivfpq_topk executes, tie-breaks and all
+    probed = route_queries(qv, centroids, N_PROBE).collect()
     out["scored_code_rows"] = PQ_SUBS * sum(
         sizes.get(r["list_id"], 0) for r in probed
     )
     out["full_adc_code_rows"] = PQ_SUBS * n * N_QUERIES
+    # the volume probe's own checkpointed assignment (plus the two
+    # recall runs') would otherwise stay pinned into the next arm
+    release_pinned_rdds(spark)
     return out
 
 
@@ -1191,6 +1186,7 @@ def time_query(spark, name: str, sf_dir: str, repeats: int) -> dict:
     samples, rows = [], None
     for _ in range(repeats):
         spark.catalog.clearCache()
+        release_pinned_rdds(spark)
         t0 = time.time()
         df = fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
