@@ -573,14 +573,21 @@ def test_kmeans_reseeds_empty_lists(spark):
     assert {r["list_id"] for r in assign.collect()} <= set(range(k))
 
 
-def test_kmeans_assigns_zero_norm_vector_to_smallest_list(spark):
+@pytest.mark.parametrize("min_folds", [0, 1 << 60])
+def test_kmeans_assigns_zero_norm_vector_to_smallest_list(
+    spark, monkeypatch, min_folds
+):
     """A zero-norm vector's cosine against every centroid is NULL
-    (non-ANSI x/0) — the literal-matrix argmax must not let it vanish
-    from the index. Contract (matching the pre-r10 max-struct form
-    and the oracle's all-tied ROW_NUMBER): it lands in the smallest
-    trained list."""
-    from stream_processing_test_spark.llm.similarity import kmeans_lists
+    (non-ANSI x/0) — neither assignment branch may let it vanish from
+    the index. Contract (the oracle's all-tied ROW_NUMBER): it lands
+    in the smallest trained list. Parametrized across the size gate
+    so BOTH branches are pinned: min_folds=0 forces the
+    literal-matrix argmax (coalesce fallback), the huge gate forces
+    the crossJoin max-struct form (NULL sim fields tie, max neg_id
+    wins)."""
+    from stream_processing_test_spark.llm import similarity
 
+    monkeypatch.setattr(similarity, "ASSIGN_LITERAL_MIN_FOLDS", min_folds)
     emb = spark.createDataFrame(
         pd.DataFrame(
             {
@@ -594,7 +601,7 @@ def test_kmeans_assigns_zero_norm_vector_to_smallest_list(spark):
             }
         )
     )
-    assign, cents = kmeans_lists(emb, k=2, iters=2)
+    assign, cents = similarity.kmeans_lists(emb, k=2, iters=2)
     rows = {r["vec_id"]: r["list_id"] for r in assign.collect()}
     assert set(rows) == {0, 1, 2, 3}, "zero-norm vector dropped from index"
     assert rows[0] == min(r["list_id"] for r in cents.collect())
