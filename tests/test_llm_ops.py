@@ -446,6 +446,57 @@ def test_ivf_routing_gain_on_clustered_corpus(spark):
     assert recall > floor + 0.3  # genuine routing gain, not floor luck
 
 
+def test_ivfpq_routing_gain_on_clustered_corpus(spark):
+    """The composition twin of the IVF routing-gain pin: IVF-PQ's
+    registered recall on ISOTROPIC ladder corpora sits at the
+    fraction-searched floor BY GEOMETRY (the declared n_probe
+    decision, REGISTRY.md) — this test pins the other half of that
+    contract: on a corpus WITH structure (8 well-separated centers,
+    64-dim so the real PQ_SUBS×4 sub-quantizers apply), coarse
+    routing + 4-bit ADC + exact re-rank must recover recall@10 far
+    above the floor. Exact top-k computed in-test (round-4 +
+    neighbor-id tie-break, matching the engine)."""
+    import numpy as np
+    import pandas as pd
+
+    from stream_processing_test_spark.llm.pq import ivfpq_topk
+
+    rng = np.random.RandomState(7)
+    dim, n_centers, per = 64, 8, 50
+    centers = rng.standard_normal((n_centers, dim)) * 10.0
+    pts = np.concatenate(
+        [c + rng.standard_normal((per, dim)) for c in centers]
+    )
+    n = len(pts)  # 400
+    pdf = pd.DataFrame({"vec_id": range(n), "v": [list(map(float, p)) for p in pts]})
+    emb = spark.createDataFrame(pdf, "vec_id BIGINT, v ARRAY<DOUBLE>")
+    n_queries, top_k = 5, 10
+    q = emb.filter(f"vec_id < {n_queries}").selectExpr(
+        "vec_id AS query_id", "v AS qv"
+    )
+
+    n_lists, n_probe = 8, 2
+    got = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivfpq_topk(
+            emb, q, n_probe=n_probe, top_k=top_k, n_lists=n_lists
+        ).collect()
+    }
+
+    norms = np.linalg.norm(pts, axis=1)
+    expect = set()
+    for qi in range(n_queries):
+        cos = (pts @ pts[qi]) / (norms * norms[qi])
+        cos[qi] = -np.inf
+        order = sorted(range(n), key=lambda j: (-round(cos[j], 4), j))
+        expect |= {(qi, j) for j in order[:top_k]}
+
+    recall = len(expect & got) / len(expect)
+    floor = n_probe / n_lists
+    assert recall >= 0.9, f"clustered-corpus IVF-PQ recall@10 {recall:.2f}"
+    assert recall > floor + 0.3  # routing + ADC + re-rank, not floor luck
+
+
 def test_keep_canonical_partitions_corpus(spark):
     """Every doc appears exactly once; keep == (doc is its cluster's
     min id); each cluster keeps exactly one doc; kept + dropped
