@@ -521,3 +521,148 @@ def bm25_multi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rk",
         )
     )
+
+
+# --- statistical LM quality scoring (CCNet-style, bigram add-k) -----------
+#
+# CCNet (Wenzek et al. 2020) ranks web documents by language-model
+# perplexity and keeps the low-perplexity head — the standard quality
+# gate in public training-data pipelines. The model there is a 5-gram
+# KenLM; the Spark-first re-expression keeps the *pipeline semantics*
+# (every doc scored by mean token log-probability under a corpus-level
+# n-gram model) with the largest n-gram order whose statistics stay
+# exactly replayable cross-engine: a bigram model with add-k smoothing
+# trained on the corpus itself. No external model artifact, no Python
+# row path — training IS two aggregations over the bigram stream.
+LM_K = 0.5  # add-k smoothing mass per (history, word) cell
+
+_LM_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+vocab AS (
+    SELECT COUNT(DISTINCT tok) AS v
+    FROM (SELECT unnest(w) AS tok FROM toks)
+),
+bg AS (
+    SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+    FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i
+          FROM toks WHERE len(w) >= 2)
+),
+pair_tf AS (
+    SELECT doc_id, w1, w2, COUNT(*) AS tf FROM bg GROUP BY doc_id, w1, w2
+),
+c2 AS (
+    SELECT w1, w2, SUM(tf) AS c2 FROM pair_tf GROUP BY w1, w2
+),
+c1 AS (
+    SELECT w1, w2, c2, SUM(c2) OVER (PARTITION BY w1) AS c1 FROM c2
+),
+prob AS (
+    SELECT w1, w2,
+           CAST(ROUND(ROUND(ln((c2 + {LM_K})
+               / (c1 + {LM_K} * (SELECT v FROM vocab))), 6)
+               * 1000000.0, 0) AS BIGINT) AS c_micro
+    FROM c1
+)
+SELECT CAST(p.doc_id AS BIGINT) AS doc_id,
+       CAST(SUM(p.tf) AS BIGINT) AS n_bigrams,
+       ROUND(SUM(p.tf * pr.c_micro) / SUM(p.tf) / 1000000.0, 4) AS lm_score
+FROM pair_tf p JOIN prob pr USING (w1, w2)
+GROUP BY p.doc_id
+"""
+
+
+@register(
+    "doc_lm_score", oracle=_LM_ORACLE, survey_ops="§7-text,A1,A6,J1", tier=0
+)
+def doc_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram-LM quality score per document: the mean
+    log-probability of the doc's bigrams under an add-LM_K-smoothed
+    conditional model ``P(w2|w1) = (C(w1 w2)+k) / (C(w1 ·)+k·V)``
+    estimated from the whole corpus — the CCNet perplexity-filter
+    pipeline shape (Wenzek et al. 2020) with the model order cut to
+    the largest one whose training replays exactly in SQL. Higher
+    (less negative) = more statistically typical text; a curation
+    pipeline thresholds or buckets this column exactly like
+    ``doc_quality_score``'s heuristics. Docs under 2 tokens have no
+    bigrams and are excluded by construction (both engines).
+
+    Scale shape: the bigram explode is an index explode + two
+    ``element_at``s (JVM codegen, no Python), reduced to per-doc
+    distinct bigrams by a map-side-combining groupBy BEFORE anything
+    vocab-sized happens; model training is a vocab-scale aggregation
+    over that stream plus a vocab-partitioned window for the history
+    totals (C(w1 ·) without another corpus pass); the one
+    corpus-scale join fans the trained (w1, w2, log-prob) relation
+    back onto the per-doc bigram rows on the (w1, w2) key — never
+    broadcast (bigram vocab grows with the corpus; AQE decides). The
+    V scalar (distinct unigrams) is the only forced broadcast. KNOWN
+    TRADE (same class as decontaminate_overlap's two doc scans): the
+    plan scans documents three times — the V count, and the
+    twice-consumed bigram lineage (training chain + scoring join) —
+    because nothing is persisted; a deployment scoring against a
+    frozen model persists the trained prob relation (vocab-sized)
+    and pays ONE scoring scan, and a 100 TB training run would
+    persist pair_tf instead of re-deriving it.
+
+    Float discipline (the bm25_scores contract): counts and tf are
+    exact integers; ``ln`` is the only transcendental and is rounded
+    to 6 decimals BEFORE the 1e-6-micro integer cast, so the per-doc
+    sum is an exact int64 fold; the final mean divides two exact
+    sums left-associatively and rounds to 4 — the same bridge every
+    score column in this package ships."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split(F.col("text"), " ").alias("w"))
+    vocab = toks.select(F.explode("w").alias("tok")).agg(
+        F.countDistinct("tok").alias("v")
+    )
+    bg = (
+        toks.filter(F.size("w") >= 2)
+        .select(
+            "doc_id",
+            "w",
+            F.explode(F.sequence(F.lit(1), F.size("w") - 1)).alias("i"),
+        )
+        .select(
+            "doc_id",
+            F.element_at("w", F.col("i")).alias("w1"),
+            F.element_at("w", F.col("i") + 1).alias("w2"),
+        )
+    )
+    pair_tf = bg.groupBy("doc_id", "w1", "w2").agg(F.count("*").alias("tf"))
+    c2 = pair_tf.groupBy("w1", "w2").agg(F.sum("tf").alias("c2"))
+    c1 = c2.withColumn("c1", F.sum("c2").over(Window.partitionBy("w1")))
+    prob = c1.crossJoin(F.broadcast(vocab)).select(
+        "w1",
+        "w2",
+        F.round(
+            F.round(
+                F.log(
+                    (F.col("c2") + F.lit(LM_K))
+                    / (F.col("c1") + F.lit(LM_K) * F.col("v"))
+                ),
+                6,
+            )
+            * 1000000.0,
+            0,
+        )
+        .cast("bigint")
+        .alias("c_micro"),
+    )
+    return (
+        pair_tf.join(prob, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_bigrams"),
+            F.round(
+                F.sum(F.col("tf") * F.col("c_micro"))
+                / F.sum("tf")
+                / F.lit(1000000.0),
+                4,
+            ).alias("lm_score"),
+        )
+        .select(F.col("doc_id").cast("bigint").alias("doc_id"), "n_bigrams", "lm_score")
+    )

@@ -52,6 +52,11 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # Tier (1) = 33 of the 47 queries whose newest driver row is r8;
 # 17 + 33 fills the 50-slot window exactly.
 #
+# r11 MUST ALSO LEAD WITH ``doc_lm_score`` — registered late in r10
+# (after the rotation froze; it sorts outside the 50-row window via
+# the 10+tier fallback), so it reaches r11 with NO driver row at all:
+# the only registry query in that state.
+#
 # FOURTEEN r8-row queries are deferred to r11 — all unchanged-code
 # shape twins of queries holding a FRESH (r9/r10-window) row:
 # ``resolution_classify`` (CASE-dispatch twin of in-window

@@ -1177,6 +1177,45 @@ def test_pq_rerank_recall_vs_exact(spark):
     assert any(r["cos_sim"] != r["approx_cos"] for r in got)
 
 
+def test_lm_score_ranks_typical_text_above_shuffled(spark, tmp_path):
+    """The bigram-LM scorer must rank statistically typical docs above
+    token-shuffled ones: a corpus of repeated formulaic sentences plus
+    one doc whose tokens are the SAME unigrams in scrambled order —
+    the scrambled doc's bigrams are unseen elsewhere, so its mean
+    log-prob must be strictly lower. Also pins the exclusion rule
+    (single-token docs emit no row) and the add-k model's totals
+    (n_bigrams = len-1 per doc)."""
+    import duckdb
+
+    from stream_processing_test_spark.llm.corpus import _LM_ORACLE, doc_lm_score
+
+    base = "the quick brown fox jumps over the lazy dog"
+    docs = [(i, base) for i in range(8)]
+    docs.append((8, "fox the over quick lazy jumps brown dog the"))
+    docs.append((9, "solo"))  # 1 token -> no bigrams -> no row
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pd.DataFrame(docs, columns=["doc_id", "text"]).to_parquet(
+        sf / "documents.parquet"
+    )
+    got = {r["doc_id"]: r for r in doc_lm_score(spark, str(sf)).collect()}
+    assert 9 not in got
+    assert all(got[i]["n_bigrams"] == 8 for i in range(9))
+    typical, scrambled = got[0]["lm_score"], got[8]["lm_score"]
+    assert scrambled < typical, (typical, scrambled)
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+    )
+    oracle = {
+        r[0]: (r[1], r[2]) for r in con.execute(_LM_ORACLE).fetchall()
+    }
+    assert {
+        k: (v["n_bigrams"], v["lm_score"]) for k, v in got.items()
+    } == oracle
+
+
 def test_bm25_ranking_semantics(spark):
     """BM25 contract checks beyond the oracle hash: exactly BM25_TOP
     rows with contiguous ranks, scores non-increasing in rank, and
