@@ -1176,6 +1176,10 @@ EXTRA_LADDER = [
     "dedup_simhash",
     "decontaminate_overlap",
     "decontaminate_bloom",
+    # bigram-LM scoring: also a documents-table query; the rungs
+    # measure the full-token bigram explode + vocab-scale training
+    # aggs + the corpus-scale (w1,w2) fan-back join
+    "doc_lm_score",
 ]
 
 
