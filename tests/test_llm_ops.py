@@ -624,21 +624,13 @@ def test_kmeans_reseeds_empty_lists(spark):
     assert {r["list_id"] for r in assign.collect()} <= set(range(k))
 
 
-@pytest.mark.parametrize("min_folds", [0, 1 << 60])
-def test_kmeans_assigns_zero_norm_vector_to_smallest_list(
-    spark, monkeypatch, min_folds
-):
-    """A zero-norm vector's cosine against every centroid is NULL
-    (non-ANSI x/0) — neither assignment branch may let it vanish from
-    the index. Contract (the oracle's all-tied ROW_NUMBER): it lands
-    in the smallest trained list. Parametrized across the size gate
-    so BOTH branches are pinned: min_folds=0 forces the
-    literal-matrix argmax (coalesce fallback), the huge gate forces
-    the crossJoin max-struct form (NULL sim fields tie, max neg_id
-    wins)."""
+def test_kmeans_assigns_zero_norm_vector_to_smallest_list(spark):
+    """A zero-norm vector's cosine against every centroid is NaN (the
+    Arrow assignment's all-NaN sim row) — it must not vanish from the
+    index. Contract (the oracle's all-tied ROW_NUMBER over DuckDB's
+    exact -1.0 zero-norm cosines): it lands in the smallest trained
+    list."""
     from stream_processing_test_spark.llm import similarity
-
-    monkeypatch.setattr(similarity, "ASSIGN_LITERAL_MIN_FOLDS", min_folds)
     emb = spark.createDataFrame(
         pd.DataFrame(
             {
@@ -656,6 +648,12 @@ def test_kmeans_assigns_zero_norm_vector_to_smallest_list(
     rows = {r["vec_id"]: r["list_id"] for r in assign.collect()}
     assert set(rows) == {0, 1, 2, 3}, "zero-norm vector dropped from index"
     assert rows[0] == min(r["list_id"] for r in cents.collect())
+    # ... and the zero vector never becomes a CENTROID (ADVICE r10):
+    # it is filtered from the training sample by construction, so no
+    # trained centroid is zero-norm and no NaN-similarity column ever
+    # reaches the cross-engine ordering.
+    for r in cents.collect():
+        assert any(x != 0.0 for x in r["centroid"])
 
 
 def test_connected_components_empty_and_kmeans_tiny(spark):
@@ -846,6 +844,22 @@ def test_ivf_sampled_training_cross_engine_parity(spark, tmp_path):
     assert auto_train_shift(n, IVF_TRAIN_TARGET) == 1
     rng = np.random.default_rng(42)
     vecs = rng.standard_normal((n, dim)).astype(np.float32)
+    # Plant a zero-norm vector INSIDE the md5-gated training sample:
+    # both engines must drop it from training identically (numpy
+    # `keep` mask vs the oracle's ctrain CTE — ADVICE r10's zero-norm
+    # CENTROID case, made unreachable by construction) while it stays
+    # in the assigned index.
+    from stream_processing_test_spark.llm.hashing import phash_py
+    from stream_processing_test_spark.llm.similarity import N_QUERIES
+
+    # ... but NOT one of the query vectors (vec_id < N_QUERIES): a
+    # zero-norm QUERY is a different, engine-divergent case (Spark
+    # NULL sims vs DuckDB's exact -1.0) that no registered semantics
+    # reach — this test pins the TRAINING filter.
+    zid = next(
+        i for i in range(N_QUERIES, n) if phash_py(str(i)) % 2 == 0
+    )
+    vecs[zid] = 0.0
     path = str(tmp_path / "embeddings.parquet")
     pq.write_table(
         pa.table(
@@ -1277,3 +1291,112 @@ def test_bm25_multi_query_zero_matches_single(spark):
     assert set(per_q) == set(BM25_QUERIES)
     for ranks in per_q.values():
         assert sorted(ranks) == list(range(1, 21))
+
+
+def _write_docs(tmp_path, rows):
+    """documents.parquet fixture dir from (doc_id, text, lang, source)."""
+    import os
+
+    import pandas as pd
+
+    d = str(tmp_path)
+    pdf = pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source"]
+    ).assign(n_chars=lambda f: f.text.str.len())
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.Table.from_pandas(pdf, preserve_index=False),
+        os.path.join(d, "documents.parquet"),
+    )
+    return d
+
+
+def test_sequence_pack_exact_boundaries(spark, tmp_path):
+    """Known token counts → hand-computed packing. SEQ_LEN=256; docs
+    of 200/100/300 tokens in one source concatenate to 600 tokens =
+    sequences [0,256), [256,512), [512,600): doc0 fully in seq0, doc1
+    spans 0→1, doc2 spans 1→2."""
+    from stream_processing_test_spark.llm.packing import sequence_pack
+
+    rows = [
+        (0, " ".join(["w"] * 200), "en", "s0"),
+        (1, " ".join(["w"] * 100), "en", "s0"),
+        (2, " ".join(["w"] * 300), "en", "s0"),
+    ]
+    d = _write_docs(tmp_path, rows)
+    got = {
+        r["seq_id"]: (r["n_docs"], r["n_full_docs"], r["n_tokens"])
+        for r in sequence_pack(spark, d).collect()
+    }
+    # seq0: doc0 (200 full) + doc1's first 56 → 2 docs, 1 full, 256 tok
+    # seq1: doc1's last 44 + doc2's first 212 → 2 docs, 0 full, 256 tok
+    # seq2: doc2's last 88 → 1 doc, 0 full, 88 tok
+    assert got == {0: (2, 1, 256), 1: (2, 0, 256), 2: (1, 0, 88)}
+
+
+def test_sequence_pack_restarts_at_shard_boundary(spark, tmp_path):
+    """The scale contract: packing state resets at every
+    PACK_SHARD_DOCS doc_id boundary, so the window partition is
+    bounded. Two 100-token docs straddling the 2^17 boundary must land
+    in DIFFERENT shards, each starting its own seq 0 — were packing
+    global, they'd share one 200-token sequence."""
+    from stream_processing_test_spark.llm.packing import (
+        PACK_SHARD_DOCS,
+        sequence_pack,
+    )
+
+    rows = [
+        (PACK_SHARD_DOCS - 1, " ".join(["w"] * 100), "en", "s0"),
+        (PACK_SHARD_DOCS, " ".join(["w"] * 100), "en", "s0"),
+    ]
+    d = _write_docs(tmp_path, rows)
+    got = sorted(
+        (r["pack_shard"], r["seq_id"], r["n_docs"], r["n_tokens"])
+        for r in sequence_pack(spark, d).collect()
+    )
+    assert got == [(0, 0, 1, 100), (1, 0, 1, 100)]
+
+
+def test_quality_calibrated_filter_exact_quartile(spark, tmp_path):
+    """Integer-rank quartile cut, pinned on a source with 5 docs of
+    strictly increasing score (score rises with stopword count): keep
+    iff (rank-1)*4 >= (n-1)=4, i.e. ranks 2-5 → 4 kept; and a
+    single-doc source keeps its only doc (rank 1: 0 >= 0)."""
+    from stream_processing_test_spark.llm.packing import (
+        quality_calibrated_filter,
+    )
+
+    def doc(n_the: int) -> str:
+        return " ".join(["the"] * n_the + ["word"] * (20 - n_the))
+
+    rows = [(i, doc(i + 1), "en", "multi") for i in range(5)]
+    rows.append((10, doc(3), "en", "solo"))
+    d = _write_docs(tmp_path, rows)
+    got = {r["source"]: r for r in quality_calibrated_filter(spark, d).collect()}
+    assert got["multi"]["n_docs"] == 5 and got["multi"]["n_kept"] == 4
+    assert got["multi"]["kept_frac"] == 0.8
+    assert got["solo"]["n_docs"] == 1 and got["solo"]["n_kept"] == 1
+    assert got["solo"]["kept_frac"] == 1.0
+    # threshold = the smallest kept score = rank-2 doc's score
+    assert got["multi"]["threshold_score"] is not None
+
+
+def test_lang_sampling_weights_temperature(spark):
+    """Weights sum to ~1 and the alpha<1 temperature compresses the
+    distribution: the dominant language's sampling probability must
+    sit BELOW its raw token share, the tail languages' above."""
+    from stream_processing_test_spark.llm.sampling import (
+        lang_sampling_weights,
+    )
+
+    rows = {r["lang"]: r for r in lang_sampling_weights(spark, SF).collect()}
+    total_p = sum(r["sample_prob"] for r in rows.values())
+    assert abs(total_p - 1.0) < 1e-4
+    total_tok = sum(r["n_tokens"] for r in rows.values())
+    dominant = max(rows.values(), key=lambda r: r["n_tokens"])
+    assert dominant["sample_prob"] < dominant["n_tokens"] / total_tok
+    for r in rows.values():
+        if r is not dominant:
+            assert r["sample_prob"] > r["n_tokens"] / total_tok * 0.99
