@@ -138,3 +138,78 @@ def source_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("achieved_rate"),
         )
     )
+
+
+# Temperature for multilingual sampling weights: p_l ∝ n_l^ALPHA
+# (Conneau & Lample 2019 §3.1 / XLM-R's alpha=0.3-0.7 band) —
+# upsamples tail languages relative to raw token share.
+SAMPLING_ALPHA = 0.7
+
+_LANG_WEIGHTS_ORACLE = f"""
+WITH per_lang AS (
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS n_tokens
+    FROM documents WHERE length(trim(text)) > 0
+    GROUP BY lang
+),
+w AS (
+    SELECT lang, n_docs, n_tokens,
+           CAST(floor(pow(CAST(n_tokens AS DOUBLE), {SAMPLING_ALPHA}) * 1000000.0 + 0.5) AS BIGINT) AS weight_micro
+    FROM per_lang
+)
+SELECT lang, n_docs, n_tokens, weight_micro,
+       ROUND(CAST(weight_micro AS DOUBLE) / (SELECT SUM(weight_micro) FROM w), 6) AS sample_prob
+FROM w
+"""
+
+
+@register(
+    "lang_sampling_weights",
+    oracle=_LANG_WEIGHTS_ORACLE,
+    survey_ops="§7-text,A1,A7,F6",
+    tier=0,
+)
+def lang_sampling_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-smoothed multilingual sampling weights: per
+    language, raw doc/token counts and the normalized sampling
+    probability ``p_l ∝ n_tokens^0.7`` a training run would draw
+    with. The single transcendental (``pow``) is bridged by the
+    repo's integer-micro discipline (bm25's idf treatment): both
+    engines floor(pow·1e6 + 0.5) to an exact BIGINT, the
+    normalizing sum is integer (order-free), and only the final
+    ratio is a rounded double. Output is |langs| rows — the
+    token-count agg underneath is one partial-aggregated scan."""
+    docs = load(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    per_lang = docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")).alias(
+            "n_tokens"
+        ),
+    )
+    w = per_lang.select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        F.floor(
+            F.pow(F.col("n_tokens").cast("double"), F.lit(SAMPLING_ALPHA))
+            * 1000000.0
+            + 0.5
+        )
+        .cast("long")
+        .alias("weight_micro"),
+    )
+    # |langs| rows: the scalar total broadcasts (a 1-row agg crossJoin,
+    # the TPC-H scalar-subquery idiom used throughout operators/tpch.py)
+    total = w.agg(F.sum("weight_micro").alias("w_total"))
+    return w.crossJoin(F.broadcast(total)).select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        "weight_micro",
+        F.round(
+            F.col("weight_micro").cast("double") / F.col("w_total"), 6
+        ).alias("sample_prob"),
+    )

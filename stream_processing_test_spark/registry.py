@@ -34,103 +34,97 @@ class QuerySpec:
 
 _REGISTRY: dict[str, QuerySpec] = {}
 
-# Round-10 rotation (VERDICT r9 item 2): the driver checks a 50-query
-# prefix. Tier (0) = owed a fresh row THIS round — 17 queries: the
-# ELEVEN r7-row deferrals the r9 plan bound r10 to lead with
-# (``quantity_grouping_sets``, ``q3_shipping_priority``,
-# ``q5_region_revenue``, ``q11_important_parts``,
-# ``q12_priority_shipping``, ``q14_promo_revenue_share``,
-# ``q15_top_supplier``, ``q17_small_quantity_revenue``,
-# ``q19_disjunctive_revenue``, ``pii_redact``,
-# ``doc_repetition_stats``), the THREE NEW r10 operators
-# (``bm25_multi_topk``, ``ann_ivfpq_topk``,
-# ``streaming_daily_scores_update``), and the THREE whose
-# implementation or oracle changed in r10: ``ann_pq_topk``
-# (auto_rerank policy + L2 clamp), ``bm25_topk`` (shared bm25_scores
-# core, dl carried through the explode), ``ann_ivf_topk`` (Lloyd CTE
-# chain refactored through _ivf_lloyd_ctes — window-filtered seeds).
-# Tier (1) = 33 of the 47 queries whose newest driver row is r8;
-# 17 + 33 fills the 50-slot window exactly.
+# Round-11 rotation: the driver checks a 50-query prefix. Tier (0) =
+# owed a fresh row THIS round — 20 queries: the FOUR with no driver
+# row at all (``doc_lm_score``, registered after r10's window froze,
+# plus the three NEW r11 operators ``sequence_pack``,
+# ``quality_calibrated_filter``, ``lang_sampling_weights``), the TWO
+# whose oracle/implementation changed in r11 (``ann_ivf_topk`` and
+# ``ann_ivfpq_topk`` — the zero-norm training filter adds the
+# ``ctrain`` CTE to their Lloyd oracle chain and the numpy keep-mask
+# to the trainer, and the size-gated ``_assign_arrow`` branch joins
+# their assignment strategy), and the FOURTEEN r8-row deferrals the
+# r10 plan bound r11 to lead with. Tier (1) = 30 of the 47 queries
+# whose newest driver row is r9; 20 + 30 fills the window exactly.
 #
-# r11 MUST ALSO LEAD WITH ``doc_lm_score`` — registered late in r10
-# (after the rotation froze; it sorts outside the 50-row window via
-# the 10+tier fallback), so it reaches r11 with NO driver row at all:
-# the only registry query in that state.
-#
-# FOURTEEN r8-row queries are deferred to r11 — all unchanged-code
-# shape twins of queries holding a FRESH (r9/r10-window) row:
-# ``resolution_classify`` (CASE-dispatch twin of in-window
-# ``per_source_rollup``), ``lang_id_ngram`` + ``doc_chunking``
-# (map-pass twins of in-window ``token_count``/``doc_quality_score``),
-# ``user_cardinality`` (exact-distinct twin of r9-row
-# ``user_cardinality_approx``), ``engaged_users_setops`` (set-ops twin
-# of r9-row ``rich_accounts_union``), ``monotonic_violations``
-# (lag-window twin of in-window ``rolling_user_stats``),
-# ``error_labels`` (tiny-dim lookup twin of in-window
-# ``program_match``), ``dedup_embedding_cosine`` (pinned quadratic
-# twin of in-window ``ann_cosine_topk``), ``envelope_rollup_csv``
-# (format twin of r9-row ``envelope_rollup_parquet``/``_orc``),
-# ``daily_scores`` + ``sql_daily_event_summary`` (batch/SQL-API twins
-# sharing the oracle of in-window ``streaming_daily_scores`` and the
-# NEW ``streaming_daily_scores_update``), ``report_batches``
-# (30-row-bounded W2 twin of in-window ``top_events_per_user``),
-# ``source_mixing`` (hash-gate twin of in-window
-# ``stratified_sample``), ``records_in_window`` (pushed-predicate
-# count twin of r9-row ``q6_forecast_revenue``). ALL FOURTEEN must
-# head r11's window. Unlisted queries keep ``10 + tier``.
+# SEVENTEEN r9-row queries are deferred to r12 — all unchanged-code
+# shape twins of queries holding a FRESH (r10 or r11-window) row:
+# ``ann_cosine_topk_int8`` (dequantized twin of r10-row
+# ``ann_cosine_topk``), ``user_cardinality_approx`` (approx twin of
+# in-window ``user_cardinality``), ``balance_quartiles`` (ntile twin
+# of in-window ``user_value_percentiles``), ``doc_fingerprint``
+# (map-pass twin of r10-row ``token_count``),
+# ``multimodal_preprocess`` (mapInPandas codec twin of in-window
+# ``multimodal_features``), ``embedding_quantize_int8`` (fold-pass
+# twin of in-window ``embedding_norm_stats``), ``envelope_rollup`` +
+# ``envelope_rollup_parquet`` + ``envelope_rollup_orc`` (format twins
+# of in-window ``envelope_rollup_csv`` — same oracle),
+# ``q4_order_priority`` (EXISTS twin of in-window
+# ``q21_blocking_suppliers``), ``q20_excess_suppliers`` (semi-join
+# twin of in-window ``q16_part_supplier_variety``),
+# ``q22_idle_customers`` (anti-join twin of in-window
+# ``q13_order_count_distribution``), ``rich_accounts_union`` (set-ops
+# twin of in-window ``engaged_users_setops``),
+# ``streaming_envelope_rollup`` + ``streaming_rate_rollup`` +
+# ``streaming_session_windows`` + ``streaming_sliding_rollup``
+# (micro-batch harness twins of r10-row ``streaming_daily_scores`` /
+# ``streaming_daily_scores_update`` / ``streaming_dedup``). ALL
+# SEVENTEEN must head r12's window (plus anything r12 changes).
+# Unlisted queries keep ``10 + tier``.
 _ROTATION_TIERS: dict[str, int] = {
-    # (0) r10-new, r10-changed, or the eleven documented deferrals
-    "quantity_grouping_sets": 0,
-    "q3_shipping_priority": 0,
-    "q5_region_revenue": 0,
-    "q11_important_parts": 0,
-    "q12_priority_shipping": 0,
-    "q14_promo_revenue_share": 0,
-    "q15_top_supplier": 0,
-    "q17_small_quantity_revenue": 0,
-    "q19_disjunctive_revenue": 0,
-    "pii_redact": 0,
-    "doc_repetition_stats": 0,
-    "bm25_multi_topk": 0,
-    "ann_ivfpq_topk": 0,
-    "streaming_daily_scores_update": 0,
-    "ann_pq_topk": 0,
-    "bm25_topk": 0,
+    # (0) never-checked, r11-new/changed, or the fourteen r8-row
+    # deferrals documented below
+    "doc_lm_score": 0,
+    "sequence_pack": 0,
+    "quality_calibrated_filter": 0,
+    "lang_sampling_weights": 0,
     "ann_ivf_topk": 0,
-    # (1) newest driver row is r8
-    "active_sources": 1,
-    "ann_cosine_topk": 1,
-    "asof_click_attribution": 1,
-    "corpus_curation_pipeline": 1,
-    "daily_report_pipeline": 1,
-    "day_close_trigger": 1,
-    "decontaminate_overlap": 1,
-    "dedup_exact": 1,
-    "dedup_keep_canonical": 1,
-    "doc_quality_score": 1,
-    "embedding_centroids": 1,
-    "embedding_norm_stats": 1,
-    "failing_programs": 1,
-    "leakage_safe_split": 1,
-    "per_source_rollup": 1,
-    "probe_source_events": 1,
-    "program_match": 1,
-    "props_json_stats": 1,
-    "range_join_error_context": 1,
-    "revenue_rollup": 1,
-    "rolling_user_stats": 1,
-    "session_windows": 1,
-    "stratified_sample": 1,
-    "streaming_click_purchase_join": 1,
-    "streaming_daily_scores": 1,
-    "streaming_dedup": 1,
-    "streaming_failure_streaks": 1,
-    "substring_dup_coverage": 1,
-    "suppliers_with_bulk_items": 1,
-    "tfidf_top_terms": 1,
-    "token_count": 1,
-    "top_events_per_user": 1,
-    "users_without_big_purchase": 1,
+    "ann_ivfpq_topk": 0,
+    "resolution_classify": 0,
+    "lang_id_ngram": 0,
+    "doc_chunking": 0,
+    "user_cardinality": 0,
+    "engaged_users_setops": 0,
+    "monotonic_violations": 0,
+    "error_labels": 0,
+    "dedup_embedding_cosine": 0,
+    "envelope_rollup_csv": 0,
+    "daily_scores": 0,
+    "sql_daily_event_summary": 0,
+    "report_batches": 0,
+    "source_mixing": 0,
+    "records_in_window": 0,
+    # (1) newest driver row is r9
+    "ann_lsh_topk": 1,
+    "attribute_rollup": 1,
+    "cohort_retention": 1,
+    "decayed_user_scores": 1,
+    "decontaminate_bloom": 1,
+    "dedup_embedding_lsh": 1,
+    "dedup_minhash_lsh": 1,
+    "dedup_ngram_jaccard": 1,
+    "dedup_simhash": 1,
+    "dup_clusters": 1,
+    "dup_clusters_star": 1,
+    "funnel_conversion": 1,
+    "multimodal_features": 1,
+    "price_percentiles": 1,
+    "q10_returned_items": 1,
+    "q13_order_count_distribution": 1,
+    "q16_part_supplier_variety": 1,
+    "q18_large_orders": 1,
+    "q1_pricing_summary": 1,
+    "q21_blocking_suppliers": 1,
+    "q2_min_cost_supplier": 1,
+    "q6_forecast_revenue": 1,
+    "q7_nation_trade_volume": 1,
+    "q8_market_share": 1,
+    "q9_product_profit": 1,
+    "revenue_cube": 1,
+    "skew_salted_rollup": 1,
+    "stats_moments": 1,
+    "user_value_percentiles": 1,
+    "vendor_flow_stats": 1,
 }
 
 
@@ -218,6 +212,7 @@ def all_queries() -> dict[str, QuerySpec]:
         embeddings,
         filters,
         multimodal,
+        packing,
         pq,
         sampling,
         similarity,

@@ -538,6 +538,7 @@ _FORCED_BROADCAST_ALLOWED = {
     "bm25_topk": "1-row (N, avgdl) scalars + |query-terms|-row idf table",
     "bm25_multi_topk": "same scalar/idf broadcasts + the literal (query_id, term) relation (|queries| x |terms| rows)",
     "doc_lm_score": "1-row vocabulary-size scalar (the trained prob relation itself is never hinted — bigram vocab is corpus-scaled)",
+    "lang_sampling_weights": "1-row total-weight scalar (the |langs|-row aggregate normalizes against it)",
     "error_labels": "17-row error-code taxonomy dim",
     "failing_programs": "program dim + its HAVING-filtered subset",
     "program_match": "program-name dim (live_broadcast_details)",
