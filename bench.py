@@ -90,6 +90,7 @@ HEADLINE = [
     "dup_clusters_star",
     "leakage_safe_split",
     "sequence_pack",
+    "doc_span_dedup",
 ]
 
 # Every registered query is either in HEADLINE or here, with the reason

@@ -293,3 +293,146 @@ def substring_dup_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(frac, 4).alias("dup_frac"),
         (frac >= DUP_COVERAGE_FLAG).alias("flagged"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Duplicated-span removal (exact-substring dedup, the transform)
+# ---------------------------------------------------------------------------
+
+# Canonical-occurrence packing: doc_id * 2^20 + gram start position.
+# The min over this single BIGINT is exact and order-free in both
+# engines (no struct-min semantics to align); the contract is
+# documents under 2^20 tokens (the corpus tops out near 10^2; a 100 TB
+# deployment re-chunks longer docs far earlier than that for every
+# other operator's sake too).
+_SPAN_POS_SHIFT = 1 << 20
+
+_SPAN_GRAM = "||' '||".join(f"w[i+{k + 1}]" for k in range(SUBSTR_N))
+
+_SPAN_ORACLE = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+pos AS (
+    SELECT doc_id, w, unnest(range(0, len(w) - {SUBSTR_N - 1})) AS i
+    FROM toks WHERE len(w) >= {SUBSTR_N}
+),
+occ AS (
+    SELECT doc_id, i, {phash_sql(f"({_SPAN_GRAM})")} AS gh FROM pos
+),
+gc AS (
+    SELECT gh, COUNT(*) AS c,
+           MIN(doc_id * {_SPAN_POS_SHIFT} + i) AS canon
+    FROM occ GROUP BY gh
+),
+rem_occ AS (
+    SELECT o.doc_id, o.i FROM occ o JOIN gc USING (gh)
+    WHERE gc.c > 1 AND (o.doc_id * {_SPAN_POS_SHIFT} + o.i) <> gc.canon
+),
+rem_pos AS (
+    SELECT DISTINCT doc_id,
+           unnest(generate_series(i, i + {SUBSTR_N - 1})) AS p
+    FROM rem_occ
+),
+tok_pos AS (
+    SELECT doc_id, w[p + 1] AS tok, CAST(p AS BIGINT) AS p
+    FROM (SELECT doc_id, w, unnest(range(0, len(w))) AS p FROM toks)
+),
+kept AS (
+    SELECT tp.doc_id, tp.p, tp.tok
+    FROM tok_pos tp LEFT JOIN rem_pos r
+      ON r.doc_id = tp.doc_id AND r.p = tp.p
+    WHERE r.doc_id IS NULL
+),
+agg AS (
+    SELECT doc_id, COUNT(*) AS n_kept,
+           string_agg(tok, ' ' ORDER BY p) AS cleaned_text
+    FROM kept GROUP BY doc_id
+)
+SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
+       CAST(len(t.w) AS BIGINT) AS n_tokens,
+       CAST(len(t.w) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed,
+       ROUND((len(t.w) - COALESCE(a.n_kept, 0)) * 1.0 / len(t.w), 4) AS frac_removed,
+       COALESCE(a.cleaned_text, '') AS cleaned_text
+FROM toks t LEFT JOIN agg a USING (doc_id)
+"""
+
+
+@register(
+    "doc_span_dedup",
+    oracle=_SPAN_ORACLE,
+    survey_ops="§7-dedup,A2,J1,J2,F4",
+    tier=0,
+)
+def doc_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup as a TRANSFORM (Lee et al. 2021 §4):
+    every occurrence of a corpus-duplicated token ``SUBSTR_N``-gram is
+    removed from the text EXCEPT the canonical one (the corpus-wide
+    smallest ``(doc_id, position)``), and each document's surviving
+    tokens are re-concatenated in order. ``substring_dup_coverage``
+    is the evidence side of this operator; this is the edit a
+    pipeline actually applies before tokenization. Within-document
+    repeats dedup too (the second occurrence in the same doc is
+    non-canonical). A token goes when ANY duplicated gram occurrence
+    covering it is non-canonical — canonical spans can therefore
+    still lose tokens to OVERLAPPING non-canonical spans; that
+    asymmetry is inherent to span-level dedup and deterministic here.
+
+    Scale shape: grams travel as 60-bit hashes; the canonical pick is
+    a plain partial-aggregated ``min`` over a packed BIGINT (no
+    struct-min, no window over the gram key — a viral gram hits the
+    combiner, not a single-partition sort); removed positions explode
+    only from DUPLICATED occurrences (≤ SUBSTR_N rows each); the
+    keep/drop decision is one anti-join on (doc_id, position); and
+    the ordered reassembly sorts WITHIN each doc's collected row
+    (array_sort of (pos, tok) structs — no global sort). Everything
+    is linear in corpus positions.
+    """
+    docs = load(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    toks = docs.select("doc_id", w.alias("w"))
+    gram_expr = F.expr(
+        f"transform(sequence(0, size(w) - {SUBSTR_N}), "
+        f"i -> concat_ws(' ', slice(w, i + 1, {SUBSTR_N})))"
+    )
+    occ = (
+        toks.filter(F.size("w") >= SUBSTR_N)
+        .select("doc_id", F.posexplode(gram_expr).alias("i", "g"))
+        .select("doc_id", "i", phash(F.col("g")).alias("gh"))
+    )
+    packed = F.col("doc_id") * _SPAN_POS_SHIFT + F.col("i")
+    gc = occ.groupBy("gh").agg(
+        F.count("*").alias("c"), F.min(packed).alias("canon")
+    )
+    rem_occ = occ.join(gc, "gh").filter(
+        (F.col("c") > 1) & (packed != F.col("canon"))
+    )
+    rem_pos = rem_occ.select(
+        "doc_id",
+        F.explode(F.sequence(F.col("i"), F.col("i") + (SUBSTR_N - 1))).alias(
+            "p"
+        ),
+    ).distinct()
+    tok_pos = toks.select(
+        "doc_id", F.posexplode("w").alias("p", "tok")
+    ).withColumn("p", F.col("p").cast("long"))
+    kept = tok_pos.join(rem_pos, ["doc_id", "p"], "left_anti")
+    agg = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.expr(
+            "array_join(transform(array_sort(collect_list(struct(p, tok))),"
+            " x -> x.tok), ' ')"
+        ).alias("cleaned_text"),
+    )
+    base = toks.select("doc_id", F.size("w").cast("long").alias("n_tokens"))
+    return base.join(agg, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0))).alias(
+            "n_removed"
+        ),
+        F.round(
+            (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            / F.col("n_tokens"),
+            4,
+        ).alias("frac_removed"),
+        F.coalesce(F.col("cleaned_text"), F.lit("")).alias("cleaned_text"),
+    )

@@ -44,10 +44,11 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # ``ctrain`` CTE to their Lloyd oracle chain and the numpy keep-mask
 # to the trainer, and the size-gated ``_assign_arrow`` branch joins
 # their assignment strategy), and the FOURTEEN r8-row deferrals the
-# r10 plan bound r11 to lead with. Tier (1) = 30 of the 47 queries
-# whose newest driver row is r9; 20 + 30 fills the window exactly.
+# r10 plan bound r11 to lead with (plus the late-added fourth new
+# operator ``doc_span_dedup``). Tier (1) = 29 of the 47 queries
+# whose newest driver row is r9; 21 + 29 fills the window exactly.
 #
-# SEVENTEEN r9-row queries are deferred to r12 — all unchanged-code
+# EIGHTEEN r9-row queries are deferred to r12 — all unchanged-code
 # shape twins of queries holding a FRESH (r10 or r11-window) row:
 # ``ann_cosine_topk_int8`` (dequantized twin of r10-row
 # ``ann_cosine_topk``), ``user_cardinality_approx`` (approx twin of
@@ -68,13 +69,17 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # ``streaming_envelope_rollup`` + ``streaming_rate_rollup`` +
 # ``streaming_session_windows`` + ``streaming_sliding_rollup``
 # (micro-batch harness twins of r10-row ``streaming_daily_scores`` /
-# ``streaming_daily_scores_update`` / ``streaming_dedup``). ALL
-# SEVENTEEN must head r12's window (plus anything r12 changes).
+# ``streaming_daily_scores_update`` / ``streaming_dedup``),
+# ``q7_nation_trade_volume`` (multi-way broadcast-star twin of
+# in-window ``q8_market_share``/``q9_product_profit`` — demoted when
+# the late-registered ``doc_span_dedup`` claimed its tier-0 slot). ALL
+# EIGHTEEN must head r12's window (plus anything r12 changes).
 # Unlisted queries keep ``10 + tier``.
 _ROTATION_TIERS: dict[str, int] = {
     # (0) never-checked, r11-new/changed, or the fourteen r8-row
     # deferrals documented below
     "doc_lm_score": 0,
+    "doc_span_dedup": 0,
     "sequence_pack": 0,
     "quality_calibrated_filter": 0,
     "lang_sampling_weights": 0,
@@ -117,7 +122,6 @@ _ROTATION_TIERS: dict[str, int] = {
     "q21_blocking_suppliers": 1,
     "q2_min_cost_supplier": 1,
     "q6_forecast_revenue": 1,
-    "q7_nation_trade_volume": 1,
     "q8_market_share": 1,
     "q9_product_profit": 1,
     "revenue_cube": 1,

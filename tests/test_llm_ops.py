@@ -1400,3 +1400,51 @@ def test_lang_sampling_weights_temperature(spark):
     for r in rows.values():
         if r is not dominant:
             assert r["sample_prob"] > r["n_tokens"] / total_tok * 0.99
+
+
+def test_doc_span_dedup_removes_non_canonical_spans(spark, tmp_path):
+    """Hand-computed removal: two docs sharing one 8-gram — the
+    canonical occurrence (smaller doc_id) survives, the other doc
+    loses exactly those 8 tokens; and a within-doc repeat (the same
+    8-gram at positions 0 and 8) keeps only the first copy."""
+    from stream_processing_test_spark.llm.filters import doc_span_dedup
+
+    shared = "a b c d e f g h"
+    rows = [
+        (0, shared + " x", "en", "s0"),
+        (1, shared + " y", "en", "s0"),
+        (2, shared + " " + shared, "en", "s0"),
+    ]
+    d = _write_docs(tmp_path, rows)
+    got = {r["doc_id"]: r for r in doc_span_dedup(spark, d).collect()}
+    # doc0 pos0 is canonical for the shared gram -> untouched
+    assert got[0]["n_removed"] == 0 and got[0]["cleaned_text"] == shared + " x"
+    # doc1's copy is non-canonical -> its 8 tokens go, "y" survives
+    assert got[1]["n_removed"] == 8 and got[1]["cleaned_text"] == "y"
+    # doc2: gram at pos 8 duplicates pos 0 (within doc AND vs doc0/1's
+    # canonical claim on the same gram) -> second copy removed; the
+    # first 8 tokens are covered only by occurrences that are... the
+    # pos-0 occurrence itself is non-canonical (doc0 pos0 is the
+    # corpus-wide canon), so BOTH copies go
+    assert got[2]["n_removed"] == 16 and got[2]["cleaned_text"] == ""
+
+
+def test_doc_span_dedup_consistent_with_coverage(spark):
+    """On the fixture corpus: documents whose duplicated-gram coverage
+    is zero must come through the span-dedup untouched, and the
+    planted near-duplicates guarantee a non-trivial removal total."""
+    from stream_processing_test_spark.llm.filters import (
+        doc_span_dedup,
+        substring_dup_coverage,
+    )
+
+    cov = {
+        r["doc_id"]: r["n_dup_grams"]
+        for r in substring_dup_coverage(spark, SF).collect()
+    }
+    out = {r["doc_id"]: r for r in doc_span_dedup(spark, SF).collect()}
+    assert len(out) == 500
+    for doc_id, n_dup in cov.items():
+        if n_dup == 0:
+            assert out[doc_id]["n_removed"] == 0, doc_id
+    assert sum(r["n_removed"] for r in out.values()) > 0

@@ -1197,6 +1197,11 @@ EXTRA_LADDER = [
     # measure the full-token bigram explode + vocab-scale training
     # aggs + the corpus-scale (w1,w2) fan-back join
     "doc_lm_score",
+    # sequence packing: the rungs measure the bounded (source, shard)
+    # window cumsum + span explode + co-partitioned rollup — the
+    # operator's claim is linear scaling because no partition ever
+    # exceeds PACK_SHARD_DOCS rows
+    "sequence_pack",
 ]
 
 
