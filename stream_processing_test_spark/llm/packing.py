@@ -34,6 +34,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from stream_processing_test_spark.llm.text import (
+    QUALITY_FEATS_CTE,
+    quality_feature_exprs,
+)
 from stream_processing_test_spark.registry import register
 from stream_processing_test_spark.tables import load
 
@@ -183,14 +187,7 @@ CALIB_QUARTILE_NUM = 1  # drop the bottom 1/4
 CALIB_QUARTILE_DEN = 4
 
 _CALIB_ORACLE = f"""
-WITH feats AS (
-    SELECT doc_id, source,
-           CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INT) AS n_tokens,
-           CAST(length(text) AS INT) AS n_chars,
-           CAST((length(text) - length(replace(replace(replace(text, '.', ''), ',', ''), '!', ''))) AS INT) AS n_punct,
-           CAST((length(text) - length(replace(text, 'the', ''))) / 3 AS INT) AS n_stop
-    FROM documents WHERE length(trim(text)) > 0
-),
+WITH {QUALITY_FEATS_CTE},
 scored AS (
     SELECT doc_id, source,
            ROUND(CAST(n_stop AS DOUBLE) / n_tokens
@@ -242,24 +239,13 @@ def quality_calibrated_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").filter(
         F.length(F.trim("text")) > 0
     )
-    t = F.col("text")
-    n_tokens = F.size(F.split(F.trim(t), r"\s+"))
-    n_chars = F.length(t)
-    n_punct = F.length(t) - F.length(
-        F.replace(
-            F.replace(F.replace(t, F.lit("."), F.lit("")), F.lit(","), F.lit("")),
-            F.lit("!"),
-            F.lit(""),
-        )
-    )
-    n_stop = (
-        (F.length(t) - F.length(F.replace(t, F.lit("the"), F.lit("")))) / 3
-    ).cast("int")
+    feats = quality_feature_exprs()
     scored = docs.select(
         "doc_id",
         "source",
         F.round(
-            n_stop.cast("double") / n_tokens - n_punct.cast("double") / n_chars,
+            feats["n_stop"].cast("double") / feats["n_tokens"]
+            - feats["n_punct"].cast("double") / feats["n_chars"],
             6,
         ).alias("score"),
     )

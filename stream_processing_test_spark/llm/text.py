@@ -121,7 +121,7 @@ def lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (llm/corpus.py) composes these verbatim so the gate can never drift
 # from the standalone quality query.
 QUALITY_FEATS_CTE = """feats AS (
-    SELECT doc_id,
+    SELECT doc_id, source,
            CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INT) AS n_tokens,
            CAST(length(text) AS INT) AS n_chars,
            CAST((length(text) - length(replace(text, ' ', ''))) AS INT) AS n_spaces,
@@ -143,22 +143,40 @@ FROM feats
 """
 
 
+def quality_feature_exprs() -> dict[str, "F.Column"]:
+    """The RAW Gopher quality feature sub-expressions over ``text`` —
+    the single definition behind :func:`quality_columns` (and thus
+    ``doc_quality_score`` / ``corpus_curation_pipeline``) AND the
+    per-source calibration in llm/packing.py. The SQL twin of each is
+    a column of ``QUALITY_FEATS_CTE``; changing a feature means
+    changing both, once, here."""
+    t = F.col("text")
+    return {
+        "n_tokens": F.size(F.split(F.trim(t), r"\s+")),
+        "n_chars": F.length(t),
+        "n_punct": F.length(t)
+        - F.length(
+            F.replace(
+                F.replace(F.replace(t, F.lit("."), F.lit("")), F.lit(","), F.lit("")),
+                F.lit("!"),
+                F.lit(""),
+            )
+        ),
+        "n_stop": (
+            (F.length(t) - F.length(F.replace(t, F.lit("the"), F.lit("")))) / 3
+        ).cast("int"),
+    }
+
+
 def quality_columns() -> dict[str, "F.Column"]:
     """The Gopher-style quality feature expressions over a ``text``
     column, shared by the standalone ``doc_quality_score`` query and
     the fused ``corpus_curation_pipeline`` scan — expression-level
     reuse, so the composed pipeline can never drift from the
     oracle-checked stage."""
-    t = F.col("text")
-    n_tokens = F.size(F.split(F.trim(t), r"\s+"))
-    n_chars = F.length(t)
-    n_punct = (
-        F.length(t)
-        - F.length(F.replace(F.replace(F.replace(t, F.lit("."), F.lit("")), F.lit(","), F.lit("")), F.lit("!"), F.lit("")))
-    )
-    n_stop = ((F.length(t) - F.length(F.replace(t, F.lit("the"), F.lit("")))) / 3).cast(
-        "int"
-    )
+    feats = quality_feature_exprs()
+    n_tokens, n_chars = feats["n_tokens"], feats["n_chars"]
+    n_punct, n_stop = feats["n_punct"], feats["n_stop"]
     punct_ratio = n_punct.cast("double") / n_chars
     stop_ratio = n_stop.cast("double") / n_tokens
     return {

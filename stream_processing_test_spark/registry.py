@@ -35,17 +35,19 @@ class QuerySpec:
 _REGISTRY: dict[str, QuerySpec] = {}
 
 # Round-11 rotation: the driver checks a 50-query prefix. Tier (0) =
-# owed a fresh row THIS round — 20 queries: the FOUR with no driver
+# owed a fresh row THIS round — 21 queries: the FIVE with no driver
 # row at all (``doc_lm_score``, registered after r10's window froze,
-# plus the three NEW r11 operators ``sequence_pack``,
-# ``quality_calibrated_filter``, ``lang_sampling_weights``), the TWO
+# plus the four NEW r11 operators ``sequence_pack``,
+# ``quality_calibrated_filter``, ``lang_sampling_weights``,
+# ``doc_span_dedup``), the TWO
 # whose oracle/implementation changed in r11 (``ann_ivf_topk`` and
 # ``ann_ivfpq_topk`` — the zero-norm training filter adds the
 # ``ctrain`` CTE to their Lloyd oracle chain and the numpy keep-mask
-# to the trainer, and the size-gated ``_assign_arrow`` branch joins
-# their assignment strategy), and the FOURTEEN r8-row deferrals the
-# r10 plan bound r11 to lead with (plus the late-added fourth new
-# operator ``doc_span_dedup``). Tier (1) = 29 of the 47 queries
+# to the trainer, and ``_assign_arrow`` — ungated, the sole
+# assignment pass since the r11 decision retired both expression
+# forms — replaces their assignment stage), and the FOURTEEN r8-row
+# deferrals the r10 plan bound r11 to lead with.
+# Tier (1) = 29 of the 47 queries
 # whose newest driver row is r9; 21 + 29 fills the window exactly.
 #
 # EIGHTEEN r9-row queries are deferred to r12 — all unchanged-code
