@@ -213,3 +213,66 @@ def lang_sampling_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("weight_micro").cast("double") / F.col("w_total"), 6
         ).alias("sample_prob"),
     )
+
+
+# Exact per-class quota (class-balanced subset): langs above the quota
+# are cut to exactly TARGET_PER_CLASS docs, smaller langs keep
+# everything. 64 splits the fixture non-trivially (sf0.01 per-lang
+# counts 64-218).
+TARGET_PER_CLASS = 64
+
+_BALANCED_ORACLE = f"""
+WITH ranked AS (
+    SELECT doc_id, lang, source,
+           ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+    FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, source,
+       CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= {TARGET_PER_CLASS}
+"""
+
+
+@register(
+    "class_balanced_sample",
+    oracle=_BALANCED_ORACLE,
+    survey_ops="§7-text,W1,A8",
+    tier=0,
+)
+def class_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-class quota sampling: each language keeps its
+    ``TARGET_PER_CLASS`` smallest-md5 documents — the class-balanced
+    subset builder (eval sets, per-language probes, balanced
+    fine-tuning mixes). Distinct from the RATE-based gates above:
+    ``stratified_sample`` keeps a deterministic *fraction* (count
+    drifts with corpus size); this keeps an exact *count* per class,
+    and the md5 ordering makes the chosen set stable under corpus
+    GROWTH in expectation-free fashion — a newly ingested doc only
+    displaces the current rank-``TARGET_PER_CLASS`` member if its
+    hash is smaller, never reshuffling the whole selection the way a
+    rate re-fit would.
+
+    Scale: one rank window per class. Quotas are small by purpose
+    (the output is ``|classes| × TARGET_PER_CLASS`` rows), so at
+    extreme per-class cardinality the deployment refinement is the
+    standard two-pass cut — pre-filter on a hash prefix bound sized
+    from approximate class counts, then rank only the survivors —
+    same contract, same output (documented, not needed at any
+    fixture/ladder size)."""
+    docs = load(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            "source",
+            F.row_number().over(w).cast("long").alias("rk"),
+        )
+        .filter(F.col("rk") <= TARGET_PER_CLASS)
+    )

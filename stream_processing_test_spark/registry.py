@@ -35,11 +35,11 @@ class QuerySpec:
 _REGISTRY: dict[str, QuerySpec] = {}
 
 # Round-11 rotation: the driver checks a 50-query prefix. Tier (0) =
-# owed a fresh row THIS round — 21 queries: the FIVE with no driver
+# owed a fresh row THIS round — 22 queries: the SIX with no driver
 # row at all (``doc_lm_score``, registered after r10's window froze,
-# plus the four NEW r11 operators ``sequence_pack``,
+# plus the five NEW r11 operators ``sequence_pack``,
 # ``quality_calibrated_filter``, ``lang_sampling_weights``,
-# ``doc_span_dedup``), the TWO
+# ``doc_span_dedup``, ``class_balanced_sample``), the TWO
 # whose oracle/implementation changed in r11 (``ann_ivf_topk`` and
 # ``ann_ivfpq_topk`` — the zero-norm training filter adds the
 # ``ctrain`` CTE to their Lloyd oracle chain and the numpy keep-mask
@@ -47,10 +47,10 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # assignment pass since the r11 decision retired both expression
 # forms — replaces their assignment stage), and the FOURTEEN r8-row
 # deferrals the r10 plan bound r11 to lead with.
-# Tier (1) = 29 of the 47 queries
-# whose newest driver row is r9; 21 + 29 fills the window exactly.
+# Tier (1) = 28 of the 47 queries
+# whose newest driver row is r9; 22 + 28 fills the window exactly.
 #
-# EIGHTEEN r9-row queries are deferred to r12 — all unchanged-code
+# NINETEEN r9-row queries are deferred to r12 — all unchanged-code
 # shape twins of queries holding a FRESH (r10 or r11-window) row:
 # ``ann_cosine_topk_int8`` (dequantized twin of r10-row
 # ``ann_cosine_topk``), ``user_cardinality_approx`` (approx twin of
@@ -72,16 +72,19 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # ``streaming_session_windows`` + ``streaming_sliding_rollup``
 # (micro-batch harness twins of r10-row ``streaming_daily_scores`` /
 # ``streaming_daily_scores_update`` / ``streaming_dedup``),
-# ``q7_nation_trade_volume`` (multi-way broadcast-star twin of
-# in-window ``q8_market_share``/``q9_product_profit`` — demoted when
-# the late-registered ``doc_span_dedup`` claimed its tier-0 slot). ALL
-# EIGHTEEN must head r12's window (plus anything r12 changes).
+# ``q7_nation_trade_volume`` + ``q8_market_share`` (multi-way
+# broadcast-star twins of in-window ``q9_product_profit``/
+# ``q10_returned_items`` — demoted when the late-registered
+# ``doc_span_dedup`` and ``class_balanced_sample`` claimed their
+# tier-0 slots). ALL NINETEEN must head r12's window (plus anything
+# r12 changes).
 # Unlisted queries keep ``10 + tier``.
 _ROTATION_TIERS: dict[str, int] = {
     # (0) never-checked, r11-new/changed, or the fourteen r8-row
     # deferrals documented below
     "doc_lm_score": 0,
     "doc_span_dedup": 0,
+    "class_balanced_sample": 0,
     "sequence_pack": 0,
     "quality_calibrated_filter": 0,
     "lang_sampling_weights": 0,
@@ -124,7 +127,6 @@ _ROTATION_TIERS: dict[str, int] = {
     "q21_blocking_suppliers": 1,
     "q2_min_cost_supplier": 1,
     "q6_forecast_revenue": 1,
-    "q8_market_share": 1,
     "q9_product_profit": 1,
     "revenue_cube": 1,
     "skew_salted_rollup": 1,

@@ -1448,3 +1448,38 @@ def test_doc_span_dedup_consistent_with_coverage(spark):
         if n_dup == 0:
             assert out[doc_id]["n_removed"] == 0, doc_id
     assert sum(r["n_removed"] for r in out.values()) > 0
+
+
+def test_class_balanced_sample_exact_quotas(spark):
+    """Quota semantics on the fixture: every language yields exactly
+    min(class size, TARGET_PER_CLASS) documents, ranks are contiguous
+    from 1, and the selection is deterministic across runs (md5
+    ordering, no rand())."""
+    from pyspark.sql import functions as F
+
+    from stream_processing_test_spark.llm.sampling import (
+        TARGET_PER_CLASS,
+        class_balanced_sample,
+    )
+    from stream_processing_test_spark.tables import load
+
+    totals = {
+        r["lang"]: r["n"]
+        for r in load(spark, SF, "documents")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    rows = class_balanced_sample(spark, SF).collect()
+    by_lang: dict = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r["rk"])
+    assert set(by_lang) == set(totals)
+    for lang, rks in by_lang.items():
+        assert sorted(rks) == list(
+            range(1, min(totals[lang], TARGET_PER_CLASS) + 1)
+        ), lang
+    again = {
+        (r["doc_id"], r["rk"]) for r in class_balanced_sample(spark, SF).collect()
+    }
+    assert again == {(r["doc_id"], r["rk"]) for r in rows}

@@ -75,6 +75,12 @@ TIERS = {
     "vec_x1": (50_000, 0.2),
     "vec_x4": (200_000, 0.2),
     "vec_x16": (800_000, 0.2),
+    # the auto_lists CLAMP regime (ADVICE r10): 2 M vectors resolve
+    # auto_lists to its 256 maximum (128^2*64 = 1.05 M < n), so the
+    # ivfpq extra on this tier exercises the 256-list coarse quantizer
+    # END-TO-END — train, Arrow assignment, routed ADC — not just the
+    # assignment-stage probe
+    "vec_x40": (2_000_000, 0.2),
     # recall dial: same 200k corpus, DOUBLE the tables — measures the
     # documented production move (hold recall as planes grow by raising
     # n_tables; cost ~2x, still linear in n)
