@@ -273,11 +273,14 @@ def main() -> None:
     # chars of stdout, so the headline totals go at the END of the line
     # — if the queries map ever outgrows the cap, truncation eats early
     # per-query entries (recoverable from BENCH_DETAIL.json), never the
-    # metric/value/sf summary.
+    # metric/value/sf summary. Per-query values print at 2 decimals to
+    # keep 67+ slots under the cap (r11: 3dp overflowed at 2269 chars,
+    # cutting the first ~8 entries from the driver's parsed view);
+    # full 3dp precision lives in BENCH_DETAIL.json.
     print(
         json.dumps(
             {
-                "queries": timings,
+                "queries": {k: round(v, 2) for k, v in timings.items()},
                 "metric": "headline_queries_total_wall",
                 "unit": "sec",
                 "sf": sf_num,
