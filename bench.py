@@ -151,6 +151,7 @@ BENCH_EXCLUDED = {
     "dedup_embedding_cosine": "guarded quadratic ORACLE TWIN, hard-capped at 1M rows; the scale path timed is dedup_embedding_lsh",
     "streaming_click_purchase_join": "micro-batch harness setup dominates; streaming perf represented by streaming_daily_scores + streaming_failure_streaks",
     "streaming_dedup": "micro-batch harness setup dominates; same representatives",
+    "streaming_enriched_rollup": "memory-sink micro-batch harness setup dominates at fixture size; the stream-static join adds no exchange (broadcast dim) and streaming perf is represented by streaming_daily_scores + streaming_failure_streaks",
     "streaming_envelope_rollup": "wall time is memory-sink micro-batch harness setup over the tiny envelope fixture; streaming perf represented by streaming_daily_scores + streaming_failure_streaks",
     "streaming_session_windows": "wall time dominated by the sentinel-replay rewrite (test harness, not engine work); same representatives",
     "streaming_rate_rollup": "wall time is processing-time trigger latency of a 4-batch synthetic rate source (poll-then-stop harness), not engine stages; same streaming representatives",

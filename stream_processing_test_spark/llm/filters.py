@@ -405,12 +405,16 @@ def doc_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     rem_occ = occ.join(gc, "gh").filter(
         (F.col("c") > 1) & (packed != F.col("canon"))
     )
+    # no distinct: left_anti keeps a left row iff NO right match
+    # exists, so duplicate (doc_id, p) rows on the right are harmless
+    # in both engines (the oracle's LEFT JOIN ... IS NULL likewise) —
+    # deduplicating here would buy nothing but a full extra exchange
     rem_pos = rem_occ.select(
         "doc_id",
         F.explode(F.sequence(F.col("i"), F.col("i") + (SUBSTR_N - 1))).alias(
             "p"
         ),
-    ).distinct()
+    )
     tok_pos = toks.select(
         "doc_id", F.posexplode("w").alias("p", "tok")
     ).withColumn("p", F.col("p").cast("long"))

@@ -35,11 +35,12 @@ class QuerySpec:
 _REGISTRY: dict[str, QuerySpec] = {}
 
 # Round-11 rotation: the driver checks a 50-query prefix. Tier (0) =
-# owed a fresh row THIS round — 22 queries: the SIX with no driver
+# owed a fresh row THIS round — 23 queries: the SEVEN with no driver
 # row at all (``doc_lm_score``, registered after r10's window froze,
 # plus the five NEW r11 operators ``sequence_pack``,
 # ``quality_calibrated_filter``, ``lang_sampling_weights``,
-# ``doc_span_dedup``, ``class_balanced_sample``), the TWO
+# ``doc_span_dedup``, ``class_balanced_sample``,
+# ``streaming_enriched_rollup``), the TWO
 # whose oracle/implementation changed in r11 (``ann_ivf_topk`` and
 # ``ann_ivfpq_topk`` — the zero-norm training filter adds the
 # ``ctrain`` CTE to their Lloyd oracle chain and the numpy keep-mask
@@ -47,10 +48,10 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # assignment pass since the r11 decision retired both expression
 # forms — replaces their assignment stage), and the FOURTEEN r8-row
 # deferrals the r10 plan bound r11 to lead with.
-# Tier (1) = 28 of the 47 queries
-# whose newest driver row is r9; 22 + 28 fills the window exactly.
+# Tier (1) = 27 of the 47 queries
+# whose newest driver row is r9; 23 + 27 fills the window exactly.
 #
-# NINETEEN r9-row queries are deferred to r12 — all unchanged-code
+# TWENTY r9-row queries are deferred to r12 — all unchanged-code
 # shape twins of queries holding a FRESH (r10 or r11-window) row:
 # ``ann_cosine_topk_int8`` (dequantized twin of r10-row
 # ``ann_cosine_topk``), ``user_cardinality_approx`` (approx twin of
@@ -76,8 +77,11 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # broadcast-star twins of in-window ``q9_product_profit``/
 # ``q10_returned_items`` — demoted when the late-registered
 # ``doc_span_dedup`` and ``class_balanced_sample`` claimed their
-# tier-0 slots). ALL NINETEEN must head r12's window (plus anything
-# r12 changes).
+# tier-0 slots), ``dedup_simhash`` (banded-fingerprint
+# candidate/verify twin of in-window ``dedup_minhash_lsh`` — same
+# bucket-join + verify stages over the same shingle base; demoted for
+# ``streaming_enriched_rollup``'s slot). ALL TWENTY must head r12's
+# window (plus anything r12 changes).
 # Unlisted queries keep ``10 + tier``.
 _ROTATION_TIERS: dict[str, int] = {
     # (0) never-checked, r11-new/changed, or the fourteen r8-row
@@ -85,6 +89,7 @@ _ROTATION_TIERS: dict[str, int] = {
     "doc_lm_score": 0,
     "doc_span_dedup": 0,
     "class_balanced_sample": 0,
+    "streaming_enriched_rollup": 0,
     "sequence_pack": 0,
     "quality_calibrated_filter": 0,
     "lang_sampling_weights": 0,
@@ -113,7 +118,6 @@ _ROTATION_TIERS: dict[str, int] = {
     "dedup_embedding_lsh": 1,
     "dedup_minhash_lsh": 1,
     "dedup_ngram_jaccard": 1,
-    "dedup_simhash": 1,
     "dup_clusters": 1,
     "dup_clusters_star": 1,
     "funnel_conversion": 1,
@@ -187,6 +191,7 @@ PLAN_OPAQUE_QUERIES: dict[str, str] = {
     "streaming_daily_scores": "streaming sink",
     "streaming_daily_scores_update": "streaming sink",
     "streaming_dedup": "streaming sink",
+    "streaming_enriched_rollup": "streaming sink",
     "streaming_envelope_rollup": "streaming sink",
     "streaming_failure_streaks": "streaming sink",
     "streaming_rate_rollup": "streaming sink",

@@ -726,3 +726,77 @@ def streaming_sliding_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = events_stream(scoped, os.path.join(sf_dir, "events.parquet"))
     name = f"stream_sliding_{abs(hash(sf_dir)) % 10_000}"
     return run_to_memory(sliding_rollup(ev), name)
+
+
+# ---------------------------------------------------------------------------
+# Stream-static enrichment join (the missing standard streaming shape)
+# ---------------------------------------------------------------------------
+
+_ENRICHED_ORACLE = """
+SELECT c.c_mktsegment AS segment,
+       strftime(date_trunc('day', e.ts), '%Y-%m-%d') AS day,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN e.event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+       ROUND(SUM(e.value), 4) AS value_sum
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY segment, date_trunc('day', e.ts)
+"""
+
+
+def enriched_rollup(
+    events: DataFrame, customer: DataFrame, watermark: str = "0 seconds"
+) -> DataFrame:
+    """Stream-static enrichment: the event stream joined to the static
+    ``customer`` dimension (user_id = c_custkey), then windowed-rolled
+    per (market segment, day). The dim side is a plain batch frame —
+    Spark re-plans it per micro-batch, and the explicit broadcast hint
+    keeps the join map-side (the dim is customer-bounded, never
+    event-scaled), so enrichment adds ZERO shuffle to the stream: the
+    only exchange is the windowed aggregation's own state shuffle."""
+    dim = F.broadcast(
+        customer.select(
+            F.col("c_custkey").alias("user_id"), "c_mktsegment"
+        )
+    )
+    return (
+        events.withWatermark("ts", watermark)
+        .join(dim, "user_id")
+        .groupBy(F.window("ts", "1 day").alias("win"), "c_mktsegment")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(
+                F.when(F.col("event_type") == "error", 1).otherwise(0)
+            ).alias("n_error"),
+            F.round(F.sum("value"), 4).alias("value_sum"),
+        )
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            F.date_format(F.col("win.start"), "yyyy-MM-dd").alias("day"),
+            "n_events",
+            "n_error",
+            "value_sum",
+        )
+    )
+
+
+@register(
+    "streaming_enriched_rollup",
+    oracle=_ENRICHED_ORACLE,
+    survey_ops="T1,T2,T3,J1,A1",
+    tier=0,
+)
+def streaming_enriched_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(segment, day) event rollup with stream-static dimension
+    enrichment — the deployment shape every monitoring pipeline runs
+    (facts arrive as a stream; the entity dimension is a slowly
+    changing table read per micro-batch). Events replayed through the
+    file-source stream; equality with the batch join+agg is proven by
+    the shared DuckDB oracle. Cloned session for the state-partition
+    override, like every streaming query here."""
+    from stream_processing_test_spark.tables import load
+
+    scoped = spark.newSession()
+    ev = events_stream(scoped, os.path.join(sf_dir, "events.parquet"))
+    customer = load(scoped, sf_dir, "customer")
+    name = f"stream_enriched_{abs(hash(sf_dir)) % 10_000}"
+    return run_to_memory(enriched_rollup(ev, customer), name)
