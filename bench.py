@@ -272,16 +272,21 @@ def main() -> None:
         pass  # read-only checkout: the stdout line still carries the timings
     # Key order matters: the driver artifact keeps only the LAST 2000
     # chars of stdout, so the headline totals go at the END of the line
-    # — if the queries map ever outgrows the cap, truncation eats early
-    # per-query entries (recoverable from BENCH_DETAIL.json), never the
-    # metric/value/sf summary. Per-query values print at 2 decimals to
-    # keep 67+ slots under the cap (r11: 3dp overflowed at 2269 chars,
-    # cutting the first ~8 entries from the driver's parsed view);
-    # full 3dp precision lives in BENCH_DETAIL.json.
+    # — if the queries map outgrows the cap, truncation eats the FRONT.
+    # Two mitigations (r11): per-query values print at 2 decimals (3dp
+    # overflowed at 2269 chars, cutting the first ~8 entries from the
+    # driver's parsed view), and entries print CHEAPEST-FIRST, so any
+    # future overflow (more slots, or 100+-second walls at a bigger
+    # SF) loses the least informative entries, never the expensive
+    # ones. Full 3dp precision in HEADLINE order lives in
+    # BENCH_DETAIL.json either way.
     print(
         json.dumps(
             {
-                "queries": {k: round(v, 2) for k, v in timings.items()},
+                "queries": {
+                    k: round(v, 2)
+                    for k, v in sorted(timings.items(), key=lambda kv: kv[1])
+                },
                 "metric": "headline_queries_total_wall",
                 "unit": "sec",
                 "sf": sf_num,

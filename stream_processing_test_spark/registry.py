@@ -37,7 +37,7 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # Round-11 rotation: the driver checks a 50-query prefix. Tier (0) =
 # owed a fresh row THIS round — 23 queries: the SEVEN with no driver
 # row at all (``doc_lm_score``, registered after r10's window froze,
-# plus the five NEW r11 operators ``sequence_pack``,
+# plus the six NEW r11 operators ``sequence_pack``,
 # ``quality_calibrated_filter``, ``lang_sampling_weights``,
 # ``doc_span_dedup``, ``class_balanced_sample``,
 # ``streaming_enriched_rollup``), the TWO
