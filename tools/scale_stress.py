@@ -1122,6 +1122,25 @@ def streaming_run(spark, tdir: str, which: str, repeats: int) -> dict:
             out["n_events"] = n_events
         if which == "scores":
             result, mode = daily_rollup(ev), "complete"
+        elif which == "enriched":
+            # stream-static enrichment (streaming_enriched_rollup's
+            # shape): the dim is synthesized over the generator's
+            # user-id space (uniform over n_events/STREAM_EVENTS_PER_
+            # USER users — _stream_params) with 5 deterministic
+            # segments; the wall DELTA vs the "scores" arm prices the
+            # per-micro-batch broadcast join on top of the same
+            # windowed rollup
+            from stream_processing_test_spark.streaming.pipeline import (
+                enriched_rollup,
+            )
+
+            n_users = max(1, (n_events or scoped.read.parquet(path).count())
+                          // STREAM_EVENTS_PER_USER)
+            dim = scoped.range(n_users).selectExpr(
+                "id AS c_custkey",
+                "concat('seg', pmod(hash(id), 5)) AS c_mktsegment",
+            )
+            result, mode = enriched_rollup(ev, dim, watermark="1 day"), "update"
         elif which == "scores_update":
             result, mode = daily_rollup(ev, watermark="1 day"), "update"
         elif which == "sliding":
@@ -1433,6 +1452,7 @@ def main() -> None:
                 "scores",
                 "scores_update",
                 "sliding",
+                "enriched",
                 "streaks",
                 "streaks_jvm",
             ):
