@@ -386,9 +386,25 @@ def doc_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (array_sort of (pos, tok) structs — no global sort). Everything
     is linear in corpus positions.
     """
+    from stream_processing_test_spark.session import (
+        parallelize_narrow_scan,
+    )
+
     docs = load(spark, sf_dir, "documents")
     w = F.split(F.col("text"), " ")
-    toks = docs.select("doc_id", w.alias("w"))
+    # narrow-scan widen BEFORE the md5-per-gram map pass: the r6
+    # under-partitioned-scan trap, measured HERE at both ends (x10 /
+    # overbudget interleaved A/B, BENCH_NOTES §r11-span-rungs): at 2
+    # scan files the widen is 3.7x (56 -> 15 s); at 17 files it is a
+    # 6% LOSS (55.0 vs 51.7 s — the raw-doc exchange buys nothing the
+    # 17 tasks don't already have). min_partitions = half the session
+    # parallelism makes the call trigger only in the genuinely-narrow
+    # regime and stay a no-op from half-width up (and always at real
+    # scan widths).
+    half = max(2, docs.sparkSession.sparkContext.defaultParallelism // 2)
+    toks = parallelize_narrow_scan(
+        docs.select("doc_id", w.alias("w")), min_partitions=half
+    )
     gram_expr = F.expr(
         f"transform(sequence(0, size(w) - {SUBSTR_N}), "
         f"i -> concat_ws(' ', slice(w, i + 1, {SUBSTR_N})))"

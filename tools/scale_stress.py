@@ -1227,6 +1227,11 @@ EXTRA_LADDER = [
     # operator's claim is linear scaling because no partition ever
     # exceeds PACK_SHARD_DOCS rows
     "sequence_pack",
+    # span-removal transform: gram hash agg (combiner-side canonical
+    # min), duplicated-occurrence position explode, (doc_id, pos)
+    # anti-join, per-doc ordered reassembly — claimed linear in
+    # corpus positions (no window over the gram key)
+    "doc_span_dedup",
 ]
 
 
