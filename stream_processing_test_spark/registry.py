@@ -34,109 +34,106 @@ class QuerySpec:
 
 _REGISTRY: dict[str, QuerySpec] = {}
 
-# Round-11 rotation: the driver checks a 50-query prefix. Tier (0) =
-# owed a fresh row THIS round — 23 queries: the SEVEN with no driver
-# row at all (``doc_lm_score``, registered after r10's window froze,
-# plus the six NEW r11 operators ``sequence_pack``,
-# ``quality_calibrated_filter``, ``lang_sampling_weights``,
-# ``doc_span_dedup``, ``class_balanced_sample``,
-# ``streaming_enriched_rollup``), the TWO
-# whose oracle/implementation changed in r11 (``ann_ivf_topk`` and
-# ``ann_ivfpq_topk`` — the zero-norm training filter adds the
-# ``ctrain`` CTE to their Lloyd oracle chain and the numpy keep-mask
-# to the trainer, and ``_assign_arrow`` — ungated, the sole
-# assignment pass since the r11 decision retired both expression
-# forms — replaces their assignment stage), and the FOURTEEN r8-row
-# deferrals the r10 plan bound r11 to lead with.
-# Tier (1) = 27 of the 47 queries
-# whose newest driver row is r9; 23 + 27 fills the window exactly.
+# Round-12 rotation: the driver checks a 50-query prefix. Tier (0) =
+# owed a fresh row THIS round — the TWENTY r9-row deferrals the r11
+# plan bound r12 to lead with (``ann_cosine_topk_int8``,
+# ``user_cardinality_approx``, ``balance_quartiles``,
+# ``doc_fingerprint``, ``multimodal_preprocess``,
+# ``embedding_quantize_int8``, the three ``envelope_rollup`` format
+# twins, ``q4_order_priority``, ``q20_excess_suppliers``,
+# ``q22_idle_customers``, ``rich_accounts_union``, the four
+# streaming harness twins, ``q7_nation_trade_volume``,
+# ``q8_market_share``, ``dedup_simhash``) plus everything r12
+# touches: NEW operators registered this round and any query whose
+# implementation or oracle changed (kept current as the round
+# progresses).
+# Tier (1) = 27 of the 48 queries whose newest driver row is r10;
+# tier-0 + 27 fills the window exactly.
 #
-# TWENTY r9-row queries are deferred to r12 — all unchanged-code
-# shape twins of queries holding a FRESH (r10 or r11-window) row:
-# ``ann_cosine_topk_int8`` (dequantized twin of r10-row
-# ``ann_cosine_topk``), ``user_cardinality_approx`` (approx twin of
-# in-window ``user_cardinality``), ``balance_quartiles`` (ntile twin
-# of in-window ``user_value_percentiles``), ``doc_fingerprint``
-# (map-pass twin of r10-row ``token_count``),
-# ``multimodal_preprocess`` (mapInPandas codec twin of in-window
-# ``multimodal_features``), ``embedding_quantize_int8`` (fold-pass
-# twin of in-window ``embedding_norm_stats``), ``envelope_rollup`` +
-# ``envelope_rollup_parquet`` + ``envelope_rollup_orc`` (format twins
-# of in-window ``envelope_rollup_csv`` — same oracle),
-# ``q4_order_priority`` (EXISTS twin of in-window
-# ``q21_blocking_suppliers``), ``q20_excess_suppliers`` (semi-join
-# twin of in-window ``q16_part_supplier_variety``),
-# ``q22_idle_customers`` (anti-join twin of in-window
-# ``q13_order_count_distribution``), ``rich_accounts_union`` (set-ops
-# twin of in-window ``engaged_users_setops``),
-# ``streaming_envelope_rollup`` + ``streaming_rate_rollup`` +
-# ``streaming_session_windows`` + ``streaming_sliding_rollup``
-# (micro-batch harness twins of r10-row ``streaming_daily_scores`` /
-# ``streaming_daily_scores_update`` / ``streaming_dedup``),
-# ``q7_nation_trade_volume`` + ``q8_market_share`` (multi-way
-# broadcast-star twins of in-window ``q9_product_profit``/
-# ``q10_returned_items`` — demoted when the late-registered
-# ``doc_span_dedup`` and ``class_balanced_sample`` claimed their
-# tier-0 slots), ``dedup_simhash`` (banded-fingerprint
-# candidate/verify twin of in-window ``dedup_minhash_lsh`` — same
-# bucket-join + verify stages over the same shingle base; demoted for
-# ``streaming_enriched_rollup``'s slot). ALL TWENTY must head r12's
-# window (plus anything r12 changes).
+# TWENTY-ONE r10-row queries are deferred to r13 — all
+# unchanged-code shape twins of queries holding a fresh (r11 or
+# r12-window) row:
+# ``bm25_topk`` (single-query twin of in-window ``bm25_multi_topk``),
+# ``token_count`` (map-pass twin of tier-0 ``doc_fingerprint``),
+# ``doc_quality_score`` (quality-feature twin of r11-row
+# ``quality_calibrated_filter``), ``ann_cosine_topk`` (brute-force
+# twin of tier-0 ``ann_cosine_topk_int8`` — same plan, float input),
+# ``streaming_daily_scores`` + ``streaming_daily_scores_update`` +
+# ``streaming_dedup`` (micro-batch harness twins of the four tier-0
+# streaming queries), ``session_windows`` (batch sessionization twin
+# of tier-0 ``streaming_session_windows``),
+# ``users_without_big_purchase`` (anti-join twin of tier-0
+# ``q22_idle_customers``), ``suppliers_with_bulk_items`` (semi-join
+# twin of tier-0 ``q20_excess_suppliers``), ``embedding_norm_stats``
+# + ``embedding_centroids`` (array-fold twins of tier-0
+# ``embedding_quantize_int8``), ``substring_dup_coverage`` (span
+# twin of r11-row ``doc_span_dedup``), ``decontaminate_overlap``
+# (eval-key-scan twin of r11-row ``decontaminate_bloom``),
+# ``leakage_safe_split`` + ``dedup_keep_canonical``
+# (connected-components twins of r11-row ``dup_clusters`` /
+# ``dup_clusters_star``), ``tfidf_top_terms`` (term-stats twin of
+# in-window ``bm25_multi_topk``), ``q3_shipping_priority``
+# (join-agg-topk twin of in-window ``q5_region_revenue``),
+# ``q12_priority_shipping`` (conditional-agg twin of in-window
+# ``q14_promo_revenue_share``), ``q17_small_quantity_revenue``
+# (correlated-scalar twin of in-window ``q11_important_parts``),
+# ``top_events_per_user`` (window-topk twin of in-window
+# ``rolling_user_stats``). ALL TWENTY-ONE must head r13's window
+# (plus anything r13 changes).
 # Unlisted queries keep ``10 + tier``.
 _ROTATION_TIERS: dict[str, int] = {
-    # (0) never-checked, r11-new/changed, or the fourteen r8-row
-    # deferrals documented below
-    "doc_lm_score": 0,
-    "doc_span_dedup": 0,
-    "class_balanced_sample": 0,
-    "streaming_enriched_rollup": 0,
-    "sequence_pack": 0,
-    "quality_calibrated_filter": 0,
-    "lang_sampling_weights": 0,
-    "ann_ivf_topk": 0,
+    # (0) the twenty r9-row deferrals
+    "ann_cosine_topk_int8": 0,
+    "user_cardinality_approx": 0,
+    "balance_quartiles": 0,
+    "doc_fingerprint": 0,
+    "multimodal_preprocess": 0,
+    "embedding_quantize_int8": 0,
+    "envelope_rollup": 0,
+    "envelope_rollup_parquet": 0,
+    "envelope_rollup_orc": 0,
+    "q4_order_priority": 0,
+    "q20_excess_suppliers": 0,
+    "q22_idle_customers": 0,
+    "rich_accounts_union": 0,
+    "streaming_envelope_rollup": 0,
+    "streaming_rate_rollup": 0,
+    "streaming_session_windows": 0,
+    "streaming_sliding_rollup": 0,
+    "q7_nation_trade_volume": 0,
+    "q8_market_share": 0,
+    "dedup_simhash": 0,
+    # (0) r12 new/changed — keep current as the round progresses
     "ann_ivfpq_topk": 0,
-    "resolution_classify": 0,
-    "lang_id_ngram": 0,
-    "doc_chunking": 0,
-    "user_cardinality": 0,
-    "engaged_users_setops": 0,
-    "monotonic_violations": 0,
-    "error_labels": 0,
-    "dedup_embedding_cosine": 0,
-    "envelope_rollup_csv": 0,
-    "daily_scores": 0,
-    "sql_daily_event_summary": 0,
-    "report_batches": 0,
-    "source_mixing": 0,
-    "records_in_window": 0,
-    # (1) newest driver row is r9
-    "ann_lsh_topk": 1,
-    "attribute_rollup": 1,
-    "cohort_retention": 1,
-    "decayed_user_scores": 1,
-    "decontaminate_bloom": 1,
-    "dedup_embedding_lsh": 1,
-    "dedup_minhash_lsh": 1,
-    "dedup_ngram_jaccard": 1,
-    "dup_clusters": 1,
-    "dup_clusters_star": 1,
-    "funnel_conversion": 1,
-    "multimodal_features": 1,
-    "price_percentiles": 1,
-    "q10_returned_items": 1,
-    "q13_order_count_distribution": 1,
-    "q16_part_supplier_variety": 1,
-    "q18_large_orders": 1,
-    "q1_pricing_summary": 1,
-    "q21_blocking_suppliers": 1,
-    "q2_min_cost_supplier": 1,
-    "q6_forecast_revenue": 1,
-    "q9_product_profit": 1,
-    "revenue_cube": 1,
-    "skew_salted_rollup": 1,
-    "stats_moments": 1,
-    "user_value_percentiles": 1,
-    "vendor_flow_stats": 1,
+    "doc_lm_score": 0,
+    # (1) newest driver row is r10
+    "q5_region_revenue": 1,
+    "quantity_grouping_sets": 1,
+    "q14_promo_revenue_share": 1,
+    "q15_top_supplier": 1,
+    "q19_disjunctive_revenue": 1,
+    "q11_important_parts": 1,
+    "bm25_multi_topk": 1,
+    "doc_repetition_stats": 1,
+    "pii_redact": 1,
+    "ann_pq_topk": 1,
+    "asof_click_attribution": 1,
+    "range_join_error_context": 1,
+    "rolling_user_stats": 1,
+    "revenue_rollup": 1,
+    "props_json_stats": 1,
+    "active_sources": 1,
+    "failing_programs": 1,
+    "program_match": 1,
+    "day_close_trigger": 1,
+    "per_source_rollup": 1,
+    "daily_report_pipeline": 1,
+    "probe_source_events": 1,
+    "dedup_exact": 1,
+    "stratified_sample": 1,
+    "corpus_curation_pipeline": 1,
+    "streaming_click_purchase_join": 1,
+    "streaming_failure_streaks": 1,
 }
 
 
