@@ -414,7 +414,26 @@ def doc_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.posexplode(gram_expr).alias("i", "g"))
         .select("doc_id", "i", phash(F.col("g")).alias("gh"))
     )
-    packed = F.col("doc_id") * _SPAN_POS_SHIFT + F.col("i")
+    # Contract guard (ADVICE r11): a position at or past the pack
+    # shift would alias into another doc_id's key space and silently
+    # corrupt canonical selection — fail loudly instead. The branch
+    # rides the packing expression itself (an integer compare per
+    # occurrence, nothing Catalyst can prune away as unused).
+    packed = F.when(
+        F.col("i") < _SPAN_POS_SHIFT,
+        F.col("doc_id") * _SPAN_POS_SHIFT + F.col("i"),
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "doc_span_dedup: document exceeds the "
+                    f"{_SPAN_POS_SHIFT}-token packing contract (doc_id "
+                ),
+                F.col("doc_id").cast("string"),
+                F.lit("); re-chunk long documents first"),
+            )
+        ).cast("long")
+    )
     gc = occ.groupBy("gh").agg(
         F.count("*").alias("c"), F.min(packed).alias("canon")
     )

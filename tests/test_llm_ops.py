@@ -1429,6 +1429,26 @@ def test_doc_span_dedup_removes_non_canonical_spans(spark, tmp_path):
     assert got[2]["n_removed"] == 16 and got[2]["cleaned_text"] == ""
 
 
+def test_doc_span_dedup_overlong_doc_fails_loudly(spark, tmp_path, monkeypatch):
+    """Contract guard (ADVICE r11): a document whose gram positions
+    reach the packing shift must raise, not silently alias into
+    another doc_id's canonical key space. The shift is monkeypatched
+    small so the guard path is exercised without a 2^20-token
+    fixture; the guard reads the module global at call time."""
+    import pytest as _pytest
+
+    from stream_processing_test_spark.llm import filters
+
+    monkeypatch.setattr(filters, "_SPAN_POS_SHIFT", 64)
+    rows = [
+        (0, " ".join(f"t{i}" for i in range(80)), "en", "s0"),
+        (1, " ".join(f"t{i}" for i in range(80)), "en", "s0"),
+    ]
+    d = _write_docs(tmp_path, rows)
+    with _pytest.raises(Exception, match="packing contract"):
+        filters.doc_span_dedup(spark, d).collect()
+
+
 def test_doc_span_dedup_consistent_with_coverage(spark):
     """On the fixture corpus: documents whose duplicated-gram coverage
     is zero must come through the span-dedup untouched, and the
