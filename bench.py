@@ -149,6 +149,7 @@ BENCH_EXCLUDED = {
     "multimodal_features": "3-row binary fixture through stub codecs; measures Arrow setup, not engine throughput",
     "multimodal_preprocess": "2-row binary fixture through stub codecs; same",
     "dedup_embedding_cosine": "guarded quadratic ORACLE TWIN, hard-capped at 1M rows; the scale path timed is dedup_embedding_lsh",
+    "dedup_multimodal": "composition of two already-timed shapes: the Arrow feature pass (multimodal_features' stage) and the banded hamming self-join (dedup_simhash's stage, plus a skinny cap agg); its scale behavior is priced by the mm ladder's png_dedup rung",
     "streaming_click_purchase_join": "micro-batch harness setup dominates; streaming perf represented by streaming_daily_scores + streaming_failure_streaks",
     "streaming_dedup": "micro-batch harness setup dominates; same representatives",
     "streaming_enriched_rollup": "memory-sink micro-batch harness setup dominates at fixture size; the stream-static join adds no exchange (broadcast dim) and streaming perf is represented by streaming_daily_scores + streaming_failure_streaks",

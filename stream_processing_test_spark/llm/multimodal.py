@@ -457,3 +457,206 @@ def multimodal_preprocess(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(F.col("frame_ts_ms") / 1000.0), 2).alias("avg_h"),
     ).select(F.lit("frames").alias("stage"), "n", "avg_w", "avg_h")
     return r.unionAll(f)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal near-duplicate dedup (VERDICT r11 item 4)
+# ---------------------------------------------------------------------------
+
+# Fingerprint geometry mirrors the text SimHash family (llm/dedup.py):
+# 60 bits -> 4 x 15-bit blocks, pigeonhole guarantees any pair at
+# hamming <= 3 shares a block. 60 (not 64) keeps the packed value
+# positive in a signed long in both engines.
+MM_FP_BITS = 60
+MM_FP_BLOCKS = 4
+_MM_BLOCK_BITS = MM_FP_BITS // MM_FP_BLOCKS  # 15
+_MM_BLOCK_MASK = (1 << _MM_BLOCK_BITS) - 1
+MM_FP_MAX_HAMMING = 3
+# Hot-block cap: a DEGENERATE corpus (e.g. near-constant features —
+# random-pixel images all average to the same channel stats) packs
+# every doc into one bucket and the band self-join goes quadratic.
+# Blocks holding more than this many fingerprints are dropped from
+# candidate generation (the rare-shingle DF_MAX idiom): cost is
+# bounded at ~n * cap per block column, recall degrades only for
+# pairs whose EVERY shared block is hot. Expected occupancy at
+# uniform 15-bit blocks is n/32768 per media_type, so the cap is
+# ~70x headroom at the mm ladder's 500k-doc rung.
+MM_BLOCK_DF_MAX = 1024
+
+
+def multimodal_fingerprint_pairs(
+    feats: DataFrame, block_df_max: int = MM_BLOCK_DF_MAX
+) -> DataFrame:
+    """Near-dup pairs from (doc_id, media_type, features) rows:
+    sign-LSH fingerprint + banded hamming join, WITHIN media_type.
+
+    Each 8-dim feature vector is centered at 0.5 (the stub features
+    are uniform in [0,1)) and projected onto MM_FP_BITS deterministic
+    hyperplanes (:func:`hashing.plane_weights` — the same portable
+    family the embedding-LSH oracles replay); bit p is the sign of
+    projection p. The 480 multiply-adds run as ONE literal selectExpr
+    layer inside the scan stage (the pq_encode string-building idiom:
+    no py4j per-op cost, left-associative ``+`` chains matching the
+    oracle's ``list_sum`` fold exactly — no rounding bridge needed,
+    both engines compute identical IEEE doubles in identical order).
+    Candidates come from the Manku-style block join (4 x 15-bit
+    bands), capped per block by ``block_df_max``, verified by exact
+    ``bit_count(xor)``. Shuffles: the fingerprint aggregation is
+    map-free (one pass), the block join shuffles |docs| x 4 skinny
+    rows, and the verify is an integer op on the joined row — the
+    same bounded shape as ``dedup_simhash``."""
+    from stream_processing_test_spark.llm.hashing import plane_weights
+    from stream_processing_test_spark.session import finish_with
+
+    W = plane_weights(1, MM_FP_BITS, FEATURE_DIM)[0]
+    l1 = feats.selectExpr(
+        "doc_id",
+        "media_type",
+        *[
+            f"element_at(features, {j + 1}) - 0.5D AS cf{j}"
+            for j in range(FEATURE_DIM)
+        ],
+    )
+    terms = []
+    for p in range(MM_FP_BITS):
+        dot = " + ".join(
+            f"cf{j} * {W[p][j]!r}D" for j in range(FEATURE_DIM)
+        )
+        terms.append(f"(CASE WHEN ({dot}) > 0D THEN {1 << p}L ELSE 0L END)")
+    fp = l1.selectExpr(
+        "doc_id", "media_type", f"({' + '.join(terms)}) AS fp"
+    ).persist()
+
+    blocks = fp.select(
+        "doc_id",
+        "media_type",
+        "fp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("block_id"),
+                        F.shiftrightunsigned("fp", _MM_BLOCK_BITS * i)
+                        .bitwiseAND(F.lit(_MM_BLOCK_MASK))
+                        .alias("block"),
+                    )
+                    for i in range(MM_FP_BLOCKS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "media_type", "fp", "bb.block_id", "bb.block")
+    keys = ["media_type", "block_id", "block"]
+    bc = (
+        blocks.groupBy(*keys)
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= block_df_max)
+        .select(*keys)
+    )
+    kept = blocks.join(bc, keys)
+    a = kept.select(
+        F.col("doc_id").alias("doc_a"), F.col("fp").alias("h_a"), *keys
+    )
+    b = kept.select(
+        F.col("doc_id").alias("doc_b"), F.col("fp").alias("h_b"), *keys
+    )
+    hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))).cast("long")
+    result = (
+        a.join(b, keys)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("media_type", "doc_a", "doc_b", hamming.alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= MM_FP_MAX_HAMMING)
+    )
+    return finish_with(result, fp)
+
+
+def _stub_feature_sql(i: int) -> str:
+    """DuckDB expression for stub feature ``i`` — byte-sum math from
+    :func:`_decode_stub` replayed verbatim (the _features_oracle
+    formula, generalized to all FEATURE_DIM lanes)."""
+    idxs = "[" + ",".join(str(i + FEATURE_DIM * k) for k in range(8)) + "]"
+    return (
+        f"list_sum(list_transform({idxs}, k -> "
+        "CASE WHEN k < LEAST(length(text), 64) "
+        "THEN unicode(substring(text, k + 1, 1)) ELSE 0 END)) % 251 / 251.0"
+    )
+
+
+def _dedup_multimodal_oracle() -> str:
+    """Full-chain DuckDB replay: stub features (ASCII precondition as
+    _features_oracle) -> plane projections (plane_weights_cte
+    regenerates the identical doubles; list_sum folds left-to-right
+    like the Spark expression's ``+`` chain) -> sign bits -> packed
+    fingerprint -> capped block join -> exact hamming verify."""
+    from stream_processing_test_spark.llm.hashing import plane_weights_cte
+
+    f_list = ", ".join(_stub_feature_sql(i) for i in range(FEATURE_DIM))
+    fold = (
+        f"list_sum(list_transform(range({FEATURE_DIM}), "
+        "j -> hp.w[j+1] * (d.f[j+1] - 0.5)))"
+    )
+    return f"""
+WITH d AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image'
+                WHEN doc_id % 3 = 1 THEN 'audio'
+                ELSE 'video' END AS media_type,
+           [{f_list}] AS f
+    FROM documents),
+{plane_weights_cte(1, MM_FP_BITS, FEATURE_DIM)},
+bits AS (
+    SELECT d.doc_id, d.media_type, hp.p, {fold} AS dot
+    FROM d, hp),
+fp AS (
+    SELECT doc_id, media_type,
+           SUM(CASE WHEN dot > 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS fp
+    FROM bits GROUP BY doc_id, media_type),
+blocks AS (
+    SELECT doc_id, media_type, fp, i,
+           (fp >> ({_MM_BLOCK_BITS} * i)) & {_MM_BLOCK_MASK} AS block
+    FROM fp, range({MM_FP_BLOCKS}) ii(i)),
+bc AS (
+    SELECT media_type, i, block FROM blocks
+    GROUP BY media_type, i, block HAVING COUNT(*) <= {MM_BLOCK_DF_MAX}),
+kept AS (SELECT b.* FROM blocks b JOIN bc USING (media_type, i, block)),
+cand AS (
+    SELECT DISTINCT a.media_type, a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.fp, b.fp)) AS hd
+    FROM kept a JOIN kept b
+      ON a.media_type = b.media_type AND a.i = b.i AND a.block = b.block
+     AND a.doc_id < b.doc_id)
+SELECT media_type, CAST(doc_a AS BIGINT) AS doc_a,
+       CAST(doc_b AS BIGINT) AS doc_b, CAST(hd AS BIGINT) AS hamming
+FROM cand WHERE hd <= {MM_FP_MAX_HAMMING}
+"""
+
+
+@register(
+    "dedup_multimodal",
+    oracle=_dedup_multimodal_oracle(),
+    survey_ops="§7-dedup,§7-multimodal,mapInPandas,SimHash",
+    tier=0,
+)
+def dedup_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal near-dup dedup — the feature-space twin of
+    ``dedup_simhash``: payloads decode to 8-dim feature vectors
+    (:func:`extract_features` — the Arrow mapInPandas kernel, real
+    codecs where they apply, deterministic stub otherwise), vectors
+    sign-quantize to a 60-bit fingerprint on deterministic
+    hyperplanes, and the banded hamming join pairs near-identical
+    media WITHIN each media_type (an image never dedups against an
+    audio clip, however similar the bytes). Oracle-checked
+    END-TO-END: the stub features, the plane doubles, the sign bits
+    and the capped band join are all replayed in SQL. The real-codec
+    path (PNG channel stats) rides the same fingerprint machinery —
+    priced on the mm ladder, pinned by the codec pytests."""
+    docs = load(spark, sf_dir, "documents")
+    media = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+        .alias("media_type"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    return multimodal_fingerprint_pairs(extract_features(media))

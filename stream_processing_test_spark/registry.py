@@ -104,6 +104,7 @@ _ROTATION_TIERS: dict[str, int] = {
     "q8_market_share": 0,
     "dedup_simhash": 0,
     # (0) r12 new/changed — keep current as the round progresses
+    "dedup_multimodal": 0,
     "ann_ivfpq_topk": 0,
     "doc_lm_score": 0,
     # (1) newest driver row is r10
@@ -180,6 +181,7 @@ PLAN_OPAQUE_QUERIES: dict[str, str] = {
     "dedup_embedding_lsh": "bucket+verify materialized in fn()",
     "dedup_minhash_lsh": "signatures/banding materialized in fn()",
     "dedup_ngram_jaccard": "shingle index materialized in fn()",
+    "dedup_multimodal": "fingerprints materialized in fn()",
     "dedup_simhash": "fingerprints materialized in fn()",
     "dup_clusters": "connected-components loop materialized in fn()",
     "dup_clusters_star": "star-contraction loop materialized in fn()",

@@ -1429,6 +1429,59 @@ def test_doc_span_dedup_removes_non_canonical_spans(spark, tmp_path):
     assert got[2]["n_removed"] == 16 and got[2]["cleaned_text"] == ""
 
 
+def test_dedup_multimodal_pairs_within_media_type(spark, tmp_path):
+    """Semantics on a constructed corpus: identical payloads pair at
+    hamming 0 — but ONLY within the same media_type (ids 0 and 3 are
+    both image under the doc_id%3 synth; id 1 is audio with the SAME
+    text and must not pair with either); a payload edited past byte
+    64 keeps identical stub features (head-only kernel) and still
+    pairs; an unrelated text does not."""
+    from stream_processing_test_spark.llm.multimodal import dedup_multimodal
+
+    base = " ".join(f"tok{i}" for i in range(40))  # > 64 bytes of head
+    rows = [
+        (0, base, "en", "s0"),  # image
+        (3, base, "en", "s0"),  # image, identical -> pair (0,3) hd 0
+        (1, base, "en", "s0"),  # audio, identical text -> NO cross pair
+        (6, base + " tail-edit", "en", "s0"),  # image, edit past head
+        (9, "completely different words here " * 4, "en", "s0"),  # image
+    ]
+    d = _write_docs(tmp_path, rows)
+    got = {
+        (r["doc_a"], r["doc_b"]): r for r in dedup_multimodal(spark, d).collect()
+    }
+    assert (0, 3) in got and got[(0, 3)]["hamming"] == 0
+    assert got[(0, 3)]["media_type"] == "image"
+    # head-identical edit: same stub features -> hamming 0 pairs
+    assert (0, 6) in got and got[(0, 6)]["hamming"] == 0
+    assert (3, 6) in got
+    # the audio twin never pairs across media_type
+    assert not any(1 in pair for pair in got)
+    # the unrelated doc stays unpaired
+    assert not any(9 in pair for pair in got)
+
+
+def test_dedup_multimodal_hot_block_cap(spark, tmp_path, monkeypatch):
+    """The block-df cap drops over-occupied blocks from candidate
+    generation: with the cap forced to 1, every 2+-member block is
+    hot and even identical payloads produce no pairs — pinning that
+    the cap is wired through the join (the degenerate-corpus bound)."""
+    from stream_processing_test_spark.llm import multimodal
+
+    base = " ".join(f"tok{i}" for i in range(40))
+    rows = [(0, base, "en", "s0"), (3, base, "en", "s0")]
+    d = _write_docs(tmp_path, rows)
+    assert len(multimodal.dedup_multimodal(spark, d).collect()) == 1
+    media = multimodal.load(spark, d, "documents").selectExpr(
+        "doc_id",
+        "'image' AS media_type",
+        "encode(text, 'UTF-8') AS payload",
+    )
+    feats = multimodal.extract_features(media)
+    capped = multimodal.multimodal_fingerprint_pairs(feats, block_df_max=1)
+    assert capped.collect() == []
+
+
 def test_doc_span_dedup_overlong_doc_fails_loudly(spark, tmp_path, monkeypatch):
     """Contract guard (ADVICE r11): a document whose gram positions
     reach the packing shift must raise, not silently alias into

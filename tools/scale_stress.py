@@ -330,6 +330,37 @@ def multimodal_run(spark, tdir: str, repeats: int) -> dict:
         "resize_sec_attributed": rz_sec,
         "resize_mb_per_s": round(png_mb / rz_sec, 1) if rz_sec else None,
     }
+    # dedup rungs (r12): the registered query on the tier documents
+    # (stub features are byte-diverse -> a REAL banded join at n docs),
+    # plus the fingerprint pipeline over the real-PNG corpus — random
+    # pixels average to near-constant channel stats, so this rung is
+    # the DEGENERATE case the hot-block cap exists for: the recorded
+    # hot-block count documents the bound firing instead of the join
+    # going quadratic.
+    out["dedup_registered"] = time_query(
+        spark, "dedup_multimodal", tdir, repeats
+    )
+    from stream_processing_test_spark.llm.multimodal import (
+        MM_BLOCK_DF_MAX,
+        multimodal_fingerprint_pairs,
+    )
+
+    dd_samples, dd_pairs = [], None
+    for _ in range(repeats):
+        spark.catalog.clearCache()
+        release_pinned_rdds(spark)
+        t0 = time.time()
+        pairs = multimodal_fingerprint_pairs(extract_features(media))
+        n_pairs = pairs.count()
+        dd_samples.append(round(time.time() - t0, 2))
+        if dd_pairs is None:
+            dd_pairs = n_pairs
+    out["png_dedup"] = {
+        "wall_sec": min(dd_samples),
+        "samples": dd_samples,
+        "pairs": dd_pairs,
+        "block_df_max": MM_BLOCK_DF_MAX,
+    }
     return out
 
 
