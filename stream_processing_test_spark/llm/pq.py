@@ -748,7 +748,14 @@ def ivfpq_topk(
     rows = pq_codebooks(emb, n_rows=n_rows)
     if not rows:
         return _empty_topk(emb.sparkSession)
-    assign, centroids = kmeans_lists(emb, k=n_lists, n_rows=n_rows)
+    # checkpoint=False: the assignment's ONLY consumer here is the
+    # encode pass below (the rerank tail re-reads `emb`, not the
+    # assignment), so the index materialization is pure overhead —
+    # the r12 attribution measured the wide-row checkpoint as part of
+    # the dominant stage of the 2M-vector wall.
+    assign, centroids = kmeans_lists(
+        emb, k=n_lists, n_rows=n_rows, checkpoint=False
+    )
     enc = pq_encode(assign, rows, carry=("list_id",))
     codes = _explode_codes(enc, carry=("list_id",))
     lut = _query_luts(queries, rows)

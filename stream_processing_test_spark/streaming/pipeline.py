@@ -752,7 +752,18 @@ def enriched_rollup(
     Spark re-plans it per micro-batch, and the explicit broadcast hint
     keeps the join map-side (the dim is customer-bounded, never
     event-scaled), so enrichment adds ZERO shuffle to the stream: the
-    only exchange is the windowed aggregation's own state shuffle."""
+    only exchange is the windowed aggregation's own state shuffle.
+
+    SCD caveat (MEASURED, r12 — tests/test_streaming.py): re-planned
+    per batch does NOT mean re-LISTED. A file-based dim's listing is
+    frozen in this frame's analyzed plan, so overwriting the dim
+    directory under a running query KILLS the stream
+    (FileNotFoundException on the vanished part files) — and
+    ``spark.catalog.refreshByPath`` does not reach the running plan's
+    own index either. A deployment whose dimension actually changes
+    must either re-read the dim INSIDE ``foreachBatch`` (fresh
+    listing per batch — the pinned pattern) or store the dim in a
+    snapshot-resolving table format."""
     dim = F.broadcast(
         customer.select(
             F.col("c_custkey").alias("user_id"), "c_mktsegment"

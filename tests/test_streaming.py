@@ -118,6 +118,98 @@ def test_update_mode_multi_batch_converges(spark, tmp_path):
     assert got == want
 
 
+def test_stream_static_dim_update_semantics(spark, tmp_path):
+    """SCD semantics of the stream-static enrichment (VERDICT r11
+    item 6), pinned by measurement in BOTH directions:
+
+    (1) the plan-captured static frame does NOT see dim updates — its
+        file listing is frozen at analysis, so overwriting the dim
+        directory under a running query kills the stream rather than
+        refreshing it (the naive deployment pattern is an outage, not
+        an SCD mechanism);
+    (2) the foreachBatch form — a FRESH dim read inside each batch —
+        picks the updated row up in the NEXT batch while the prior
+        batch's output keeps the old attribute (events join the dim
+        as of their processing batch)."""
+    import pandas as pd
+    import pytest
+    from pyspark.sql import functions as F
+
+    dim = str(tmp_path / "dim")
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def write_dim(seg):
+        spark.createDataFrame(
+            pd.DataFrame({"user_id": [1], "seg": [seg]})
+        ).write.mode("overwrite").parquet(dim)
+
+    def write_chunk(name, v):
+        spark.createDataFrame(
+            pd.DataFrame({"user_id": [1], "v": [v]})
+        ).coalesce(1).write.parquet(str(src / name))
+
+    write_dim("A")
+    write_chunk("c0", 10)
+    stream = (
+        spark.readStream.schema("user_id long, v long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/c*/")
+    )
+
+    # (1) the frozen-listing outage, pinned
+    frozen = stream.join(
+        F.broadcast(spark.read.parquet(dim)), "user_id"
+    ).select("user_id", "seg", "v")
+    q1 = (
+        frozen.writeStream.format("memory")
+        .queryName("scd_frozen")
+        .outputMode("append")
+        .start()
+    )
+    q1.processAllAvailable()
+    assert [r["seg"] for r in spark.sql("select * from scd_frozen").collect()] == ["A"]
+    write_dim("B")  # overwrite deletes the listed part files
+    write_chunk("c1", 20)
+    with pytest.raises(Exception):
+        q1.processAllAvailable()
+        if q1.exception() is not None:
+            raise q1.exception()
+    q1.stop()
+
+    # (2) the foreachBatch pattern: fresh dim read per batch
+    out: list[tuple] = []
+
+    def enrich_batch(batch_df, batch_id):
+        d = F.broadcast(batch_df.sparkSession.read.parquet(dim))
+        out.extend(
+            (r["v"], r["seg"])
+            for r in batch_df.join(d, "user_id").select("v", "seg").collect()
+        )
+
+    write_dim("A")
+    write_chunk("c2", 30)
+    stream2 = (
+        spark.readStream.schema("user_id long, v long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/c*/")
+    )
+    q2 = stream2.writeStream.foreachBatch(enrich_batch).start()
+    q2.processAllAvailable()
+    # a fresh stream replays c0..c2; all three batches read dim "A"
+    seen_before_update = sorted(out)
+    write_dim("Z")
+    write_chunk("c3", 40)
+    q2.processAllAvailable()
+    q2.stop()
+    later = sorted(set(out) - set(seen_before_update))
+    # the next batch after the update sees the NEW attribute...
+    assert later == [(40, "Z")]
+    # ...and prior batches' rows keep what the dim said at their time
+    assert all(seg != "Z" for _, seg in seen_before_update)
+    assert (30, "A") in seen_before_update
+
+
 def test_finalize_to_dimension_upserts_scores(spark, tmp_path):
     """T8 end-to-end: events stream -> daily scores -> foreachBatch
     upsert into the source-dimension parquet, idempotent on re-run."""
