@@ -182,6 +182,7 @@ PLAN_OPAQUE_QUERIES: dict[str, str] = {
     "dedup_minhash_lsh": "signatures/banding materialized in fn()",
     "dedup_ngram_jaccard": "shingle index materialized in fn()",
     "dedup_multimodal": "fingerprints materialized in fn()",
+    "doc_lm_score": "persisted pair_tf materialized in fn() (r12 scan cut)",
     "dedup_simhash": "fingerprints materialized in fn()",
     "dup_clusters": "connected-components loop materialized in fn()",
     "dup_clusters_star": "star-contraction loop materialized in fn()",

@@ -537,7 +537,10 @@ _FORCED_BROADCAST_ALLOWED = {
     "ann_ivfpq_topk": "trained centroids (<=256 rows) + (queries x n_probe) probed-list pairs + (queries x codes)-row integer LUTs",
     "bm25_topk": "1-row (N, avgdl) scalars + |query-terms|-row idf table",
     "bm25_multi_topk": "same scalar/idf broadcasts + the literal (query_id, term) relation (|queries| x |terms| rows)",
-    "doc_lm_score": "1-row vocabulary-size scalar (the trained prob relation itself is never hinted — bigram vocab is corpus-scaled)",
+    # doc_lm_score left this list r12: its fn() now materializes via
+    # finish_with (persisted pair_tf scan cut), so the sweep sees only
+    # the checkpoint scan; the 1-row vocab scalar broadcast it used to
+    # prove here is pinned by its oracle row + the lm_score pytest.
     "lang_sampling_weights": "1-row total-weight scalar (the |langs|-row aggregate normalizes against it)",
     "error_labels": "17-row error-code taxonomy dim",
     "failing_programs": "program dim + its HAVING-filtered subset",

@@ -1039,6 +1039,101 @@ def gen_events(out_dir: str, n_events: int, seed: int = SEED) -> dict:
     }
 
 
+def vector_qbatch_run(
+    spark, tdir: str, repeats: int, batches=(5, 64, 512)
+) -> dict:
+    """Query-count crossover for the ANN paths (VERDICT r11 item 5):
+    at a fixed 5-query batch the brute-exact scan beat registered PQ
+    at 2 M vectors (8.96 vs 26.06 s) — the index pays only when its
+    build cost amortizes over queries. This arm prices that: for each
+    batch size B it times brute-exact (corpus × B candidate pairs),
+    ``pq_topk`` (train+encode once per call, ADC per query) and
+    ``ivf_topk`` (train+assign once per call, probed fraction per
+    query) on the SAME query set (vec_id < B). Brute is skipped above
+    ``BRUTE_PAIR_CAP`` candidate pairs (the interpreted-HOF cosine
+    fold makes 10^9-pair batches an hours-scale run, and the
+    crossover is already visible below the cap); the skip is recorded
+    as null + reason, never silent."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from stream_processing_test_spark.llm.pq import pq_topk
+    from stream_processing_test_spark.llm.similarity import (
+        TOP_K,
+        auto_lists,
+        cosine,
+        ivf_topk,
+    )
+    from stream_processing_test_spark.tables import load
+
+    BRUTE_PAIR_CAP = 1 << 28
+    # PQ's ADC pre-aggregation stream is n x PQ_SUBS x B integer rows
+    # (every code row meets every query's LUT entry) — linear in B
+    # like brute, just a much smaller constant. Capped at the volume
+    # of the x4-tier 512-query point (the crossover validation point);
+    # beyond it the marginal-cost extrapolation below the cap already
+    # answers the question.
+    PQ_SCORE_CAP = 1_700_000_000
+
+    emb = load(spark, tdir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    n = emb.select("vec_id").count()
+    out: dict = {"n_vecs": n, "brute_pair_cap": BRUTE_PAIR_CAP, "points": {}}
+
+    def brute_plan(q):
+        sims = (
+            emb.crossJoin(F.broadcast(q))
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                F.col("vec_id").alias("neighbor_id"),
+                F.round(cosine(F.col("qv"), F.col("v")), 4).alias("cos_sim"),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+        )
+        return (
+            sims.withColumn("rk", F.row_number().over(w).cast("long"))
+            .filter(F.col("rk") <= TOP_K)
+        )
+
+    def timed(build) -> float:
+        walls = []
+        for _ in range(repeats):
+            spark.catalog.clearCache()
+            release_pinned_rdds(spark)
+            t0 = time.time()
+            build().write.format("noop").mode("overwrite").save()
+            walls.append(round(time.time() - t0, 2))
+        return min(walls)
+
+    for B in batches:
+        q = emb.filter(F.col("vec_id") < B).select(
+            F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        )
+        pt: dict = {}
+        if n * B <= BRUTE_PAIR_CAP:
+            pt["brute"] = timed(lambda: brute_plan(q))
+        else:
+            pt["brute"] = None
+            pt["brute_skipped"] = (
+                f"{n * B:.2e} candidate pairs > cap (interpreted fold)"
+            )
+        if n * 16 * B <= PQ_SCORE_CAP:
+            pt["pq"] = timed(lambda: pq_topk(emb, q))
+        else:
+            pt["pq"] = None
+            pt["pq_skipped"] = (
+                f"{n * 16 * B:.2e} ADC pre-agg rows > cap"
+            )
+        pt["ivf"] = timed(lambda: ivf_topk(emb, q, n_lists=auto_lists(n)))
+        out["points"][str(B)] = pt
+        print(f"[qbatch B={B}] {pt}", flush=True)
+    return out
+
+
 def vector_ivfpq_run(spark, tdir: str, repeats: int) -> dict:
     """Time the registered IVF-PQ composition (``ann_ivfpq_topk``
     verbatim) on the tier corpus and record: the auto_lists /
@@ -1366,7 +1461,7 @@ def main() -> None:
     ap.add_argument(
         "--vec-extras",
         default="",
-        help="comma list from {thr08,ivf,ann,recall,policywall,pq,pqdial,ivfpq}: for the "
+        help="comma list from {thr08,ivf,ann,recall,policywall,pq,pqdial,ivfpq,qbatch}: for the "
         "named vec tiers run ONLY these attribution extras (threshold-0.8 "
         "LSH variant, IVF rung, the REGISTERED ann_lsh_topk verbatim, the "
         "planted-pair recall probe at the registered + policy operating "
@@ -1433,6 +1528,8 @@ def main() -> None:
             time_query(spark, "ann_ivfpq_topk", wdir, 1)
             if "pq" not in vec_extras:
                 time_query(spark, "ann_cosine_topk", wdir, 1)
+        if "qbatch" in vec_extras:
+            vector_qbatch_run(spark, wdir, 1, batches=(5,))
         print("[warmup] vector JIT pass done", flush=True)
     if any(t.startswith("stream_") for t in tier_names):
         wdir = os.path.join(args.scratch, "warmup_stream")
@@ -1641,6 +1738,11 @@ def main() -> None:
                         spark, tdir, args.repeats
                     )
                     print(f"[{tier}] ivfpq: {entry['ivfpq']}", flush=True)
+                if "qbatch" in vec_extras:
+                    entry["qbatch"] = vector_qbatch_run(
+                        spark, tdir, args.repeats
+                    )
+                    print(f"[{tier}] qbatch: {entry['qbatch']}", flush=True)
                 if "pqdial" in vec_extras:
                     # the PQ recall dial: the `pq` extra measured
                     # recall@10 decaying to ~0.40 up the ladder with
