@@ -47,10 +47,10 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # touches: NEW operators registered this round and any query whose
 # implementation or oracle changed (kept current as the round
 # progresses).
-# Tier (1) = 27 of the 48 queries whose newest driver row is r10;
-# tier-0 + 27 fills the window exactly.
+# Tier (1) = 26 of the 48 queries whose newest driver row is r10;
+# tier-0 (24) + 26 fills the window exactly.
 #
-# TWENTY-ONE r10-row queries are deferred to r13 — all
+# TWENTY-TWO r10-row queries are deferred to r13 — all
 # unchanged-code shape twins of queries holding a fresh (r11 or
 # r12-window) row:
 # ``bm25_topk`` (single-query twin of in-window ``bm25_multi_topk``),
@@ -78,8 +78,10 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # ``q14_promo_revenue_share``), ``q17_small_quantity_revenue``
 # (correlated-scalar twin of in-window ``q11_important_parts``),
 # ``top_events_per_user`` (window-topk twin of in-window
-# ``rolling_user_stats``). ALL TWENTY-ONE must head r13's window
-# (plus anything r13 changes).
+# ``rolling_user_stats``), ``stratified_sample`` (deterministic-rank
+# sampling twin of r11-row ``class_balanced_sample`` — demoted when
+# the r12 fold change pulled ``ann_ivf_topk`` into tier 0). ALL
+# TWENTY-TWO must head r13's window (plus anything r13 changes).
 # Unlisted queries keep ``10 + tier``.
 _ROTATION_TIERS: dict[str, int] = {
     # (0) the twenty r9-row deferrals
@@ -103,9 +105,13 @@ _ROTATION_TIERS: dict[str, int] = {
     "q7_nation_trade_volume": 0,
     "q8_market_share": 0,
     "dedup_simhash": 0,
-    # (0) r12 new/changed — keep current as the round progresses
+    # (0) r12 new/changed — keep current as the round progresses:
+    # dedup_multimodal NEW; ann_ivfpq_topk (checkpoint=False + the
+    # blocked assignment fold) and ann_ivf_topk (same fold) changed;
+    # doc_lm_score changed (persisted pair_tf scan cut)
     "dedup_multimodal": 0,
     "ann_ivfpq_topk": 0,
+    "ann_ivf_topk": 0,
     "doc_lm_score": 0,
     # (1) newest driver row is r10
     "q5_region_revenue": 1,
@@ -131,7 +137,6 @@ _ROTATION_TIERS: dict[str, int] = {
     "daily_report_pipeline": 1,
     "probe_source_events": 1,
     "dedup_exact": 1,
-    "stratified_sample": 1,
     "corpus_curation_pipeline": 1,
     "streaming_click_purchase_join": 1,
     "streaming_failure_streaks": 1,
