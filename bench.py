@@ -326,8 +326,18 @@ def main() -> None:
     cal_mean = sum(cals) / len(cals)
     total_cal = round(total * CAL_REF_SEC / cal_mean, 3) if cal_mean else None
     sf_num = float(sf) if sf.replace(".", "").isdigit() else sf
-    prev, prev_source = _prev_committed_detail()
-    drift = _drift_report(prev, prev_source, timings, cal_mean, sf_num)
+    if errors:
+        # a failed slot makes the TOTALS incomparable across rounds
+        # (fewer queries summed reads as a phantom speedup) — the raw
+        # value stays (the driver parses it) but the cross-round
+        # comparison number and the drift report are withheld; the
+        # per-query timings + the errors map remain the honest view
+        total_cal = None
+        drift = None
+        prev_source = None
+    else:
+        prev, prev_source = _prev_committed_detail()
+        drift = _drift_report(prev, prev_source, timings, cal_mean, sf_num)
     # Full detail to a committed side file: the driver's BENCH artifact
     # keeps only the last 2000 chars of stdout, so the printed line must
     # stay compact (timings only) or early queries' numbers are lost.

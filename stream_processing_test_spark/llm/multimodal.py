@@ -484,6 +484,34 @@ MM_FP_MAX_HAMMING = 3
 MM_BLOCK_DF_MAX = 1024
 
 
+def multimodal_fingerprints(feats: DataFrame) -> DataFrame:
+    """The sign-LSH fingerprint stage of :func:`multimodal_fingerprint_pairs`
+    alone: (doc_id, media_type, features) → (doc_id, media_type, fp).
+    Factored out so evidence probes (the mm ladder's hot-block count)
+    can inspect fingerprint/block occupancy without running the join;
+    the float/ordering contract is documented on the pairs function."""
+    from stream_processing_test_spark.llm.hashing import plane_weights
+
+    W = plane_weights(1, MM_FP_BITS, FEATURE_DIM)[0]
+    l1 = feats.selectExpr(
+        "doc_id",
+        "media_type",
+        *[
+            f"element_at(features, {j + 1}) - 0.5D AS cf{j}"
+            for j in range(FEATURE_DIM)
+        ],
+    )
+    terms = []
+    for p in range(MM_FP_BITS):
+        dot = " + ".join(
+            f"cf{j} * {W[p][j]!r}D" for j in range(FEATURE_DIM)
+        )
+        terms.append(f"(CASE WHEN ({dot}) > 0D THEN {1 << p}L ELSE 0L END)")
+    return l1.selectExpr(
+        "doc_id", "media_type", f"({' + '.join(terms)}) AS fp"
+    )
+
+
 def multimodal_fingerprint_pairs(
     feats: DataFrame, block_df_max: int = MM_BLOCK_DF_MAX
 ) -> DataFrame:
@@ -505,27 +533,9 @@ def multimodal_fingerprint_pairs(
     map-free (one pass), the block join shuffles |docs| x 4 skinny
     rows, and the verify is an integer op on the joined row — the
     same bounded shape as ``dedup_simhash``."""
-    from stream_processing_test_spark.llm.hashing import plane_weights
     from stream_processing_test_spark.session import finish_with
 
-    W = plane_weights(1, MM_FP_BITS, FEATURE_DIM)[0]
-    l1 = feats.selectExpr(
-        "doc_id",
-        "media_type",
-        *[
-            f"element_at(features, {j + 1}) - 0.5D AS cf{j}"
-            for j in range(FEATURE_DIM)
-        ],
-    )
-    terms = []
-    for p in range(MM_FP_BITS):
-        dot = " + ".join(
-            f"cf{j} * {W[p][j]!r}D" for j in range(FEATURE_DIM)
-        )
-        terms.append(f"(CASE WHEN ({dot}) > 0D THEN {1 << p}L ELSE 0L END)")
-    fp = l1.selectExpr(
-        "doc_id", "media_type", f"({' + '.join(terms)}) AS fp"
-    ).persist()
+    fp = multimodal_fingerprints(feats).persist()
 
     blocks = fp.select(
         "doc_id",

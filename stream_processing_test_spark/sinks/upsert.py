@@ -174,9 +174,20 @@ def _execute_driver_sql(
 
 
 def _q(name: str) -> str:
-    """Quote an identifier the way Spark's JDBC writer does (exact-case
-    double quotes), so driver-side SQL matches Spark-created tables."""
+    """Quote an identifier the way Spark's JDBC writer does for ANSI
+    databases (exact-case double quotes), so driver-side SQL matches
+    Spark-created tables."""
     return '"' + name.replace('"', '""') + '"'
+
+
+def _q_mysql(name: str) -> str:
+    """MySQL identifier quoting: BACKTICKS (r12 review finding) —
+    stock MySQL (no ANSI_QUOTES) parses double-quoted identifiers as
+    string literals, so the ANSI form is a syntax error inside
+    ``VALUES(...)``; Spark's own MySQL JDBC dialect creates tables
+    with backtick-quoted columns, so this also matches the staging
+    table the writer just made."""
+    return "`" + name.replace("`", "``") + "`"
 
 
 def merge_into_sql(
@@ -198,12 +209,13 @@ def merge_into_sql(
     writer creates them); column names are exact-case quoted (ditto).
     """
     upd = [c for c in columns if c != key]
-    col_list = ", ".join(_q(c) for c in columns)
     if dialect == "mysql":
+        q = _q_mysql
+        col_list = ", ".join(q(c) for c in columns)
         sets = ", ".join(
-            f"{_q(c)} = VALUES({_q(c)})"
+            f"{q(c)} = VALUES({q(c)})"
             if c in always_set
-            else f"{_q(c)} = COALESCE(VALUES({_q(c)}), {table}.{_q(c)})"
+            else f"{q(c)} = COALESCE(VALUES({q(c)}), {table}.{q(c)})"
             for c in upd
         )
         return (
@@ -211,6 +223,7 @@ def merge_into_sql(
             f"SELECT {col_list} FROM {staging} "
             f"ON DUPLICATE KEY UPDATE {sets}"
         )
+    col_list = ", ".join(_q(c) for c in columns)
     sets = ", ".join(
         f"{_q(c)} = s.{_q(c)}"
         if c in always_set

@@ -229,8 +229,11 @@ def test_merge_into_sql_dialects():
     )
     assert my.startswith("INSERT INTO dim")
     assert "ON DUPLICATE KEY UPDATE" in my
-    assert 'COALESCE(VALUES("name"), dim."name")' in my
-    assert '"score" = VALUES("score")' in my
+    # backticks, not ANSI double quotes: stock MySQL (no ANSI_QUOTES)
+    # parses "name" as a string literal (r12 review finding)
+    assert "COALESCE(VALUES(`name`), dim.`name`)" in my
+    assert "`score` = VALUES(`score`)" in my
+    assert '"' not in my
 
 
 def test_merge_into_sql_mysql_verbatim():
@@ -245,11 +248,11 @@ def test_merge_into_sql_mysql_verbatim():
         dialect="mysql",
     )
     assert my == (
-        'INSERT INTO dim ("id", "name", "score") '
-        'SELECT "id", "name", "score" FROM dim__stg '
-        'ON DUPLICATE KEY UPDATE '
-        '"name" = COALESCE(VALUES("name"), dim."name"), '
-        '"score" = VALUES("score")'
+        "INSERT INTO dim (`id`, `name`, `score`) "
+        "SELECT `id`, `name`, `score` FROM dim__stg "
+        "ON DUPLICATE KEY UPDATE "
+        "`name` = COALESCE(VALUES(`name`), dim.`name`), "
+        "`score` = VALUES(`score`)"
     )
 
 
@@ -315,8 +318,9 @@ def test_mysql_upsert_semantics_via_duckdb_on_conflict(spark):
     )
     ddb = (
         my.replace("ON DUPLICATE KEY UPDATE", 'ON CONFLICT ("id") DO UPDATE SET')
-        .replace('VALUES("name")', 'EXCLUDED."name"')
-        .replace('VALUES("score")', 'EXCLUDED."score"')
+        .replace("VALUES(`name`)", 'EXCLUDED."name"')
+        .replace("VALUES(`score`)", 'EXCLUDED."score"')
+        .replace("`", '"')  # backtick -> ANSI quoting, char for char
     )
     con = duckdb.connect()
     con.execute(

@@ -11,9 +11,12 @@ so consecutive diffs attribute each stage:
   count      — the n_rows probe (metadata-cheap scan)
   codebooks  — PQ trainer (hash-capped sample collect + driver Lloyd)
   kmeans     — IVF trainer (sample collect + driver Lloyd, k lists)
-  assign     — the Arrow assignment pass materialized (localCheckpoint
-               of (vec_id, v, list_id) — the composition's index build)
-  encode     — pq_encode over the checkpointed assignment + code explode
+  assign     — the Arrow assignment pass materialized (since r12 the
+               registered composition runs checkpoint=False; every
+               prefix here replays that, so the diffs attribute the
+               registered shape — the pre-fix checkpointed split is
+               recorded in BENCH_NOTES §r12-ivfpq-attrib)
+  encode     — pq_encode over the assignment output + code explode
   adc        — probed-list restriction + LUT join + integer group-sum
   full       — the registered tail (shortlist window, exact re-rank,
                top-k) = the whole query
@@ -114,14 +117,16 @@ def _prefix_walls(spark, tdir: str) -> dict[str, float]:
     def p_kmeans():
         n = emb.select("vec_id").count()
         pq_codebooks(emb, n_rows=n)
-        kmeans_lists(emb, k=auto_lists(n), n_rows=n)  # no materialize
+        kmeans_lists(emb, k=auto_lists(n), n_rows=n, checkpoint=False)  # no materialize
 
     timed("kmeans", p_kmeans)
 
     def p_assign():
         n = emb.select("vec_id").count()
         pq_codebooks(emb, n_rows=n)
-        assign, _ = kmeans_lists(emb, k=auto_lists(n), n_rows=n)
+        assign, _ = kmeans_lists(
+            emb, k=auto_lists(n), n_rows=n, checkpoint=False
+        )
         _noop(assign)
 
     timed("assign", p_assign)
@@ -129,7 +134,9 @@ def _prefix_walls(spark, tdir: str) -> dict[str, float]:
     def p_encode():
         n = emb.select("vec_id").count()
         rows = pq_codebooks(emb, n_rows=n)
-        assign, _ = kmeans_lists(emb, k=auto_lists(n), n_rows=n)
+        assign, _ = kmeans_lists(
+            emb, k=auto_lists(n), n_rows=n, checkpoint=False
+        )
         enc = pq_encode(assign, rows, carry=("list_id",))
         _noop(_explode_codes(enc, carry=("list_id",)))
 
@@ -138,7 +145,9 @@ def _prefix_walls(spark, tdir: str) -> dict[str, float]:
     def p_adc():
         n = emb.select("vec_id").count()
         rows = pq_codebooks(emb, n_rows=n)
-        assign, centroids = kmeans_lists(emb, k=auto_lists(n), n_rows=n)
+        assign, centroids = kmeans_lists(
+            emb, k=auto_lists(n), n_rows=n, checkpoint=False
+        )
         enc = pq_encode(assign, rows, carry=("list_id",))
         codes = _explode_codes(enc, carry=("list_id",))
         qv = _queries(emb)

@@ -355,11 +355,36 @@ def multimodal_run(spark, tdir: str, repeats: int) -> dict:
         dd_samples.append(round(time.time() - t0, 2))
         if dd_pairs is None:
             dd_pairs = n_pairs
+    # untimed evidence probe (r12 review finding): pairs=0 with the
+    # cap FIRING must be distinguishable from pairs=0 on a clean
+    # corpus, so count the blocks the cap dropped.
+    from stream_processing_test_spark.llm.multimodal import (
+        _MM_BLOCK_BITS,
+        _MM_BLOCK_MASK,
+        MM_FP_BLOCKS,
+        multimodal_fingerprints,
+    )
+
+    fp = multimodal_fingerprints(extract_features(media))
+    stack = ", ".join(
+        f"{i}, int(shiftrightunsigned(fp, {_MM_BLOCK_BITS * i}) & {_MM_BLOCK_MASK})"
+        for i in range(MM_FP_BLOCKS)
+    )
+    hot_blocks = (
+        fp.selectExpr(
+            "media_type", f"stack({MM_FP_BLOCKS}, {stack}) AS (i, block)"
+        )
+        .groupBy("media_type", "i", "block")
+        .count()
+        .filter(F.col("count") > MM_BLOCK_DF_MAX)
+        .count()
+    )
     out["png_dedup"] = {
         "wall_sec": min(dd_samples),
         "samples": dd_samples,
         "pairs": dd_pairs,
         "block_df_max": MM_BLOCK_DF_MAX,
+        "hot_blocks_dropped": hot_blocks,
     }
     return out
 
@@ -1057,7 +1082,7 @@ def vector_qbatch_run(
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    from stream_processing_test_spark.llm.pq import pq_topk
+    from stream_processing_test_spark.llm.pq import PQ_SUBS, pq_topk
     from stream_processing_test_spark.llm.similarity import (
         TOP_K,
         auto_lists,
@@ -1121,12 +1146,12 @@ def vector_qbatch_run(
             pt["brute_skipped"] = (
                 f"{n * B:.2e} candidate pairs > cap (interpreted fold)"
             )
-        if n * 16 * B <= PQ_SCORE_CAP:
+        if n * PQ_SUBS * B <= PQ_SCORE_CAP:
             pt["pq"] = timed(lambda: pq_topk(emb, q))
         else:
             pt["pq"] = None
             pt["pq_skipped"] = (
-                f"{n * 16 * B:.2e} ADC pre-agg rows > cap"
+                f"{n * PQ_SUBS * B:.2e} ADC pre-agg rows > cap"
             )
         pt["ivf"] = timed(lambda: ivf_topk(emb, q, n_lists=auto_lists(n)))
         out["points"][str(B)] = pt
