@@ -153,6 +153,88 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+VOCAB_TOP_K = 20      # bigrams reported per language
+_VOCAB_SALT = 32      # phase-1 prune width (intermediate only — the
+#                       salt never reaches the result, so xxhash64 is
+#                       fine here even though DuckDB can't compute it)
+
+_VOCAB_ORACLE = f"""
+WITH toks AS (
+    SELECT lang, regexp_split_to_array(lower(trim(text)), '\\s+') AS w
+    FROM documents
+),
+big AS (
+    SELECT lang, w[i + 1] || ' ' || w[i + 2] AS bigram
+    FROM (SELECT lang, w, unnest(range(0, len(w) - 1)) AS i
+          FROM toks WHERE len(w) >= 2)
+),
+cnt AS (SELECT lang, bigram, COUNT(*) AS n FROM big GROUP BY lang, bigram),
+rk AS (
+    SELECT lang, bigram, n,
+           ROW_NUMBER() OVER (PARTITION BY lang
+                              ORDER BY n DESC, bigram ASC) AS rk
+    FROM cnt
+)
+SELECT lang, bigram, CAST(n AS BIGINT) AS n, CAST(rk AS INT) AS rk
+FROM rk WHERE rk <= {VOCAB_TOP_K}
+"""
+
+
+@register(
+    "vocab_top_ngrams",
+    oracle=_VOCAB_ORACLE,
+    survey_ops="§7-text,A2,A8,W1",
+    tier=0,
+)
+def vocab_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language top-K bigram counts — the corpus-statistics pass
+    that seeds tokenizer/vocabulary training (BPE merge candidates are
+    exactly the highest-frequency adjacent pairs). Deterministic
+    order: count descending, bigram ascending on ties.
+
+    Plan shape at scale: explode → partial-aggregated groupBy on
+    (lang, bigram) — the shuffle moves combiner rows, Zipf-compressed.
+    The top-K itself is TWO-PHASE: a window over (lang, salt-of-bigram)
+    first prunes each of ``_VOCAB_SALT`` hash buckets to its local
+    top-K, then the final window over lang ranks the ≤ 32×20
+    survivors. A single window over lang alone would sort every
+    distinct bigram of a language inside ONE partition — with a
+    handful of languages over a 100 TB corpus that is a few-partition
+    sort of billions of rows, the classic per-group top-k scale trap.
+    Pruning is lossless: any global top-K row is top-K within its salt
+    bucket (per-lang order is total: n DESC, bigram ASC), so the
+    result is identical to the one-window plan the oracle replays."""
+    docs = load(spark, sf_dir, "documents")
+    w = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    bigrams = F.transform(
+        F.sequence(F.lit(0), F.size("w") - 2),
+        lambda i: F.concat_ws(" ", F.element_at("w", i + 1), F.element_at("w", i + 2)),
+    )
+    cnt = (
+        docs.select("lang", w.alias("w"))
+        .filter(F.size("w") >= 2)
+        .select("lang", F.explode(bigrams).alias("bigram"))
+        .groupBy("lang", "bigram")
+        .agg(F.count("*").alias("n"))
+    )
+    order = [F.col("n").desc(), F.col("bigram").asc()]
+    pruned = (
+        cnt.withColumn("salt", F.pmod(F.xxhash64("bigram"), F.lit(_VOCAB_SALT)))
+        .withColumn(
+            "prk",
+            F.row_number().over(Window.partitionBy("lang", "salt").orderBy(*order)),
+        )
+        .filter(F.col("prk") <= VOCAB_TOP_K)
+    )
+    return (
+        pruned.withColumn(
+            "rk", F.row_number().over(Window.partitionBy("lang").orderBy(*order))
+        )
+        .filter(F.col("rk") <= VOCAB_TOP_K)
+        .select("lang", "bigram", "n", "rk")
+    )
+
+
 # ---------------------------------------------------------------------------
 # End-to-end curation pipeline — quality gate -> dedup keep -> sample
 # ---------------------------------------------------------------------------

@@ -67,24 +67,52 @@ LANG_MARKERS = {
     "fr": "hash",
 }
 
-_LANG_ORACLE = f"""
-WITH scored AS (
-    SELECT doc_id, lang AS labeled_lang,
+# Shared oracle fragments: the scored CTE and the argmax CASE are
+# composed verbatim by BOTH the per-document lang_id_ngram oracle and
+# the corpus-level lang_mismatch_audit oracle, so the two can never
+# disagree on what "predicted language" means.
+_LANG_SCORED_CTE = f"""scored AS (
+    SELECT doc_id, lang AS labeled_lang, source,
            {_sql_occurrences('the')} AS m_en,
            {_sql_occurrences('stream')} AS m_es,
            {_sql_occurrences('window')} AS m_de,
            {_sql_occurrences('hash')} AS m_fr
     FROM documents
-)
-SELECT CAST(doc_id AS BIGINT) AS doc_id, labeled_lang,
-       CASE WHEN m_en >= m_es AND m_en >= m_de AND m_en >= m_fr THEN 'en'
+)"""
+_LANG_PRED_CASE = """CASE WHEN m_en >= m_es AND m_en >= m_de AND m_en >= m_fr THEN 'en'
             WHEN m_es >= m_de AND m_es >= m_fr THEN 'es'
             WHEN m_de >= m_fr THEN 'de'
-            ELSE 'fr' END AS predicted_lang,
+            ELSE 'fr' END"""
+
+_LANG_ORACLE = f"""
+WITH {_LANG_SCORED_CTE}
+SELECT CAST(doc_id AS BIGINT) AS doc_id, labeled_lang,
+       {_LANG_PRED_CASE} AS predicted_lang,
        CAST(m_en AS INT) AS m_en, CAST(m_es AS INT) AS m_es,
        CAST(m_de AS INT) AS m_de, CAST(m_fr AS INT) AS m_fr
 FROM scored
 """
+
+
+def lang_marker_counts() -> dict[str, Column]:
+    """Per-language marker-occurrence expressions over ``text`` — the
+    single Spark-side definition behind ``lang_id_ngram`` and
+    ``lang_mismatch_audit`` (SQL twin: ``_LANG_SCORED_CTE``)."""
+    t = F.col("text")
+    return {k: _occurrences(t, v) for k, v in LANG_MARKERS.items()}
+
+
+def predicted_lang_expr(m: dict[str, Column]) -> Column:
+    """Argmax-with-precedence over the marker counts (en > es > de >
+    fr on ties) — the Spark twin of ``_LANG_PRED_CASE``."""
+    return (
+        F.when(
+            (m["en"] >= m["es"]) & (m["en"] >= m["de"]) & (m["en"] >= m["fr"]), "en"
+        )
+        .when((m["es"] >= m["de"]) & (m["es"] >= m["fr"]), "es")
+        .when(m["de"] >= m["fr"], "de")
+        .otherwise("fr")
+    )
 
 
 @register(
@@ -96,16 +124,8 @@ def lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ties). Pure string expressions — at corpus scale this is a
     single map-side pass, no shuffle."""
     docs = load(spark, sf_dir, "documents")
-    t = F.col("text")
-    m = {k: _occurrences(t, v) for k, v in LANG_MARKERS.items()}
-    predicted = (
-        F.when(
-            (m["en"] >= m["es"]) & (m["en"] >= m["de"]) & (m["en"] >= m["fr"]), "en"
-        )
-        .when((m["es"] >= m["de"]) & (m["es"] >= m["fr"]), "es")
-        .when(m["de"] >= m["fr"], "de")
-        .otherwise("fr")
-    )
+    m = lang_marker_counts()
+    predicted = predicted_lang_expr(m)
     return docs.select(
         "doc_id",
         F.col("lang").alias("labeled_lang"),
@@ -114,6 +134,59 @@ def lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         m["es"].alias("m_es"),
         m["de"].alias("m_de"),
         m["fr"].alias("m_fr"),
+    )
+
+
+_LANG_AUDIT_ORACLE = f"""
+WITH {_LANG_SCORED_CTE},
+pred AS (
+    SELECT source, labeled_lang,
+           {_LANG_PRED_CASE} AS predicted_lang
+    FROM scored
+)
+SELECT source, labeled_lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN predicted_lang <> labeled_lang THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch,
+       ROUND(SUM(CASE WHEN predicted_lang <> labeled_lang THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 4) AS mismatch_rate
+FROM pred GROUP BY source, labeled_lang
+"""
+
+
+@register(
+    "lang_mismatch_audit",
+    oracle=_LANG_AUDIT_ORACLE,
+    survey_ops="§7-text,A1,A7,F12",
+    tier=0,
+)
+def lang_mismatch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-vs-classifier language audit (the CCNet-style curation
+    check): re-classify every document with the marker heuristic and
+    report, per (source, labeled_lang), how often the classifier
+    disagrees with the stored label — the signal that a source's
+    language metadata is untrustworthy and its docs need re-routing
+    before language-stratified sampling.
+
+    Shares the marker-count and argmax expressions with
+    ``lang_id_ngram`` (Spark: :func:`lang_marker_counts` /
+    :func:`predicted_lang_expr`; SQL: ``_LANG_SCORED_CTE`` /
+    ``_LANG_PRED_CASE``), so the audit can never drift from the
+    classifier it audits.
+
+    Plan shape at scale: one map pass (string expressions, no UDF)
+    into a partial-aggregated groupBy on (source, labeled_lang) —
+    output cardinality is |sources| × |langs|, so the shuffle moves
+    combiner rows, not documents."""
+    docs = load(spark, sf_dir, "documents")
+    m = lang_marker_counts()
+    mismatch = (predicted_lang_expr(m) != F.col("lang")).cast("long")
+    return (
+        docs.select(F.col("source"), F.col("lang").alias("labeled_lang"), mismatch.alias("mm"))
+        .groupBy("source", "labeled_lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("mm").alias("n_mismatch"),
+            F.round(F.sum("mm") / F.count("*"), 4).alias("mismatch_rate"),
+        )
     )
 
 

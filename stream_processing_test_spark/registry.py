@@ -47,10 +47,10 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # touches: NEW operators registered this round and any query whose
 # implementation or oracle changed (kept current as the round
 # progresses).
-# Tier (1) = 26 of the 48 queries whose newest driver row is r10;
-# tier-0 (24) + 26 fills the window exactly.
+# Tier (1) = 23 of the 48 queries whose newest driver row is r10;
+# tier-0 (27) + 23 fills the window exactly.
 #
-# TWENTY-TWO r10-row queries are deferred to r13 — all
+# TWENTY-FIVE r10-row queries are deferred to r13 — all
 # unchanged-code shape twins of queries holding a fresh (r11 or
 # r12-window) row:
 # ``bm25_topk`` (single-query twin of in-window ``bm25_multi_topk``),
@@ -80,8 +80,16 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # ``top_events_per_user`` (window-topk twin of in-window
 # ``rolling_user_stats``), ``stratified_sample`` (deterministic-rank
 # sampling twin of r11-row ``class_balanced_sample`` — demoted when
-# the r12 fold change pulled ``ann_ivf_topk`` into tier 0). ALL
-# TWENTY-TWO must head r13's window (plus anything r13 changes).
+# the r12 fold change pulled ``ann_ivf_topk`` into tier 0),
+# ``daily_report_pipeline`` (composition of in-window
+# ``per_source_rollup`` + the pytest-pinned report batching — demoted
+# when r12 registered ``lang_mismatch_audit``) and ``active_sources``
+# (dim-scan prefix of in-window ``failing_programs``, same table and
+# filter stage — demoted when r12 registered ``vocab_top_ngrams``),
+# and ``dedup_exact`` (hash-groupBy over the same md5 fingerprint key
+# as tier-0 ``doc_fingerprint`` — demoted when the lang_id refactor
+# pulled ``lang_id_ngram`` into tier 0).
+# ALL TWENTY-FIVE must head r13's window (plus anything r13 changes).
 # Unlisted queries keep ``10 + tier``.
 _ROTATION_TIERS: dict[str, int] = {
     # (0) the twenty r9-row deferrals
@@ -113,6 +121,13 @@ _ROTATION_TIERS: dict[str, int] = {
     "ann_ivfpq_topk": 0,
     "ann_ivf_topk": 0,
     "doc_lm_score": 0,
+    # lang_mismatch_audit + vocab_top_ngrams NEW r12; lang_id_ngram's
+    # implementation now routes through the shared marker/argmax
+    # helpers the audit composes (expression-identical refactor, but
+    # changed code ⇒ a fresh row per the rotation contract)
+    "lang_mismatch_audit": 0,
+    "vocab_top_ngrams": 0,
+    "lang_id_ngram": 0,
     # (1) newest driver row is r10
     "q5_region_revenue": 1,
     "quantity_grouping_sets": 1,
@@ -129,14 +144,11 @@ _ROTATION_TIERS: dict[str, int] = {
     "rolling_user_stats": 1,
     "revenue_rollup": 1,
     "props_json_stats": 1,
-    "active_sources": 1,
     "failing_programs": 1,
     "program_match": 1,
     "day_close_trigger": 1,
     "per_source_rollup": 1,
-    "daily_report_pipeline": 1,
     "probe_source_events": 1,
-    "dedup_exact": 1,
     "corpus_curation_pipeline": 1,
     "streaming_click_purchase_join": 1,
     "streaming_failure_streaks": 1,

@@ -1556,3 +1556,58 @@ def test_class_balanced_sample_exact_quotas(spark):
         (r["doc_id"], r["rk"]) for r in class_balanced_sample(spark, SF).collect()
     }
     assert again == {(r["doc_id"], r["rk"]) for r in rows}
+
+
+def test_vocab_top_ngrams_prune_matches_naive(spark):
+    """The two-phase (salt-pruned) per-lang top-K must equal the naive
+    one-window top-K — pruning is lossless because any global top-K
+    bigram is top-K within its own salt bucket. Recomputed here in
+    pandas from the raw corpus (independent of both Spark plans)."""
+    from collections import Counter
+
+    from stream_processing_test_spark.llm.corpus import (
+        VOCAB_TOP_K,
+        vocab_top_ngrams,
+    )
+
+    got = {}
+    for r in vocab_top_ngrams(spark, SF).collect():
+        got.setdefault(r["lang"], []).append((r["rk"], r["bigram"], r["n"]))
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["text", "lang"])
+    want: dict[str, Counter] = {}
+    for text, lang in zip(docs.text, docs.lang):
+        w = text.strip().lower().split()
+        want.setdefault(lang, Counter()).update(
+            f"{a} {b}" for a, b in zip(w, w[1:])
+        )
+    for lang, cnt in want.items():
+        top = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:VOCAB_TOP_K]
+        expect = [(i + 1, bg, n) for i, (bg, n) in enumerate(top)]
+        assert sorted(got[lang]) == expect, lang
+
+
+def test_lang_mismatch_audit_known_corpus(spark, tmp_path):
+    """Hand-built corpus with known marker words: 'the the' predicts
+    en; 'stream stream stream' predicts es; a doc with NO markers
+    predicts en (all counts 0, precedence). Mismatch rates follow."""
+    from stream_processing_test_spark.llm.text import lang_mismatch_audit
+
+    rows = [
+        (0, "the the quick fox", "en", "s0"),      # match
+        (1, "stream stream stream", "en", "s0"),   # mismatch (es)
+        (2, "no markers at all", "de", "s1"),      # mismatch (en)
+        (3, "window window hash", "de", "s1"),     # match
+        (4, "window window hash", "de", "s1"),     # match
+    ]
+    d = _write_docs(tmp_path, rows)
+    got = {
+        (r["source"], r["labeled_lang"]): (
+            r["n_docs"], r["n_mismatch"], r["mismatch_rate"]
+        )
+        for r in lang_mismatch_audit(spark, d).collect()
+    }
+    assert got == {
+        ("s0", "en"): (2, 1, 0.5),
+        ("s1", "de"): (3, 1, 0.3333),
+    }

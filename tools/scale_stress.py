@@ -1383,6 +1383,13 @@ EXTRA_LADDER = [
     # anti-join, per-doc ordered reassembly — claimed linear in
     # corpus positions (no window over the gram key)
     "doc_span_dedup",
+    # per-lang top-K bigrams: the ladder corpus is SINGLE-lang with a
+    # 30k vocab, so nearly every bigram is distinct — the worst case
+    # for per-group top-k (the aggregate is ~all corpus positions in
+    # ONE lang partition). The rungs validate that the salted
+    # two-phase window keeps the big sort partition-parallel: claimed
+    # linear in positions, never a one-partition sort
+    "vocab_top_ngrams",
 ]
 
 
