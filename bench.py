@@ -120,6 +120,7 @@ BENCH_EXCLUDED = {
     "pii_redact": "single regexp map pass over documents; same scan+map shape as headline token_count",
     "lang_id_ngram": "marker-count map pass over documents; same scan+map shape as headline token_count + doc_quality_score (slot ceded to the distinct ADC shape of ann_pq_topk)",
     "lang_mismatch_audit": "the lang_id_ngram marker map pass into a |sources|x|langs|-bounded partial agg; scan+map shape timed by headline token_count, combiner-bounded agg by per_source_rollup",
+    "dedup_incremental": "asymmetric (new-batch-probe vs base-build) variant of headline dedup_minhash_lsh's signature+band machinery — same stages, strictly fewer candidates (new x base only) plus one md5-keyed exact join timed by headline dedup_exact",
     "vocab_top_ngrams": "bigram explode + keyed partial agg (stage shapes timed by tfidf_top_terms); the salted two-phase top-k is priced where it matters — the single-lang 50M-distinct-bigram rungs in BENCH_SCALE's text ladder",
     "doc_repetition_stats": "explode -> keyed partial agg on documents; same stage shape as tfidf_top_terms",
     "bm25_topk": "query-term-filtered explode + keyed agg + broadcast-scalar join; same stage shapes as headline tfidf_top_terms (and strictly less volume: the explode is term-filtered at the scan)",

@@ -376,6 +376,209 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return finish_with(result, sig)
 
 
+INGEST_MOD = 10  # "new batch" = doc_id % INGEST_MOD == 0 (~10% of the
+#                  corpus — a deterministic stand-in for today's crawl;
+#                  a deployment passes its real ingest partition)
+
+_INCREMENTAL_ORACLE = f"""
+WITH {SHINGLE_CTES},
+shb AS (
+    SELECT doc_id, shingle % {MINFAM_P} AS hb FROM sh0
+),
+sig AS (
+    SELECT doc_id,
+           {_MIN_EXPRS}
+    FROM shb GROUP BY doc_id
+),
+sigl AS (SELECT doc_id, {_SIG_LIST} AS sig FROM sig),
+bands AS (
+    SELECT doc_id, sig, b,
+           sig[{_ROWS_PER_BAND}*b+1 : {_ROWS_PER_BAND}*b+{_ROWS_PER_BAND}] AS bh
+    FROM sigl, range({NUM_BANDS}) bb(b)
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_id, b2.doc_id AS base_id,
+                    a.sig AS sa, b2.sig AS sb
+    FROM bands a JOIN bands b2
+      ON a.b = b2.b AND a.bh = b2.bh
+    WHERE a.doc_id % {INGEST_MOD} = 0 AND b2.doc_id % {INGEST_MOD} <> 0
+),
+est AS (
+    SELECT doc_id, base_id,
+           ROUND(len(list_filter(range({NUM_HASHES}), i -> sa[i+1] = sb[i+1]))
+                 / {NUM_HASHES}.0, 4) AS est_jaccard
+    FROM cand
+),
+near AS (
+    SELECT doc_id, base_id, est_jaccard,
+           ROW_NUMBER() OVER (PARTITION BY doc_id
+                              ORDER BY est_jaccard DESC, base_id ASC) AS rk
+    FROM est WHERE est_jaccard >= 0.5
+),
+base_fp AS (
+    SELECT md5(text) AS fp, MIN(doc_id) AS base_id
+    FROM documents WHERE doc_id % {INGEST_MOD} <> 0 GROUP BY md5(text)
+),
+newdocs AS (
+    SELECT doc_id, md5(text) AS fp
+    FROM documents WHERE doc_id % {INGEST_MOD} = 0
+),
+ex AS (
+    SELECT n.doc_id, b.base_id FROM newdocs n JOIN base_fp b USING (fp)
+)
+SELECT CAST(n.doc_id AS BIGINT) AS doc_id,
+       CASE WHEN ex.base_id IS NOT NULL THEN 'exact_dup'
+            WHEN nr.base_id IS NOT NULL THEN 'near_dup'
+            ELSE 'unique' END AS verdict,
+       CAST(COALESCE(ex.base_id, nr.base_id) AS BIGINT) AS match_id,
+       CASE WHEN ex.base_id IS NOT NULL THEN CAST(1.0 AS DOUBLE)
+            ELSE nr.est_jaccard END AS est_jaccard
+FROM newdocs n
+LEFT JOIN ex ON ex.doc_id = n.doc_id
+LEFT JOIN (SELECT doc_id, base_id, est_jaccard FROM near WHERE rk = 1) nr
+       ON nr.doc_id = n.doc_id
+"""
+
+
+@register(
+    "dedup_incremental",
+    oracle=_INCREMENTAL_ORACLE,
+    survey_ops="§7-dedup,LSH,J1,A5,F12",
+    tier=0,
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup: for every NEW document (the ingest
+    batch), answer "is this already in the corpus?" against the BASE
+    corpus — exact first (content fingerprint), then MinHash-banded
+    near-dup, else unique. The production pattern for continuous
+    crawling: the day's batch is deduped against the historical corpus
+    WITHOUT re-pairing base-vs-base (the quadratic part that did not
+    change since yesterday's run).
+
+    Per new doc: ``verdict`` ∈ {exact_dup, near_dup, unique},
+    ``match_id`` = the matched base doc (exact: smallest base id with
+    the same fingerprint; near: highest est_jaccard, ties to the
+    smallest base id), ``est_jaccard`` = 1.0 / the estimate / NULL.
+    Exact wins over near (identical text always routes to exact even
+    though it would also band-match). Within-batch duplicates are
+    deliberately out of scope — the batch-level ops (dedup_exact,
+    dedup_minhash_lsh) own that; this operator is the new-vs-corpus
+    membership probe.
+
+    Plan shape at scale: the candidate join is ASYMMETRIC — probe side
+    is the new batch's band rows (|new| × NUM_BANDS), build side the
+    base's. Candidate volume is Σ_bucket new_occupancy × base_occupancy
+    — linear in the batch for a fixed corpus, never corpus². In this
+    self-contained form both sides' signatures are computed per call
+    (one shared scan, persisted — both the probe and build band sides
+    consume it); a deployment persists the base signature and
+    fingerprint relations as the corpus index and pays only the
+    |new|-proportional shingle+probe cost per ingest. The best-match
+    window partitions by new doc_id (high cardinality, no skew).
+    Shares the signature pipeline (portable universal-hash MinHash,
+    llm/hashing.py) and band layout with ``dedup_minhash_lsh``, so the
+    incremental and batch paths cannot drift."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    is_new = F.col("doc_id") % INGEST_MOD == 0
+
+    # exact tier: base fingerprints (canonical = min id) probed by new
+    fp = F.md5("text").alias("fp")
+    base_fp = (
+        docs.filter(~is_new)
+        .select(fp, "doc_id")
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("ex_base_id"))
+    )
+    new_docs = docs.filter(is_new).select("doc_id", fp)
+    exact = new_docs.join(base_fp, "fp").select("doc_id", "ex_base_id")
+
+    # near tier: one signature pass over the whole corpus, tagged
+    sh = shingles(docs, distinct=False)
+    hb = F.col("hb")
+    sig = (
+        sh.select("doc_id", (F.col("shingle") % MINFAM_P).alias("hb"))
+        .groupBy("doc_id")
+        .agg(
+            F.array(
+                *[
+                    F.min((F.lit(a) * hb + F.lit(b)) % MINFAM_P)
+                    for a, b in minfam_coeffs(NUM_HASHES)
+                ]
+            ).alias("sig")
+        )
+        .persist()
+    )
+    bands = sig.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.slice("sig", b * _ROWS_PER_BAND + 1, _ROWS_PER_BAND).alias(
+                            "bucket"
+                        ),
+                    )
+                    for b in range(NUM_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select(
+        "doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    probe = bands.filter(F.col("doc_id") % INGEST_MOD == 0).select(
+        F.col("doc_id").alias("n_id"), F.col("sig").alias("sig_n"), "band", "bucket"
+    )
+    build = bands.filter(F.col("doc_id") % INGEST_MOD != 0).select(
+        F.col("doc_id").alias("base_id"), F.col("sig").alias("sig_b"), "band", "bucket"
+    )
+    agree = F.size(
+        F.filter(F.zip_with("sig_n", "sig_b", lambda x, y: x == y), lambda v: v)
+    )
+    near = (
+        probe.join(build, ["band", "bucket"])
+        .select("n_id", "base_id", "sig_n", "sig_b")
+        .dropDuplicates(["n_id", "base_id"])
+        .select(
+            "n_id",
+            "base_id",
+            F.round(agree / F.lit(NUM_HASHES), 4).alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= 0.5)
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("n_id").orderBy(
+                    F.col("est_jaccard").desc(), F.col("base_id").asc()
+                )
+            ),
+        )
+        .filter(F.col("rk") == 1)
+        .select("n_id", F.col("base_id").alias("nr_base_id"), "est_jaccard")
+    )
+
+    result = (
+        new_docs.select("doc_id")
+        .join(exact, "doc_id", "left")
+        .join(near, F.col("doc_id") == F.col("n_id"), "left")
+        .select(
+            "doc_id",
+            F.when(F.col("ex_base_id").isNotNull(), "exact_dup")
+            .when(F.col("nr_base_id").isNotNull(), "near_dup")
+            .otherwise("unique")
+            .alias("verdict"),
+            F.coalesce("ex_base_id", "nr_base_id").alias("match_id"),
+            F.when(F.col("ex_base_id").isNotNull(), F.lit(1.0))
+            .otherwise(F.col("est_jaccard"))
+            .alias("est_jaccard"),
+        )
+    )
+    return finish_with(result, sig)
+
+
 EMBED_COSINE_THRESHOLD = 0.35  # synthetic corpus: max pair cosine ~0.51; 0.35 yields ~271 pairs at sf0.01
 # Quadratic-twin guard: the exact all-pairs form exists to pin oracle
 # semantics on test-scale data. Refuse to run it past this corpus size —

@@ -47,10 +47,10 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # touches: NEW operators registered this round and any query whose
 # implementation or oracle changed (kept current as the round
 # progresses).
-# Tier (1) = 23 of the 48 queries whose newest driver row is r10;
-# tier-0 (27) + 23 fills the window exactly.
+# Tier (1) = 22 of the 48 queries whose newest driver row is r10;
+# tier-0 (28) + 22 fills the window exactly.
 #
-# TWENTY-FIVE r10-row queries are deferred to r13 — all
+# TWENTY-SIX r10-row queries are deferred to r13 — all
 # unchanged-code shape twins of queries holding a fresh (r11 or
 # r12-window) row:
 # ``bm25_topk`` (single-query twin of in-window ``bm25_multi_topk``),
@@ -88,8 +88,10 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # filter stage — demoted when r12 registered ``vocab_top_ngrams``),
 # and ``dedup_exact`` (hash-groupBy over the same md5 fingerprint key
 # as tier-0 ``doc_fingerprint`` — demoted when the lang_id refactor
-# pulled ``lang_id_ngram`` into tier 0).
-# ALL TWENTY-FIVE must head r13's window (plus anything r13 changes).
+# pulled ``lang_id_ngram`` into tier 0), and ``pii_redact`` (regexp
+# map pass over documents, same scan+map shape as the in-window text
+# queries — demoted when r12 registered ``dedup_incremental``).
+# ALL TWENTY-SIX must head r13's window (plus anything r13 changes).
 # Unlisted queries keep ``10 + tier``.
 _ROTATION_TIERS: dict[str, int] = {
     # (0) the twenty r9-row deferrals
@@ -128,6 +130,7 @@ _ROTATION_TIERS: dict[str, int] = {
     "lang_mismatch_audit": 0,
     "vocab_top_ngrams": 0,
     "lang_id_ngram": 0,
+    "dedup_incremental": 0,
     # (1) newest driver row is r10
     "q5_region_revenue": 1,
     "quantity_grouping_sets": 1,
@@ -137,7 +140,6 @@ _ROTATION_TIERS: dict[str, int] = {
     "q11_important_parts": 1,
     "bm25_multi_topk": 1,
     "doc_repetition_stats": 1,
-    "pii_redact": 1,
     "ann_pq_topk": 1,
     "asof_click_attribution": 1,
     "range_join_error_context": 1,
@@ -196,6 +198,7 @@ PLAN_OPAQUE_QUERIES: dict[str, str] = {
     "ann_lsh_topk": "bucketed index materialized in fn()",
     "decontaminate_overlap": "inverted index materialized in fn()",
     "dedup_embedding_lsh": "bucket+verify materialized in fn()",
+    "dedup_incremental": "shared signature relation materialized in fn()",
     "dedup_minhash_lsh": "signatures/banding materialized in fn()",
     "dedup_ngram_jaccard": "shingle index materialized in fn()",
     "dedup_multimodal": "fingerprints materialized in fn()",

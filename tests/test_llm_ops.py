@@ -1611,3 +1611,38 @@ def test_lang_mismatch_audit_known_corpus(spark, tmp_path):
         ("s0", "en"): (2, 1, 0.5),
         ("s1", "de"): (3, 1, 0.3333),
     }
+
+
+def test_dedup_incremental_verdicts(spark, tmp_path):
+    """Crafted ingest batch (doc_id % 10 == 0 is 'new'): an exact copy
+    of a base doc routes to exact_dup (match = smallest base id,
+    est 1.0) even though it also band-matches; a 1-token mutation of a
+    base doc routes to near_dup against THAT base doc; a fresh text is
+    unique; a near-copy of another NEW doc is still unique (within-
+    batch dedup is deliberately out of scope — base membership only)."""
+    from stream_processing_test_spark.llm.dedup import dedup_incremental
+
+    base1 = " ".join(f"alpha{i}" for i in range(60))
+    base2 = " ".join(f"beta{i}" for i in range(60))
+    fresh = " ".join(f"gamma{i}" for i in range(60))
+    near2 = base2.replace("beta30", "CHANGED")
+    near_fresh = fresh.replace("gamma30", "MUTATED")
+    rows = [
+        (1, base1, "en", "s0"),
+        (2, base2, "en", "s0"),
+        (0, base1, "en", "s0"),        # new: exact copy of base 1
+        (10, near2, "en", "s0"),       # new: near copy of base 2
+        (20, fresh, "en", "s0"),       # new: nothing like the base
+        (30, near_fresh, "en", "s0"),  # new: near copy of NEW doc 20
+    ]
+    d = _write_docs(tmp_path, rows)
+    got = {
+        r["doc_id"]: (r["verdict"], r["match_id"], r["est_jaccard"])
+        for r in dedup_incremental(spark, d).collect()
+    }
+    assert set(got) == {0, 10, 20, 30}
+    assert got[0] == ("exact_dup", 1, 1.0)
+    assert got[10][0] == "near_dup" and got[10][1] == 2
+    assert got[10][2] >= 0.5
+    assert got[20] == ("unique", None, None)
+    assert got[30] == ("unique", None, None)
