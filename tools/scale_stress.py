@@ -1647,6 +1647,7 @@ def main() -> None:
                 "png_scan",
                 "png_features",
                 "png_resize",
+                "png_dedup",
             ):
                 print(f"[{tier}] {k}: {entry[k]}", flush=True)
             result["tiers"][tier] = entry
