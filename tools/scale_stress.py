@@ -1383,6 +1383,11 @@ EXTRA_LADDER = [
     # anti-join, per-doc ordered reassembly — claimed linear in
     # corpus positions (no window over the gram key)
     "doc_span_dedup",
+    # incremental ingest dedup: one corpus-wide signature pass (same
+    # machinery as dedup_minhash_lsh's rung above) + the asymmetric
+    # new-probe-vs-base band join + the md5 exact tier — claimed
+    # ~minhash-rung cost, never base x base candidates
+    "dedup_incremental",
     # per-lang top-K bigrams: the ladder corpus is SINGLE-lang with a
     # 30k vocab, so nearly every bigram is distinct — the worst case
     # for per-group top-k (the aggregate is ~all corpus positions in
