@@ -286,6 +286,75 @@ FROM est WHERE est_jaccard >= 0.5
 """
 
 
+def minhash_sig_bands(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """The ONE MinHash signature + banding pipeline — shared by
+    ``dedup_minhash_lsh`` (batch band self-join) and
+    ``dedup_incremental`` (asymmetric new-vs-base probe), extracted so
+    the two paths physically cannot drift (r12 review finding: the
+    incremental operator originally carried its own copy of these
+    expressions while claiming sharedness).
+
+    Returns ``(sig, bands)``:
+
+    - ``sig`` — (doc_id, sig[NUM_HASHES]) — PERSISTED, because every
+      consumer joins band rows derived from it against each other and
+      would otherwise re-run the whole shingle + 32-hash pipeline per
+      side. The caller owns the release (``finish_with(result, sig)``).
+    - ``bands`` — (doc_id, sig, band, bucket), one row per band, bucket
+      = the raw ``_ROWS_PER_BAND``-long signature slice (array equality
+      join key — nothing engine-specific leaks into the join).
+
+    ``distinct=False`` shingles: min() is duplicate-insensitive, so
+    MinHash skips the shingle-dedup shuffle Jaccard needs — one shuffle
+    (the signature groupBy), with map-side partial min doing the rest.
+    """
+    sh = shingles(docs, distinct=False)
+    hb = F.col("hb")
+    sig = (
+        sh.select("doc_id", (F.col("shingle") % MINFAM_P).alias("hb"))
+        .groupBy("doc_id")
+        .agg(
+            F.array(
+                *[
+                    F.min((F.lit(a) * hb + F.lit(b)) % MINFAM_P)
+                    for a, b in minfam_coeffs(NUM_HASHES)
+                ]
+            ).alias("sig")
+        )
+        .persist()
+    )
+    bands = sig.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.slice("sig", b * _ROWS_PER_BAND + 1, _ROWS_PER_BAND).alias(
+                            "bucket"
+                        ),
+                    )
+                    for b in range(NUM_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select(
+        "doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    return sig, bands
+
+
+def minhash_est_jaccard(sig_a: str, sig_b: str) -> "F.Column":
+    """Estimated Jaccard = fraction of agreeing signature positions,
+    rounded to 4 (the oracle's ROUND twin) — shared by both consumers
+    of :func:`minhash_sig_bands`."""
+    agree = F.size(
+        F.filter(F.zip_with(sig_a, sig_b, lambda x, y: x == y), lambda v: v)
+    )
+    return F.round(agree / F.lit(NUM_HASHES), 4)
+
+
 @register(
     "dedup_minhash_lsh", oracle=_MINHASH_ORACLE, survey_ops="§7-dedup,LSH", tier=1
 )
@@ -307,46 +376,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests).
     """
     docs = load(spark, sf_dir, "documents")
-    # distinct=False: min() is duplicate-insensitive, so MinHash skips
-    # the shingle-dedup shuffle Jaccard needs — one shuffle (the groupBy
-    # below) instead of two, with map-side partial min doing the rest.
-    sh = shingles(docs, distinct=False)
-
-    # |docs| rows x 32 longs — persisted because both sides of the
-    # band-bucket self-join consume it (otherwise the whole shingle +
-    # 32-hash pipeline runs twice).
-    hb = F.col("hb")
-    sig = (
-        sh.select("doc_id", (F.col("shingle") % MINFAM_P).alias("hb"))
-        .groupBy("doc_id")
-        .agg(
-            F.array(
-                *[
-                    F.min((F.lit(a) * hb + F.lit(b)) % MINFAM_P)
-                    for a, b in minfam_coeffs(NUM_HASHES)
-                ]
-            ).alias("sig")
-        )
-        .persist()
-    )
-
-    bands = sig.select(
-        "doc_id",
-        "sig",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.slice("sig", b * _ROWS_PER_BAND + 1, _ROWS_PER_BAND).alias(
-                            "bucket"
-                        ),
-                    )
-                    for b in range(NUM_BANDS)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    sig, bands = minhash_sig_bands(docs)
 
     a = bands.select(
         F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"), "band", "bucket"
@@ -363,15 +393,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         # two 32-long signature arrays carried alongside
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    agree = F.size(
-        F.filter(
-            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v
-        )
-    )
     result = pairs.select(
         "doc_a",
         "doc_b",
-        F.round(agree / F.lit(NUM_HASHES), 4).alias("est_jaccard"),
+        minhash_est_jaccard("sig_a", "sig_b").alias("est_jaccard"),
     ).filter(F.col("est_jaccard") >= 0.5)
     return finish_with(result, sig)
 
@@ -483,60 +508,30 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     is_new = F.col("doc_id") % INGEST_MOD == 0
 
-    # exact tier: base fingerprints (canonical = min id) probed by new
-    fp = F.md5("text").alias("fp")
+    # exact tier: ONE fingerprint scan, persisted — three consumers
+    # (the base groupBy, the probe side, the verdict spine) would
+    # otherwise each re-scan and re-md5 the corpus (r12 review
+    # finding: this was three scans)
+    fps = docs.select(
+        "doc_id", F.md5("text").alias("fp"), is_new.alias("is_new")
+    ).persist()
     base_fp = (
-        docs.filter(~is_new)
-        .select(fp, "doc_id")
+        fps.filter(~F.col("is_new"))
         .groupBy("fp")
         .agg(F.min("doc_id").alias("ex_base_id"))
     )
-    new_docs = docs.filter(is_new).select("doc_id", fp)
+    new_docs = fps.filter("is_new").select("doc_id", "fp")
     exact = new_docs.join(base_fp, "fp").select("doc_id", "ex_base_id")
 
-    # near tier: one signature pass over the whole corpus, tagged
-    sh = shingles(docs, distinct=False)
-    hb = F.col("hb")
-    sig = (
-        sh.select("doc_id", (F.col("shingle") % MINFAM_P).alias("hb"))
-        .groupBy("doc_id")
-        .agg(
-            F.array(
-                *[
-                    F.min((F.lit(a) * hb + F.lit(b)) % MINFAM_P)
-                    for a, b in minfam_coeffs(NUM_HASHES)
-                ]
-            ).alias("sig")
-        )
-        .persist()
-    )
-    bands = sig.select(
-        "doc_id",
-        "sig",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.slice("sig", b * _ROWS_PER_BAND + 1, _ROWS_PER_BAND).alias(
-                            "bucket"
-                        ),
-                    )
-                    for b in range(NUM_BANDS)
-                ]
-            )
-        ).alias("bb"),
-    ).select(
-        "doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
-    )
+    # near tier: one signature pass over the whole corpus (the SAME
+    # pipeline dedup_minhash_lsh runs — shared helper), split into
+    # probe (new) and build (base) band sides
+    sig, bands = minhash_sig_bands(docs)
     probe = bands.filter(F.col("doc_id") % INGEST_MOD == 0).select(
         F.col("doc_id").alias("n_id"), F.col("sig").alias("sig_n"), "band", "bucket"
     )
     build = bands.filter(F.col("doc_id") % INGEST_MOD != 0).select(
         F.col("doc_id").alias("base_id"), F.col("sig").alias("sig_b"), "band", "bucket"
-    )
-    agree = F.size(
-        F.filter(F.zip_with("sig_n", "sig_b", lambda x, y: x == y), lambda v: v)
     )
     near = (
         probe.join(build, ["band", "bucket"])
@@ -545,7 +540,7 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "n_id",
             "base_id",
-            F.round(agree / F.lit(NUM_HASHES), 4).alias("est_jaccard"),
+            minhash_est_jaccard("sig_n", "sig_b").alias("est_jaccard"),
         )
         .filter(F.col("est_jaccard") >= 0.5)
         .withColumn(
@@ -576,7 +571,7 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("est_jaccard"),
         )
     )
-    return finish_with(result, sig)
+    return finish_with(result, sig, fps)
 
 
 EMBED_COSINE_THRESHOLD = 0.35  # synthetic corpus: max pair cosine ~0.51; 0.35 yields ~271 pairs at sf0.01

@@ -47,10 +47,10 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # touches: NEW operators registered this round and any query whose
 # implementation or oracle changed (kept current as the round
 # progresses).
-# Tier (1) = 22 of the 48 queries whose newest driver row is r10;
-# tier-0 (28) + 22 fills the window exactly.
+# Tier (1) = 20 of the 48 queries whose newest driver row is r10;
+# tier-0 (30) + 20 fills the window exactly.
 #
-# TWENTY-SIX r10-row queries are deferred to r13 — all
+# TWENTY-EIGHT r10-row queries are deferred to r13 — all
 # unchanged-code shape twins of queries holding a fresh (r11 or
 # r12-window) row:
 # ``bm25_topk`` (single-query twin of in-window ``bm25_multi_topk``),
@@ -88,10 +88,17 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # filter stage — demoted when r12 registered ``vocab_top_ngrams``),
 # and ``dedup_exact`` (hash-groupBy over the same md5 fingerprint key
 # as tier-0 ``doc_fingerprint`` — demoted when the lang_id refactor
-# pulled ``lang_id_ngram`` into tier 0), and ``pii_redact`` (regexp
+# pulled ``lang_id_ngram`` into tier 0), ``pii_redact`` (regexp
 # map pass over documents, same scan+map shape as the in-window text
-# queries — demoted when r12 registered ``dedup_incremental``).
-# ALL TWENTY-SIX must head r13's window (plus anything r13 changes).
+# queries — demoted when r12 registered ``dedup_incremental``),
+# ``doc_repetition_stats`` (explode → keyed partial agg on documents,
+# stage-shape twin of in-window ``bm25_multi_topk`` / tier-0
+# ``doc_lm_score`` — demoted when the r12 span-dedup guard pulled
+# ``doc_span_dedup`` into tier 0), and ``range_join_error_context``
+# (§2.3 interval-join family twin of in-window
+# ``asof_click_attribution`` — demoted when the minhash_sig_bands
+# refactor pulled ``dedup_minhash_lsh`` into tier 0).
+# ALL TWENTY-EIGHT must head r13's window (plus anything r13 changes).
 # Unlisted queries keep ``10 + tier``.
 _ROTATION_TIERS: dict[str, int] = {
     # (0) the twenty r9-row deferrals
@@ -131,6 +138,12 @@ _ROTATION_TIERS: dict[str, int] = {
     "vocab_top_ngrams": 0,
     "lang_id_ngram": 0,
     "dedup_incremental": 0,
+    # doc_span_dedup changed r12 (the packed-position raise_error
+    # guard); dedup_minhash_lsh changed r12 (signature/banding routed
+    # through the shared minhash_sig_bands helper the incremental
+    # probe composes) — both owed a fresh row per the rotation rule
+    "doc_span_dedup": 0,
+    "dedup_minhash_lsh": 0,
     # (1) newest driver row is r10
     "q5_region_revenue": 1,
     "quantity_grouping_sets": 1,
@@ -139,10 +152,8 @@ _ROTATION_TIERS: dict[str, int] = {
     "q19_disjunctive_revenue": 1,
     "q11_important_parts": 1,
     "bm25_multi_topk": 1,
-    "doc_repetition_stats": 1,
     "ann_pq_topk": 1,
     "asof_click_attribution": 1,
-    "range_join_error_context": 1,
     "rolling_user_stats": 1,
     "revenue_rollup": 1,
     "props_json_stats": 1,

@@ -210,17 +210,25 @@ def merge_into_sql(
     """
     upd = [c for c in columns if c != key]
     if dialect == "mysql":
+        # Derived-table alias form, not ``VALUES(col)``: MySQL 8.0.20
+        # deprecated VALUES() inside ON DUPLICATE KEY UPDATE and has
+        # announced its removal; the manual's INSERT..SELECT rewrite
+        # is a named derived table whose columns the update clause
+        # references (r12 review finding). References are qualified
+        # (``new.col``) because staging and target share every column
+        # name — unqualified would be ambiguous against the target.
         q = _q_mysql
         col_list = ", ".join(q(c) for c in columns)
         sets = ", ".join(
-            f"{q(c)} = VALUES({q(c)})"
+            f"{q(c)} = new.{q(c)}"
             if c in always_set
-            else f"{q(c)} = COALESCE(VALUES({q(c)}), {table}.{q(c)})"
+            else f"{q(c)} = COALESCE(new.{q(c)}, {table}.{q(c)})"
             for c in upd
         )
         return (
             f"INSERT INTO {table} ({col_list}) "
-            f"SELECT {col_list} FROM {staging} "
+            f"SELECT {col_list} FROM "
+            f"(SELECT {col_list} FROM {staging}) AS new "
             f"ON DUPLICATE KEY UPDATE {sets}"
         )
     col_list = ", ".join(_q(c) for c in columns)

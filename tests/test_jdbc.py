@@ -231,9 +231,12 @@ def test_merge_into_sql_dialects():
     assert "ON DUPLICATE KEY UPDATE" in my
     # backticks, not ANSI double quotes: stock MySQL (no ANSI_QUOTES)
     # parses "name" as a string literal (r12 review finding)
-    assert "COALESCE(VALUES(`name`), dim.`name`)" in my
-    assert "`score` = VALUES(`score`)" in my
+    assert "COALESCE(new.`name`, dim.`name`)" in my
+    assert "`score` = new.`score`" in my
     assert '"' not in my
+    # derived-table alias, not VALUES(): deprecated 8.0.20, removal
+    # announced (r12 review finding)
+    assert "VALUES(" not in my
 
 
 def test_merge_into_sql_mysql_verbatim():
@@ -249,10 +252,11 @@ def test_merge_into_sql_mysql_verbatim():
     )
     assert my == (
         "INSERT INTO dim (`id`, `name`, `score`) "
-        "SELECT `id`, `name`, `score` FROM dim__stg "
+        "SELECT `id`, `name`, `score` FROM "
+        "(SELECT `id`, `name`, `score` FROM dim__stg) AS new "
         "ON DUPLICATE KEY UPDATE "
-        "`name` = COALESCE(VALUES(`name`), dim.`name`), "
-        "`score` = VALUES(`score`)"
+        "`name` = COALESCE(new.`name`, dim.`name`), "
+        "`score` = new.`score`"
     )
 
 
@@ -299,15 +303,16 @@ def test_upsert_pushdown_mysql_dispatch(spark, monkeypatch):
 
 
 def test_mysql_upsert_semantics_via_duckdb_on_conflict(spark):
-    """Semantic check of the generated MySQL statement itself: MySQL's
-    ``VALUES(col)`` is DuckDB's ``EXCLUDED.col`` and ``ON DUPLICATE
-    KEY UPDATE`` is ``ON CONFLICT (key) DO UPDATE SET`` — a purely
-    mechanical rewrite, so executing the rewritten statement in
-    DuckDB exercises the statement's OWN skip-empty COALESCE and
-    always-set clauses against a real conflict resolution engine.
-    Expected state replays merge_upsert's contract: empty-name update
-    skipped, always-set score overwritten, new key inserted,
-    untouched key intact."""
+    """Semantic check of the generated MySQL statement itself: the
+    row-alias reference ``new.col`` is DuckDB's ``EXCLUDED.col`` and
+    ``ON DUPLICATE KEY UPDATE`` is ``ON CONFLICT (key) DO UPDATE SET``
+    — a purely mechanical rewrite, so executing the rewritten
+    statement in DuckDB exercises the statement's OWN skip-empty
+    COALESCE and always-set clauses against a real conflict
+    resolution engine (the derived-table source survives the rewrite
+    verbatim — DuckDB parses it unchanged). Expected state replays
+    merge_upsert's contract: empty-name update skipped, always-set
+    score overwritten, new key inserted, untouched key intact."""
     import duckdb
 
     from stream_processing_test_spark.sinks.upsert import merge_into_sql
@@ -318,8 +323,8 @@ def test_mysql_upsert_semantics_via_duckdb_on_conflict(spark):
     )
     ddb = (
         my.replace("ON DUPLICATE KEY UPDATE", 'ON CONFLICT ("id") DO UPDATE SET')
-        .replace("VALUES(`name`)", 'EXCLUDED."name"')
-        .replace("VALUES(`score`)", 'EXCLUDED."score"')
+        .replace("new.`name`", 'EXCLUDED."name"')
+        .replace("new.`score`", 'EXCLUDED."score"')
         .replace("`", '"')  # backtick -> ANSI quoting, char for char
     )
     con = duckdb.connect()

@@ -277,7 +277,14 @@ def _alt_skinny(spark, tdir: str) -> float:
     """Hypothesis probe: columnar-scan encode (pure-PQ shape) +
     corpus-scale shuffle join against a SKINNY (vec_id, list_id)
     assignment — the shape ivfpq_topk's docstring rejected. Timed to
-    the code-explode barrier."""
+    the code-explode barrier.
+
+    ``checkpoint=False`` then localCheckpoint of the 2-column
+    projection (r12 review finding): the default kmeans_lists
+    checkpoint materializes the WIDE (vec_id, v, list_id) rows —
+    ~1.1 GB at vec_x40 — which is precisely the write+read this
+    alternative hypothesizes away; measuring it with the wide barrier
+    inside overstates the skinny shape's cost."""
     from stream_processing_test_spark.llm.pq import (
         _explode_codes,
         pq_codebooks,
@@ -293,8 +300,8 @@ def _alt_skinny(spark, tdir: str) -> float:
     t0 = time.time()
     n = emb.select("vec_id").count()
     rows = pq_codebooks(emb, n_rows=n)
-    assign, _ = kmeans_lists(emb, k=auto_lists(n), n_rows=n)
-    skinny = assign.select("vec_id", "list_id")
+    assign, _ = kmeans_lists(emb, k=auto_lists(n), n_rows=n, checkpoint=False)
+    skinny = assign.select("vec_id", "list_id").localCheckpoint()
     enc = pq_encode(emb.select("vec_id", "v"), rows)
     codes = _explode_codes(enc).join(skinny, "vec_id")
     _noop(codes)
