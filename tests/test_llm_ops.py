@@ -1646,3 +1646,37 @@ def test_dedup_incremental_verdicts(spark, tmp_path):
     assert got[10][2] >= 0.5
     assert got[20] == ("unique", None, None)
     assert got[30] == ("unique", None, None)
+
+
+def test_dedup_incremental_consistent_with_batch_minhash(spark):
+    """Coherence of the two consumers of minhash_sig_bands on the real
+    corpus: every incremental near_dup (new, base) pair must appear in
+    the batch dedup_minhash_lsh pair list, and for every new doc the
+    incremental best match must equal the best new-base pair derivable
+    from the batch output (max est_jaccard, ties to the smallest base
+    id) unless the exact tier claimed the doc first."""
+    from stream_processing_test_spark.llm.dedup import INGEST_MOD
+
+    inc = {
+        r["doc_id"]: (r["verdict"], r["match_id"], r["est_jaccard"])
+        for r in _q("dedup_incremental").fn(spark, SF).collect()
+    }
+    pairs = _q("dedup_minhash_lsh").fn(spark, SF).collect()
+    best: dict[int, tuple[int, float]] = {}
+    for r in pairs:
+        for n, b in ((r["doc_a"], r["doc_b"]), (r["doc_b"], r["doc_a"])):
+            if n % INGEST_MOD == 0 and b % INGEST_MOD != 0:
+                cur = best.get(n)
+                if cur is None or (r["est_jaccard"], -b) > (cur[1], -cur[0]):
+                    best[n] = (b, r["est_jaccard"])
+    for n, (b, e) in best.items():
+        verdict, match, est = inc[n]
+        if verdict == "exact_dup":
+            continue
+        assert (verdict, match, est) == ("near_dup", b, e), n
+    pairset = {
+        (min(r["doc_a"], r["doc_b"]), max(r["doc_a"], r["doc_b"])) for r in pairs
+    }
+    for n, (verdict, match, _) in inc.items():
+        if verdict == "near_dup":
+            assert (min(n, match), max(n, match)) in pairset, n
