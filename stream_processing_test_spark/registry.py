@@ -34,137 +34,75 @@ class QuerySpec:
 
 _REGISTRY: dict[str, QuerySpec] = {}
 
-# Round-12 rotation: the driver checks a 50-query prefix. Tier (0) =
-# owed a fresh row THIS round — the TWENTY r9-row deferrals the r11
-# plan bound r12 to lead with (``ann_cosine_topk_int8``,
-# ``user_cardinality_approx``, ``balance_quartiles``,
-# ``doc_fingerprint``, ``multimodal_preprocess``,
-# ``embedding_quantize_int8``, the three ``envelope_rollup`` format
-# twins, ``q4_order_priority``, ``q20_excess_suppliers``,
-# ``q22_idle_customers``, ``rich_accounts_union``, the four
-# streaming harness twins, ``q7_nation_trade_volume``,
-# ``q8_market_share``, ``dedup_simhash``) plus everything r12
-# touches: NEW operators registered this round and any query whose
-# implementation or oracle changed (kept current as the round
-# progresses).
-# Tier (1) = 20 of the 48 queries whose newest driver row is r10;
-# tier-0 (30) + 20 fills the window exactly.
+# Round-13 rotation: the driver checks a 50-query prefix. The owed
+# list is now COMPUTED, not hand-maintained (VERDICT r12 item 7):
+# ``python tools/gen_rotation.py [--changed ...]`` reads every
+# CORRECTNESS_r*.json, finds the stale-minimum cohort (queries whose
+# newest driver row is oldest — they MUST lead the window), and ranks
+# the fill cohort by prior-row age. This dict is its output for r13,
+# plus the round's new/changed queries (kept current as the round
+# progresses, per the rotation contract).
 #
-# TWENTY-EIGHT r10-row queries are deferred to r13 — all
-# unchanged-code shape twins of queries holding a fresh (r11 or
-# r12-window) row:
-# ``bm25_topk`` (single-query twin of in-window ``bm25_multi_topk``),
-# ``token_count`` (map-pass twin of tier-0 ``doc_fingerprint``),
-# ``doc_quality_score`` (quality-feature twin of r11-row
-# ``quality_calibrated_filter``), ``ann_cosine_topk`` (brute-force
-# twin of tier-0 ``ann_cosine_topk_int8`` — same plan, float input),
-# ``streaming_daily_scores`` + ``streaming_daily_scores_update`` +
-# ``streaming_dedup`` (micro-batch harness twins of the four tier-0
-# streaming queries), ``session_windows`` (batch sessionization twin
-# of tier-0 ``streaming_session_windows``),
-# ``users_without_big_purchase`` (anti-join twin of tier-0
-# ``q22_idle_customers``), ``suppliers_with_bulk_items`` (semi-join
-# twin of tier-0 ``q20_excess_suppliers``), ``embedding_norm_stats``
-# + ``embedding_centroids`` (array-fold twins of tier-0
-# ``embedding_quantize_int8``), ``substring_dup_coverage`` (span
-# twin of r11-row ``doc_span_dedup``), ``decontaminate_overlap``
-# (eval-key-scan twin of r11-row ``decontaminate_bloom``),
-# ``leakage_safe_split`` + ``dedup_keep_canonical``
-# (connected-components twins of r11-row ``dup_clusters`` /
-# ``dup_clusters_star``), ``tfidf_top_terms`` (term-stats twin of
-# in-window ``bm25_multi_topk``), ``q3_shipping_priority``
-# (join-agg-topk twin of in-window ``q5_region_revenue``),
-# ``q12_priority_shipping`` (conditional-agg twin of in-window
-# ``q14_promo_revenue_share``), ``q17_small_quantity_revenue``
-# (correlated-scalar twin of in-window ``q11_important_parts``),
-# ``top_events_per_user`` (window-topk twin of in-window
-# ``rolling_user_stats``), ``stratified_sample`` (deterministic-rank
-# sampling twin of r11-row ``class_balanced_sample`` — demoted when
-# the r12 fold change pulled ``ann_ivf_topk`` into tier 0),
-# ``daily_report_pipeline`` (composition of in-window
-# ``per_source_rollup`` + the pytest-pinned report batching — demoted
-# when r12 registered ``lang_mismatch_audit``) and ``active_sources``
-# (dim-scan prefix of in-window ``failing_programs``, same table and
-# filter stage — demoted when r12 registered ``vocab_top_ngrams``),
-# and ``dedup_exact`` (hash-groupBy over the same md5 fingerprint key
-# as tier-0 ``doc_fingerprint`` — demoted when the lang_id refactor
-# pulled ``lang_id_ngram`` into tier 0), ``pii_redact`` (regexp
-# map pass over documents, same scan+map shape as the in-window text
-# queries — demoted when r12 registered ``dedup_incremental``),
-# ``doc_repetition_stats`` (explode → keyed partial agg on documents,
-# stage-shape twin of in-window ``bm25_multi_topk`` / tier-0
-# ``doc_lm_score`` — demoted when the r12 span-dedup guard pulled
-# ``doc_span_dedup`` into tier 0), and ``range_join_error_context``
-# (§2.3 interval-join family twin of in-window
-# ``asof_click_attribution`` — demoted when the minhash_sig_bands
-# refactor pulled ``dedup_minhash_lsh`` into tier 0).
-# ALL TWENTY-EIGHT must head r13's window (plus anything r13 changes).
-# Unlisted queries keep ``10 + tier``.
+# Tier (0) = the TWENTY-EIGHT r10-row deferrals the r12 verdict bound
+# r13 to lead with (tool-verified identical to the hand list), plus
+# r13 new/changed queries. Tier (1) = 22 fill rows: the five r11-new
+# single-row queries, then the r11 cohort ranked by prior-row age
+# (prior r8 before prior r9). Unlisted queries keep ``10 + tier``.
 _ROTATION_TIERS: dict[str, int] = {
-    # (0) the twenty r9-row deferrals
-    "ann_cosine_topk_int8": 0,
-    "user_cardinality_approx": 0,
-    "balance_quartiles": 0,
-    "doc_fingerprint": 0,
-    "multimodal_preprocess": 0,
-    "embedding_quantize_int8": 0,
-    "envelope_rollup": 0,
-    "envelope_rollup_parquet": 0,
-    "envelope_rollup_orc": 0,
-    "q4_order_priority": 0,
-    "q20_excess_suppliers": 0,
-    "q22_idle_customers": 0,
-    "rich_accounts_union": 0,
-    "streaming_envelope_rollup": 0,
-    "streaming_rate_rollup": 0,
-    "streaming_session_windows": 0,
-    "streaming_sliding_rollup": 0,
-    "q7_nation_trade_volume": 0,
-    "q8_market_share": 0,
-    "dedup_simhash": 0,
-    # (0) r12 new/changed — keep current as the round progresses:
-    # dedup_multimodal NEW; ann_ivfpq_topk (checkpoint=False + the
-    # blocked assignment fold) and ann_ivf_topk (same fold) changed;
-    # doc_lm_score changed (persisted pair_tf scan cut)
-    "dedup_multimodal": 0,
-    "ann_ivfpq_topk": 0,
-    "ann_ivf_topk": 0,
-    "doc_lm_score": 0,
-    # lang_mismatch_audit + vocab_top_ngrams NEW r12; lang_id_ngram's
-    # implementation now routes through the shared marker/argmax
-    # helpers the audit composes (expression-identical refactor, but
-    # changed code ⇒ a fresh row per the rotation contract)
-    "lang_mismatch_audit": 0,
-    "vocab_top_ngrams": 0,
-    "lang_id_ngram": 0,
-    "dedup_incremental": 0,
-    # doc_span_dedup changed r12 (the packed-position raise_error
-    # guard); dedup_minhash_lsh changed r12 (signature/banding routed
-    # through the shared minhash_sig_bands helper the incremental
-    # probe composes) — both owed a fresh row per the rotation rule
-    "doc_span_dedup": 0,
-    "dedup_minhash_lsh": 0,
-    # (1) newest driver row is r10
-    "q5_region_revenue": 1,
-    "quantity_grouping_sets": 1,
-    "q14_promo_revenue_share": 1,
-    "q15_top_supplier": 1,
-    "q19_disjunctive_revenue": 1,
-    "q11_important_parts": 1,
-    "bm25_multi_topk": 1,
-    "ann_pq_topk": 1,
-    "asof_click_attribution": 1,
-    "rolling_user_stats": 1,
-    "revenue_rollup": 1,
-    "props_json_stats": 1,
-    "failing_programs": 1,
-    "program_match": 1,
-    "day_close_trigger": 1,
-    "per_source_rollup": 1,
-    "probe_source_events": 1,
-    "corpus_curation_pipeline": 1,
-    "streaming_click_purchase_join": 1,
-    "streaming_failure_streaks": 1,
+    # (0) the twenty-eight r10-row deferrals (tools/gen_rotation.py)
+    "active_sources": 0,
+    "ann_cosine_topk": 0,
+    "bm25_topk": 0,
+    "daily_report_pipeline": 0,
+    "decontaminate_overlap": 0,
+    "dedup_exact": 0,
+    "dedup_keep_canonical": 0,
+    "doc_quality_score": 0,
+    "doc_repetition_stats": 0,
+    "embedding_centroids": 0,
+    "embedding_norm_stats": 0,
+    "leakage_safe_split": 0,
+    "pii_redact": 0,
+    "q12_priority_shipping": 0,
+    "q17_small_quantity_revenue": 0,
+    "q3_shipping_priority": 0,
+    "range_join_error_context": 0,
+    "session_windows": 0,
+    "stratified_sample": 0,
+    "streaming_daily_scores": 0,
+    "streaming_daily_scores_update": 0,
+    "streaming_dedup": 0,
+    "substring_dup_coverage": 0,
+    "suppliers_with_bulk_items": 0,
+    "tfidf_top_terms": 0,
+    "token_count": 0,
+    "top_events_per_user": 0,
+    "users_without_big_purchase": 0,
+    # (0) r13 new/changed — kept current as the round progresses:
+    # (none yet)
+    # (1) fill to 50, ranked by prior-row age (gen_rotation.py)
+    "class_balanced_sample": 1,
+    "lang_sampling_weights": 1,
+    "quality_calibrated_filter": 1,
+    "sequence_pack": 1,
+    "streaming_enriched_rollup": 1,
+    "daily_scores": 1,
+    "dedup_embedding_cosine": 1,
+    "doc_chunking": 1,
+    "engaged_users_setops": 1,
+    "envelope_rollup_csv": 1,
+    "error_labels": 1,
+    "monotonic_violations": 1,
+    "records_in_window": 1,
+    "report_batches": 1,
+    "resolution_classify": 1,
+    "source_mixing": 1,
+    "sql_daily_event_summary": 1,
+    "user_cardinality": 1,
+    "ann_lsh_topk": 1,
+    "attribute_rollup": 1,
+    "cohort_retention": 1,
+    "decayed_user_scores": 1,
 }
 
 
