@@ -174,24 +174,46 @@ CAL_REF_SEC = 0.187
 
 
 def _prev_committed_detail() -> tuple[dict | None, str | None]:
-    """The PREVIOUS round's committed BENCH_DETAIL.json, for the
-    drift self-report (VERDICT r11 item 2). Git HEAD is the right
-    source — the working-tree file is overwritten by every local
-    sf0.01 check run, while HEAD holds the artifact the last round
-    actually committed. Falls back to the on-disk file (pre-overwrite)
-    outside a git checkout."""
+    """The PREVIOUS round's DRIVER-WINDOW BENCH_DETAIL.json, for the
+    drift self-report (VERDICT r11 item 2). The right baseline is the
+    artifact the last round's driver commit recorded (subject
+    ``round N: ...``) — NOT plain git HEAD: mid-round refresh commits
+    also touch BENCH_DETAIL.json, and comparing one same-day window
+    against another amplifies min-of-N sampling noise into phantom
+    movers (the r12 ``leakage_safe_split`` 1.47x flag was exactly
+    this — BENCH_NOTES §r13-leakage-attrib). Falls back to HEAD, then
+    to the on-disk file, outside that history."""
+    import re
     import subprocess
 
     here = Path(__file__).resolve().parent
     try:
-        out = subprocess.run(
-            ["git", "-C", str(here), "show", "HEAD:BENCH_DETAIL.json"],
+        log = subprocess.run(
+            [
+                "git", "-C", str(here), "log", "--format=%h %s",
+                "--", "BENCH_DETAIL.json",
+            ],
             capture_output=True,
             text=True,
             timeout=20,
         )
-        if out.returncode == 0 and out.stdout.strip():
-            return json.loads(out.stdout), "git:HEAD"
+        refs = ["HEAD"]
+        if log.returncode == 0:
+            for line in log.stdout.splitlines():
+                sha, _, subject = line.partition(" ")
+                if re.match(r"round \d+:", subject):
+                    refs.insert(0, sha)
+                    break
+        for ref in refs:
+            out = subprocess.run(
+                ["git", "-C", str(here), "show", f"{ref}:BENCH_DETAIL.json"],
+                capture_output=True,
+                text=True,
+                timeout=20,
+            )
+            if out.returncode == 0 and out.stdout.strip():
+                label = "git:HEAD" if ref == "HEAD" else f"git:{ref} (driver window)"
+                return json.loads(out.stdout), label
     except (OSError, subprocess.SubprocessError, json.JSONDecodeError):
         pass
     try:
@@ -206,6 +228,7 @@ def _drift_report(
     timings: dict[str, float],
     cal_mean: float,
     sf_num,
+    spread: dict[str, list[float]] | None = None,
 ) -> dict | None:
     """Carried-query normalized drift vs the previous committed
     detail: the median ratio is the judge's throttle-vs-regression
@@ -239,6 +262,9 @@ def _drift_report(
         "prev_source": prev_source,
         "carried_n": len(ratios),
         "carried_median_normalized_ratio": round(med, 3),
+        # prev/cur [min, median, max] over the repeat rounds ride along
+        # so overlapping distributions read as sampling noise, not a
+        # regression, without re-deriving it from two artifacts by hand
         "movers": [
             {
                 "name": n,
@@ -246,6 +272,8 @@ def _drift_report(
                 "vs_median": round(ratios[n] / med, 3),
                 "prev_sec": round(prev_queries[n], 3),
                 "cur_sec": round(timings[n], 3),
+                "prev_spread": (prev.get("spread") or {}).get(n),
+                "cur_spread": (spread or {}).get(n),
             }
             for n in movers
         ],
@@ -340,7 +368,9 @@ def main() -> None:
         prev_source = None
     else:
         prev, prev_source = _prev_committed_detail()
-        drift = _drift_report(prev, prev_source, timings, cal_mean, sf_num)
+        drift = _drift_report(
+            prev, prev_source, timings, cal_mean, sf_num, spread
+        )
     # Full detail to a committed side file: the driver's BENCH artifact
     # keeps only the last 2000 chars of stdout, so the printed line must
     # stay compact (timings only) or early queries' numbers are lost.
