@@ -79,7 +79,10 @@ _ROTATION_TIERS: dict[str, int] = {
     "top_events_per_user": 0,
     "users_without_big_purchase": 0,
     # (0) r13 new/changed — kept current as the round progresses:
-    # (none yet)
+    # ann_auto_topk NEW (the measured ANN path selector, VERDICT r12
+    # item 3); decayed_user_scores dropped from the fill to keep the
+    # window at exactly 50 (it was the last-ranked fill row)
+    "ann_auto_topk": 0,
     # (1) fill to 50, ranked by prior-row age (gen_rotation.py)
     "class_balanced_sample": 1,
     "lang_sampling_weights": 1,
@@ -102,7 +105,6 @@ _ROTATION_TIERS: dict[str, int] = {
     "ann_lsh_topk": 1,
     "attribute_rollup": 1,
     "cohort_retention": 1,
-    "decayed_user_scores": 1,
 }
 
 

@@ -1680,3 +1680,69 @@ def test_dedup_incremental_consistent_with_batch_minhash(spark):
     for n, (verdict, match, _) in inc.items():
         if verdict == "near_dup":
             assert (min(n, match), max(n, match)) in pairset, n
+
+
+def test_auto_path_picks_every_measured_winner():
+    """:func:`auto_path`'s thresholds are read off the r12 qbatch
+    walls (BENCH_NOTES §r12-qbatch, carried verbatim in
+    QBATCH_MEASURED). This pins the rule TO the measurements: for
+    every measured (corpus, batch) cell the selector must pick the
+    cheapest admissible path — brute counting as admissible always,
+    pq only when a recall floor is required or it simply wins, and
+    capped (None) arms never winning. A re-measure that moves a
+    crossover fails here until the thresholds are re-derived."""
+    from stream_processing_test_spark.llm.similarity import (
+        QBATCH_MEASURED,
+        auto_path,
+    )
+
+    for (n, b), walls in QBATCH_MEASURED.items():
+        # default contract: any path admissible; parity ties (within
+        # 5%) break toward the exact path, which is why 200k/B=5
+        # picks brute at 3.15 against IVF's 3.09
+        ran = {p: w for p, w in walls.items() if w is not None}
+        best = min(ran.values())
+        winners = {p for p, w in ran.items() if w <= best * 1.05}
+        choice = auto_path(n, b)
+        assert choice in winners, (n, b, choice, walls)
+        # recall-floor contract: ivf is inadmissible (geometry floor),
+        # so the choice must be the cheaper of brute/pq among the arms
+        # that actually ran
+        floor_ran = {p: w for p, w in ran.items() if p != "ivf"}
+        fchoice = auto_path(n, b, need_recall_floor=True)
+        if fchoice in floor_ran:
+            # the chosen arm was measured: it must have won its cell
+            fbest = min(floor_ran.values())
+            fwinners = {p for p, w in floor_ran.items() if w <= fbest * 1.05}
+            assert fchoice in fwinners, (n, b, fchoice, walls)
+        else:
+            # the chosen arm was CAPPED in the harness (recorded skip,
+            # e.g. pq at 2M/B=64's 2.0e9-row ADC stream): unmeasured,
+            # not beaten — admissible only because auto_path's
+            # docstring names the mitigation (batch the query set)
+            assert walls.get(fchoice) is None, (n, b, fchoice, walls)
+
+
+def test_ann_auto_topk_dispatches_to_brute_here(spark):
+    """At the test corpus size (5k vectors, batch N_QUERIES=5) the
+    selector is in the brute region, so the registered dispatcher
+    must return exactly the brute result — and the decision must flip
+    to ivf past BRUTE_MAX_ROWS and to pq under a recall-floor need."""
+    from stream_processing_test_spark.llm.similarity import (
+        BRUTE_MAX_ROWS,
+        N_QUERIES,
+        auto_path,
+    )
+
+    assert auto_path(5_000, N_QUERIES) == "brute"
+    assert auto_path(BRUTE_MAX_ROWS + 1, N_QUERIES) == "ivf"
+    assert auto_path(BRUTE_MAX_ROWS + 1, N_QUERIES, True) == "pq"
+    auto = {
+        (r.query_id, r.rk): r.neighbor_id
+        for r in _q("ann_auto_topk").fn(spark, SF).collect()
+    }
+    brute = {
+        (r.query_id, r.rk): r.neighbor_id
+        for r in _q("ann_cosine_topk").fn(spark, SF).collect()
+    }
+    assert auto == brute and len(auto) > 0

@@ -532,6 +532,9 @@ def test_connected_components_one_job_per_round(spark):
 _FORCED_BROADCAST_ALLOWED = {
     "ann_cosine_topk": "k-row query-vector set (crossJoin seed)",
     "ann_cosine_topk_int8": "k-row query-vector set (crossJoin seed)",
+    "ann_auto_topk": "dispatches to ann_cosine_topk in the brute region "
+    "(auto_path: the sweep corpus is under BRUTE_MAX_ROWS), so the same "
+    "k-row query-vector broadcast",
     "decontaminate_bloom": "Bloom bitset, hard-capped at 2^28 bits (32 MiB)",
     "ann_pq_topk": "PQ codebook rows + (queries x codes)-row integer LUTs",
     "ann_ivfpq_topk": "trained centroids (<=256 rows) + (queries x n_probe) probed-list pairs + (queries x codes)-row integer LUTs",
