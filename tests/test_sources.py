@@ -3,6 +3,7 @@ one-event-per-source, pluggable prober."""
 
 from __future__ import annotations
 
+import os
 import sys
 from datetime import datetime
 from pathlib import Path
@@ -164,3 +165,152 @@ def test_kill_escalation_reaps_term_ignoring_child():
     assert out is None  # timed out -> killed
     assert proc.returncode is not None  # actually reaped
     assert time.time() - t0 < 10
+
+
+# --- real-subprocess ffprobe contract via a PATH shim (VERDICT r12
+# item 5): no decoder binary exists in this sandbox, but the REAL
+# ffprobe_prober code — command construction, JSON parse, metadata
+# fallback chains, timeout, TERM->KILL escalation — can still be
+# exercised end-to-end by putting a canned `ffprobe` executable on
+# PATH. The shim answers by URL pattern with verbatim ffprobe-shaped
+# JSON (field names from the real tool's -print_format json output).
+
+_FAKE_FFPROBE = r"""#!/bin/bash
+# canned ffprobe: behavior keyed off the URL (last argument)
+url="${!#}"
+if [ -n "$FFPROBE_ARGS_LOG" ]; then printf '%s\n' "$@" > "$FFPROBE_ARGS_LOG"; fi
+case "$url" in
+  *hang-trap*) trap "" TERM; sleep 60 ;;
+  *hang*) sleep 60 ;;
+  *openfail*) echo "Connection refused" >&2; exit 1 ;;
+  *badjson*) echo 'mpegts garbage {' ; exit 0 ;;
+  *novideo*) cat <<'JSON'
+{"format": {"format_name": "mp3", "duration": "12.400000", "bit_rate": "128000"},
+ "streams": [{"codec_type": "audio", "codec_name": "mp3", "sample_rate": "44100"}]}
+JSON
+  ;;
+  *noaudio*) cat <<'JSON'
+{"format": {"format_name": "mpegts", "duration": "7.04", "bit_rate": "2500000"},
+ "streams": [{"codec_type": "video", "codec_name": "h264", "width": 1920, "height": 1080}]}
+JSON
+  ;;
+  *vbitrate*) cat <<'JSON'
+{"format": {"format_name": "hls,applehttp"},
+ "streams": [{"codec_type": "video", "codec_name": "hevc", "width": 3840, "height": 2160, "bit_rate": "8000999"},
+             {"codec_type": "audio", "codec_name": "aac", "sample_rate": "48000"}]}
+JSON
+  ;;
+  *) cat <<'JSON'
+{"format": {"format_name": "mpegts", "duration": "3600.5", "bit_rate": "4500000"},
+ "streams": [{"codec_type": "video", "codec_name": "h264", "width": 1280, "height": 720},
+             {"codec_type": "audio", "codec_name": "aac", "sample_rate": "48000"}]}
+JSON
+  ;;
+esac
+"""
+
+
+@pytest.fixture()
+def fake_ffprobe(tmp_path, monkeypatch):
+    shim = tmp_path / "bin" / "ffprobe"
+    shim.parent.mkdir()
+    shim.write_text(_FAKE_FFPROBE)
+    shim.chmod(0o755)
+    monkeypatch.setenv("PATH", f"{shim.parent}:{os.environ['PATH']}")
+    return tmp_path
+
+
+def test_ffprobe_real_subprocess_parse_and_fallbacks(fake_ffprobe, monkeypatch):
+    """The REAL prober through a real subprocess: metadata extraction
+    and every fallback branch of StreamTest.cpp:1419-1474, plus the
+    exact command line (the -timeout µs conversion of the 5 s open
+    timeout, StreamTest.cpp:1386)."""
+    log = fake_ffprobe / "args.log"
+    monkeypatch.setenv("FFPROBE_ARGS_LOG", str(log))
+
+    ok = ffprobe_prober("1", "http://stream/ok")
+    assert ok == {
+        "item": 0,
+        "return_value": "",
+        "streaming_protocol": "mpegts",
+        "bitrate": "4500 kb/s",
+        "stream_length": "3600",
+        "video_format": "h264",
+        "video_resolution": "1280x720",
+        "audio_format": "aac",
+        "audio_sampling_rate": "48000",
+    }
+    args = log.read_text().split()
+    assert args[-1] == "http://stream/ok"
+    assert args[args.index("-timeout") + 1] == "5000000"
+
+    # format-level bit_rate missing -> video-stream fallback
+    vb = ffprobe_prober("2", "http://stream/vbitrate")
+    assert vb["item"] == 0
+    assert vb["bitrate"] == "8000 kb/s"
+    assert vb["stream_length"] == "N/A"
+    assert vb["video_resolution"] == "3840x2160"
+
+    # no video stream -> 1003, audio metadata KEPT (partial fill)
+    nv = ffprobe_prober("3", "http://stream/novideo")
+    assert nv["item"] == 1003
+    assert nv["audio_format"] == "mp3"
+    assert nv["audio_sampling_rate"] == "44100"
+    assert nv["video_format"] == ""
+
+    # no audio stream -> 1004, video metadata kept
+    na = ffprobe_prober("4", "http://stream/noaudio")
+    assert na["item"] == 1004
+    assert na["video_resolution"] == "1920x1080"
+
+    # nonzero exit -> 1001 with the return code preserved
+    of = ffprobe_prober("5", "http://stream/openfail")
+    assert of["item"] == 1001
+    assert of["return_value"] == "1"
+
+    # exit 0 with unparseable stream info -> 1002
+    bj = ffprobe_prober("6", "http://stream/badjson")
+    assert bj["item"] == 1002
+
+
+def test_ffprobe_real_subprocess_timeout_and_kill(fake_ffprobe):
+    """T7 through the REAL prober + real subprocess: a hanging child
+    times out to STREAM_TIMEOUT (1012) via TERM, and a TERM-trapping
+    child is reaped by the KILL escalation well under its natural
+    runtime."""
+    import time
+
+    t0 = time.time()
+    hung = ffprobe_prober(
+        "7", "http://stream/hang", total_timeout_s=1, kill_grace_s=1
+    )
+    assert hung["item"] == 1012
+    assert time.time() - t0 < 20
+
+    t0 = time.time()
+    trapped = ffprobe_prober(
+        "8", "http://stream/hang-trap", total_timeout_s=1, kill_grace_s=1
+    )
+    assert trapped["item"] == 1012
+    assert time.time() - t0 < 20
+
+
+def test_ffprobe_shim_through_probe_sources(spark, fake_ffprobe):
+    """The ffprobe prober fanned out through the REAL mapInPandas
+    connector: every executor-side subprocess resolves the PATH shim,
+    one event per source, taxonomy items only. Spark's Python workers
+    were forked before the fixture's monkeypatch, so the shim dir is
+    prepended to PATH inside the worker by a thin wrapper — the probe
+    itself is the real ffprobe_prober, subprocess and all."""
+    shim_dir = str(fake_ffprobe / "bin")
+
+    def prober(url_id, url):
+        if shim_dir not in os.environ["PATH"]:
+            os.environ["PATH"] = f"{shim_dir}:{os.environ['PATH']}"
+        return ffprobe_prober(url_id, url)
+
+    src = _sources(spark, n=8)
+    out = probe_sources(src, prober=prober, created_time=STAMP).collect()
+    assert len(out) == 8
+    assert {r.item for r in out} == {0}
+    assert {r.video_resolution for r in out} == {"1280x720"}
