@@ -5,6 +5,7 @@ their exact counterparts.
 
 from __future__ import annotations
 
+import re
 import sys
 from pathlib import Path
 
@@ -1577,7 +1578,13 @@ def test_vocab_top_ngrams_prune_matches_naive(spark):
     docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["text", "lang"])
     want: dict[str, Counter] = {}
     for text, lang in zip(docs.text, docs.lang):
-        w = text.strip().lower().split()
+        # mirror the ENGINE tokenization exactly (ADVICE r12): both
+        # Spark and the oracle space-only-trim then \s+-split, which
+        # emits an empty token (hence a bigram) for text bounded by
+        # non-space whitespace — str.strip()/str.split() would silently
+        # diverge there and the cross-check only held because the
+        # synthetic corpus has no such docs
+        w = re.split(r"\s+", text.strip(" ").lower())
         want.setdefault(lang, Counter()).update(
             f"{a} {b}" for a, b in zip(w, w[1:])
         )
