@@ -80,9 +80,13 @@ _ROTATION_TIERS: dict[str, int] = {
     "users_without_big_purchase": 0,
     # (0) r13 new/changed — kept current as the round progresses:
     # ann_auto_topk NEW (the measured ANN path selector, VERDICT r12
-    # item 3); decayed_user_scores dropped from the fill to keep the
-    # window at exactly 50 (it was the last-ranked fill row)
+    # item 3); ann_ivf_topk + ann_ivfpq_topk changed (the guarded-BLAS
+    # assignment pass, VERDICT r12 item 4). The three last-ranked fill
+    # rows (decayed_user_scores, cohort_retention, attribute_rollup)
+    # dropped to keep the window at exactly 50.
     "ann_auto_topk": 0,
+    "ann_ivf_topk": 0,
+    "ann_ivfpq_topk": 0,
     # (1) fill to 50, ranked by prior-row age (gen_rotation.py)
     "class_balanced_sample": 1,
     "lang_sampling_weights": 1,
@@ -103,8 +107,6 @@ _ROTATION_TIERS: dict[str, int] = {
     "sql_daily_event_summary": 1,
     "user_cardinality": 1,
     "ann_lsh_topk": 1,
-    "attribute_rollup": 1,
-    "cohort_retention": 1,
 }
 
 

@@ -1753,3 +1753,75 @@ def test_ann_auto_topk_dispatches_to_brute_here(spark):
         for r in _q("ann_cosine_topk").fn(spark, SF).collect()
     }
     assert auto == brute and len(auto) > 0
+
+
+def test_assign_blas_matches_parity_fold_including_boundaries(spark):
+    """The r13 guarded-BLAS assignment (``_assign_arrow``) must label
+    bit-identically to the pure left-to-right parity fold: (a) on a
+    random corpus (the 1-2e-6 suspect rate means these rows all take
+    the BLAS path — proving the error-bound argument, not the
+    fallback), and (b) on crafted vectors whose cosine sits EXACTLY ON
+    a round6 half-up boundary, which must trip the suspect fallback
+    and still select the fold's label (ties to the smaller list_id)."""
+    import numpy as np
+    import pandas as pd
+
+    from stream_processing_test_spark.llm.hashing import round6_np
+    from stream_processing_test_spark.llm.similarity import _assign_arrow
+
+    rng = np.random.default_rng(7)
+    dim = 8
+    cents = [(int(i), rng.normal(size=dim).tolist()) for i in range(7)]
+    V = rng.normal(size=(4000, dim))
+    # crafted rows: scaled copies of each centroid (cos = 1 exactly —
+    # every rounded sim ties at 1.0 against its own centroid), zero
+    # vectors (the zero-norm override), axis vectors, and TRUE round6
+    # boundary rows — vectors built at cos ≈ (m - 0.5)·1e-6 to a
+    # centroid, which must trip the suspect fallback
+    c0 = np.array(cents[0][1])
+    chat = c0 / np.sqrt((c0 * c0).sum())
+    w = rng.normal(size=dim)
+    w -= (w @ chat) * chat
+    what = w / np.sqrt((w * w).sum())
+    on_boundary = [
+        t * chat + np.sqrt(1 - t * t) * what
+        for t in (0.5000005, 0.1234565, 0.9999995)
+    ]
+    boundary = np.vstack(
+        [np.array(c) * s for _, c in cents for s in (1.0, 2.5)]
+        + [np.zeros(dim), np.eye(dim)[0]]
+        + on_boundary
+    )
+    V = np.vstack([V, boundary])
+    # the boundary rows must actually be suspect under the guard the
+    # implementation uses, or this test stops covering the fallback
+    bcos = np.array([(v @ c0) / (np.sqrt((v * v).sum()) * np.sqrt((c0 * c0).sum())) for v in on_boundary])
+    yb = np.abs(bcos) * 1e6 + 0.5
+    assert (np.abs(yb - np.rint(yb)) <= 1e-6).all()
+
+    # pure parity fold reference (the pre-r13 semantics, verbatim)
+    C = np.array([c for _, c in sorted(cents)])
+    ids = np.array([i for i, _ in sorted(cents)])
+    acc = np.zeros((len(V), len(C)))
+    for j in range(dim):
+        acc += V[:, j : j + 1] * C[None, :, j]
+    nc = np.zeros(len(C))
+    nv = np.zeros(len(V))
+    for j in range(dim):
+        nc += C[:, j] * C[:, j]
+        nv += V[:, j] * V[:, j]
+    nc, nv = np.sqrt(nc), np.sqrt(nv)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        sims = round6_np(acc / (nv[:, None] * nc[None, :]))
+    want = ids[np.argmax(sims, axis=1)]
+    want[nv == 0.0] = ids[0]
+
+    base = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(len(V)), "v": [r.tolist() for r in V]}),
+        "vec_id long, v array<double>",
+    )
+    got = {
+        r["vec_id"]: r["list_id"]
+        for r in _assign_arrow(base, cents).collect()
+    }
+    assert got == {i: int(want[i]) for i in range(len(V))}
