@@ -155,6 +155,7 @@ BENCH_EXCLUDED = {
     "dedup_embedding_cosine": "guarded quadratic ORACLE TWIN, hard-capped at 1M rows; the scale path timed is dedup_embedding_lsh",
     "dedup_multimodal": "composition of two already-timed shapes: the Arrow feature pass (multimodal_features' stage) and the banded hamming self-join (dedup_simhash's stage, plus a skinny cap agg); its scale behavior is priced by the mm ladder's png_dedup rung",
     "streaming_click_purchase_join": "micro-batch harness setup dominates; streaming perf represented by streaming_daily_scores + streaming_failure_streaks",
+    "streaming_click_purchase_outer": "same harness-dominated wall as the inner variant plus a sentinel-replay rewrite; the join's state behavior is priced by BENCH_SCALE's ss_join arm (rows-in-state at 1M/10M events)",
     "streaming_dedup": "micro-batch harness setup dominates; same representatives",
     "streaming_enriched_rollup": "memory-sink micro-batch harness setup dominates at fixture size; the stream-static join adds no exchange (broadcast dim) and streaming perf is represented by streaming_daily_scores + streaming_failure_streaks",
     "streaming_envelope_rollup": "wall time is memory-sink micro-batch harness setup over the tiny envelope fixture; streaming perf represented by streaming_daily_scores + streaming_failure_streaks",

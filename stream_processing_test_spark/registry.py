@@ -87,6 +87,13 @@ _ROTATION_TIERS: dict[str, int] = {
     "ann_auto_topk": 0,
     "ann_ivf_topk": 0,
     "ann_ivfpq_topk": 0,
+    # streaming_click_purchase_outer NEW r13 (left-outer stream-stream
+    # interval join; outer rows = watermark-eviction evidence). With
+    # 32 tier-0 entries the fill is trimmed to 18 — the four
+    # last-ranked fill rows by gen_rotation's prior-row-age order
+    # (decayed_user_scores, cohort_retention, attribute_rollup,
+    # ann_lsh_topk) wait for r14
+    "streaming_click_purchase_outer": 0,
     # (1) fill to 50, ranked by prior-row age (gen_rotation.py)
     "class_balanced_sample": 1,
     "lang_sampling_weights": 1,
@@ -106,7 +113,6 @@ _ROTATION_TIERS: dict[str, int] = {
     "source_mixing": 1,
     "sql_daily_event_summary": 1,
     "user_cardinality": 1,
-    "ann_lsh_topk": 1,
 }
 
 
@@ -161,6 +167,7 @@ PLAN_OPAQUE_QUERIES: dict[str, str] = {
     "dup_clusters_star": "star-contraction loop materialized in fn()",
     "leakage_safe_split": "connected-components loop materialized in fn()",
     "streaming_click_purchase_join": "streaming sink",
+    "streaming_click_purchase_outer": "streaming sink",
     "streaming_daily_scores": "streaming sink",
     "streaming_daily_scores_update": "streaming sink",
     "streaming_dedup": "streaming sink",

@@ -124,3 +124,121 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = deduped.groupBy("event_type").agg(F.count("*").alias("n_events"))
     name = f"sdedup_{abs(hash(sf_dir)) % 10_000}"
     return run_to_memory(counts, name, output_mode="complete")
+
+
+_SS_OUTER_ORACLE = """
+SELECT CAST(p.event_id AS BIGINT) AS purchase_id,
+       CAST(c.event_id AS BIGINT) AS click_id,
+       CAST(p.user_id AS BIGINT) AS user_id
+FROM events p
+LEFT JOIN events c
+  ON p.user_id = c.user_id
+ AND c.event_type = 'click'
+ AND c.ts >= p.ts - INTERVAL 1 HOUR
+ AND c.ts <= p.ts
+WHERE p.event_type = 'purchase'
+"""
+
+
+@register(
+    "streaming_click_purchase_outer",
+    oracle=_SS_OUTER_ORACLE,
+    survey_ops="⊘stream-stream-join,T1,T5",
+    tier=0,  # new in r13
+)
+def streaming_click_purchase_outer(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: every purchase with its
+    attributing clicks, and a NULL click row for purchases no click
+    preceded within 1 h — the semantics the inner variant cannot give
+    (an unattributed purchase simply never appears there).
+
+    What this pins that the inner join doesn't: outer results depend
+    ENTIRELY on state eviction. Spark emits the null-padded row only
+    when the watermark proves no future click can match, so a broken
+    eviction path shows up as MISSING unmatched purchases, not as
+    extra rows — exactly the failure the batch LEFT JOIN oracle
+    catches row-for-row.
+
+    Finite-replay mechanics (same design as
+    ``streaming_session_windows``, which documents the trade): a
+    finite stream's watermark stops at the last real event, which
+    would hold the final purchases' state open forever. The replay
+    file appends one far-future sentinel per side (user_id = -1,
+    filtered from the result); both sides share the SINGLE replay
+    file, so the watermark only advances after the batch containing
+    every real event, and Spark's no-data batch then flushes the
+    evicted state through the outer join.
+
+    Scale shape: identical to the inner variant — state keyed by
+    user_id, bounded by (watermark delay x arrival rate), priced with
+    rows-in-state at 1M/10M events in BENCH_SCALE's ss_join arm
+    (BENCH_NOTES §r13-ssjoin-rungs).
+    """
+    import tempfile
+    from datetime import datetime
+
+    from pyspark.sql import types as T
+
+    from stream_processing_test_spark.tables import load
+
+    scoped = spark.newSession()
+    ev_batch = load(scoped, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    sentinels = scoped.createDataFrame(
+        [
+            (-1, datetime(2100, 1, 1), -1, "click", 0.0, "{}"),
+            (-2, datetime(2100, 1, 1), -1, "purchase", 0.0, "{}"),
+        ],
+        schema,
+    )
+    replay_dir = tempfile.mkdtemp(prefix="ssouter_replay_")
+    ev_batch.unionByName(sentinels).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(replay_dir)
+
+    clicks = (
+        events_stream(scoped, replay_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    purchases = (
+        events_stream(scoped, replay_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (
+            F.col("click_ts")
+            >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR")
+        )
+        & (F.col("click_ts") <= F.col("purchase_ts")),
+        "left_outer",
+    ).select("purchase_id", "click_id", "user_id")
+    name = f"ss_outer_{abs(hash(sf_dir)) % 10_000}"
+    out = run_to_memory(joined, name, output_mode="append")
+    return out.filter(F.col("user_id") >= 0)

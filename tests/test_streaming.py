@@ -720,3 +720,47 @@ def test_sliding_rollup_stream_batch_parity_and_coverage(spark):
     key = lambda r: (r["window_start"], r["event_type"])
     assert sorted(map(tuple, rows)) == sorted(map(tuple, batch))
     assert {key(r) for r in rows} == {key(r) for r in batch}
+
+
+def test_stream_outer_join_emits_unmatched_purchases(spark):
+    """The left-outer stream-stream join must contain (a) every inner
+    match, and (b) a NULL-click row for every purchase that no click
+    preceded within 1 h — the rows whose existence depends entirely on
+    watermark state eviction (a broken eviction path silently DROPS
+    them; the batch reference here and the DuckDB oracle both catch
+    that). Verified against the batch left join on the same events."""
+    from stream_processing_test_spark.registry import all_queries
+    from stream_processing_test_spark.tables import load
+
+    got = all_queries()["streaming_click_purchase_outer"].fn(
+        spark, SF_SMALL
+    ).collect()
+    ev = load(spark, SF_SMALL, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("user_id"),
+        F.col("ts").alias("pts"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_uid"),
+        F.col("ts").alias("cts"),
+    )
+    want = (
+        p.join(
+            c,
+            (p["user_id"] == c["c_uid"])
+            & (c["cts"] >= p["pts"] - F.expr("INTERVAL 1 HOUR"))
+            & (c["cts"] <= p["pts"]),
+            "left_outer",
+        )
+        .select("purchase_id", "click_id", "user_id")
+        .collect()
+    )
+    as_set = lambda rows: {  # noqa: E731
+        (r["purchase_id"], r["click_id"], r["user_id"]) for r in rows
+    }
+    assert as_set(got) == as_set(want)
+    unmatched = [r for r in got if r["click_id"] is None]
+    matched = [r for r in got if r["click_id"] is not None]
+    assert unmatched and matched  # both behaviors actually exercised
