@@ -153,6 +153,7 @@ BENCH_EXCLUDED = {
     "multimodal_features": "3-row binary fixture through stub codecs; measures Arrow setup, not engine throughput",
     "multimodal_preprocess": "2-row binary fixture through stub codecs; same",
     "dedup_embedding_cosine": "guarded quadratic ORACLE TWIN, hard-capped at 1M rows; the scale path timed is dedup_embedding_lsh",
+    "decontaminate_embedding": "asymmetric (train-bucket x eval-bucket) restriction of headline dedup_embedding_lsh's signature+bucket+verify machinery — same stages, strictly fewer candidates (~1/97 of the self-join's)",
     "dedup_multimodal": "composition of two already-timed shapes: the Arrow feature pass (multimodal_features' stage) and the banded hamming self-join (dedup_simhash's stage, plus a skinny cap agg); its scale behavior is priced by the mm ladder's png_dedup rung",
     "streaming_click_purchase_join": "micro-batch harness setup dominates; streaming perf represented by streaming_daily_scores + streaming_failure_streaks",
     "streaming_click_purchase_outer": "same harness-dominated wall as the inner variant plus a sentinel-replay rewrite; the join's state behavior is priced by BENCH_SCALE's ss_join arm (rows-in-state at 1M/10M events)",

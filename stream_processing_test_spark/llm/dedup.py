@@ -1310,3 +1310,131 @@ def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(frac, 4).alias("hit_frac"),
         (frac >= BLOOM_FLAG_FRAC).alias("flagged"),
     )
+
+
+def _embed_contam_oracle() -> str:
+    from stream_processing_test_spark.llm.similarity import bucket_ctes
+
+    return f"""
+WITH {bucket_ctes(n_tables=None, n_planes=None)},
+cand AS (
+    SELECT DISTINCT t.vec_id AS train_id, e.vec_id AS eval_id
+    FROM buckets t JOIN buckets e
+      ON t.table_id = e.table_id AND t.bucket = e.bucket
+   WHERE t.vec_id % {EVAL_MOD} <> 0 AND e.vec_id % {EVAL_MOD} = 0
+),
+verified AS (
+    SELECT c.train_id, list_cosine_similarity(a.v, b.v) AS raw
+    FROM cand c
+    JOIN esig a ON a.vec_id = c.train_id
+    JOIN esig b ON b.vec_id = c.eval_id
+)
+SELECT CAST(train_id AS BIGINT) AS vec_id,
+       CAST(COUNT(*) AS BIGINT) AS n_eval_hits,
+       ROUND(MAX(raw), 4) AS max_cos
+FROM verified WHERE raw >= {EMBED_COSINE_THRESHOLD}
+GROUP BY train_id
+"""
+
+
+@register(
+    "decontaminate_embedding",
+    oracle=_embed_contam_oracle(),
+    survey_ops="§7-dedup,§7-similarity,LSH",
+    tier=0,  # new in r13
+)
+def decontaminate_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMBEDDING-SPACE benchmark decontamination — the third tier of
+    the family: ``decontaminate_overlap`` catches shared rare n-grams,
+    ``decontaminate_bloom`` the same keys probabilistically at
+    broadcast cost, and this op catches what neither can — PARAPHRASED
+    eval items, contaminated in meaning but rewritten in surface form,
+    visible only in embedding space.
+
+    Same eval split rule as the n-gram tiers (``vec_id % EVAL_MOD ==
+    0``, ~1%; in a real pipeline the benchmark embeddings are their
+    own table — mechanics identical) and the asymmetric probe shape of
+    ``dedup_incremental``: candidates are train-bucket × EVAL-bucket
+    collisions only (never train × train), so candidate volume is
+    linear in the eval slice's bucket occupancy, not corpus². One
+    hyperplane signature pass over the full table (persisted, consumed
+    by both splits), bucket equi-join across the splits, exact cosine
+    verify on the candidates, then a per-train-doc rollup:
+    (vec_id, n_eval_hits, max_cos) — the two numbers a removal policy
+    thresholds on, mirroring ``decontaminate_overlap``'s output
+    contract.
+
+    Policies: planes/tables from the corpus COUNT through
+    ``auto_planes``/``auto_tables`` (the FULL table count, so the
+    oracle's existing ``COUNT(*) FROM embeddings`` replay is exact);
+    threshold = EMBED_COSINE_THRESHOLD, the family's near-dup
+    predicate. Recall is the LSH collision curve the hold-recall
+    policy prices — identical machinery to ``dedup_embedding_lsh``,
+    whose pytest recall floor covers this op's candidate stage.
+
+    100 TB shape: in deployment the eval side is a benchmark suite —
+    thousands of rows against billions — so the cross-split bucket
+    join broadcasts the eval buckets and the corpus pays one signature
+    map pass + one exact verify per candidate; nothing corpus-scale
+    shuffles except the signature rows themselves (bare (vec_id,
+    table, bucket) triples, never vectors — vectors fan back by id for
+    the verify only).
+    """
+    from stream_processing_test_spark.llm.similarity import (
+        _dot,
+        _norm,
+        auto_planes,
+        auto_tables,
+        hyperplane_tables,
+    )
+    from stream_processing_test_spark.session import finish_with
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").alias("v")
+    )
+    n_planes = auto_planes(emb.select("vec_id").count())
+    n_tables = auto_tables(n_planes)
+    embd = emb.select("vec_id", F.col("v").cast("array<double>").alias("v"))
+    tables = hyperplane_tables(
+        embd, n_tables=n_tables, n_planes=n_planes
+    ).persist()
+    is_eval = F.col("vec_id") % EVAL_MOD == 0
+    tr = tables.filter(~is_eval).select(
+        F.col("vec_id").alias("train_id"), "table_id", "bucket"
+    )
+    ev = tables.filter(is_eval).select(
+        F.col("vec_id").alias("eval_id"), "table_id", "bucket"
+    )
+    cand = (
+        tr.join(ev, ["table_id", "bucket"])
+        .select("train_id", "eval_id")
+        .distinct()
+    )
+    va = emb.select(
+        F.col("vec_id").alias("train_id"),
+        F.col("v").alias("va"),
+        _norm(F.col("v").cast("array<double>")).alias("na"),
+    )
+    vb = emb.select(
+        F.col("vec_id").alias("eval_id"),
+        F.col("v").alias("vb"),
+        _norm(F.col("v").cast("array<double>")).alias("nb"),
+    )
+    wa = F.col("va").cast("array<double>")
+    wb = F.col("vb").cast("array<double>")
+    result = (
+        cand.join(va, "train_id")
+        .join(vb, "eval_id")
+        .select(
+            "train_id",
+            (_dot(wa, wb) / (F.col("na") * F.col("nb"))).alias("raw"),
+        )
+        .filter(F.col("raw") >= EMBED_COSINE_THRESHOLD)
+        .groupBy("train_id")
+        .agg(
+            F.count("*").alias("n_eval_hits"),
+            F.round(F.max("raw"), 4).alias("max_cos"),
+        )
+        .select(F.col("train_id").alias("vec_id"), "n_eval_hits", "max_cos")
+    )
+    return finish_with(result, tables)

@@ -94,6 +94,10 @@ _ROTATION_TIERS: dict[str, int] = {
     # (decayed_user_scores, cohort_retention, attribute_rollup,
     # ann_lsh_topk) wait for r14
     "streaming_click_purchase_outer": 0,
+    # decontaminate_embedding NEW r13 (embedding-space decontamination
+    # tier; asymmetric eval-probe LSH); user_cardinality (next-ranked
+    # fill) waits for r14 to hold the window at 50
+    "decontaminate_embedding": 0,
     # (1) fill to 50, ranked by prior-row age (gen_rotation.py)
     "class_balanced_sample": 1,
     "lang_sampling_weights": 1,
@@ -112,7 +116,6 @@ _ROTATION_TIERS: dict[str, int] = {
     "resolution_classify": 1,
     "source_mixing": 1,
     "sql_daily_event_summary": 1,
-    "user_cardinality": 1,
 }
 
 
@@ -156,6 +159,7 @@ PLAN_OPAQUE_QUERIES: dict[str, str] = {
     "ann_ivf_topk": "iterative k-means materialized in fn()",
     "ann_lsh_topk": "bucketed index materialized in fn()",
     "decontaminate_overlap": "inverted index materialized in fn()",
+    "decontaminate_embedding": "signature tables materialized in fn()",
     "dedup_embedding_lsh": "bucket+verify materialized in fn()",
     "dedup_incremental": "shared signature relation materialized in fn()",
     "dedup_minhash_lsh": "signatures/banding materialized in fn()",

@@ -1825,3 +1825,50 @@ def test_assign_blas_matches_parity_fold_including_boundaries(spark):
         for r in _assign_arrow(base, cents).collect()
     }
     assert got == {i: int(want[i]) for i in range(len(V))}
+
+
+def test_embedding_decontamination_catches_planted_paraphrase(spark, tmp_path):
+    """Plant semantic contamination the n-gram tiers cannot see: a
+    train vector that is a tiny perturbation of an eval vector
+    (cos ≈ 0.99 — a 'paraphrase' in embedding space). The op must flag
+    exactly that train doc with max_cos ≈ 0.99; background vectors are
+    near-orthogonal (cos ~ N(0, 1/64)), far under the 0.35 threshold,
+    and a train twin of another TRAIN vector must NOT be flagged
+    (contamination is against the eval split only)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from stream_processing_test_spark.llm.dedup import EVAL_MOD
+    from stream_processing_test_spark.registry import all_queries
+
+    n, dim = 400, 64
+    rng = np.random.default_rng(11)
+    vecs = rng.standard_normal((n, dim)).astype(np.float32)
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    eval_id = EVAL_MOD  # 97: in the eval split
+    plant = 103  # train doc: near-copy of the eval vector
+    vecs[plant] = vecs[eval_id] + 0.05 * vecs[plant]
+    train_twin_a, train_twin_b = 101, 102  # train x train near-pair
+    vecs[train_twin_b] = vecs[train_twin_a] + 0.05 * vecs[train_twin_b]
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": np.arange(n, dtype=np.int64),
+                "embedding": pa.array(list(vecs), type=pa.list_(pa.float32())),
+                "label": np.zeros(n, dtype=np.int32),
+            }
+        ),
+        str(tmp_path / "embeddings.parquet"),
+    )
+    got = {
+        r["vec_id"]: (r["n_eval_hits"], r["max_cos"])
+        for r in all_queries()["decontaminate_embedding"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+    assert plant in got and got[plant][1] > 0.9
+    assert train_twin_b not in got  # train-train similarity is not contamination
+    assert train_twin_a not in got
+    # eval docs themselves are never output rows (train side only)
+    assert all(v % EVAL_MOD != 0 for v in got)
