@@ -130,6 +130,7 @@ BENCH_EXCLUDED = {
     "quality_calibrated_filter": "per-source rank window + rollup on the window's own key; the scan+score map stage is timed by headline doc_quality_score, the partitioned-window sort by headline session_windows (same bounded-partition window shape, bigger input)",
     "lang_sampling_weights": "5-row temperature-weight agg; the token-count scan underneath is timed by headline token_count",
     "class_balanced_sample": "per-class rank window over documents with a bounded output (|langs| x 64 rows); same bounded-partition window shape as quality_calibrated_filter, scan timed by headline token_count",
+    "ann_index_append": "ivf_topk with the new-batch split as the query relation: train/assign/probed-search stages identical to headline ann_ivf_topk (just 10x the broadcast query rows; per-batch cost priced by the qbatch arms)",
     "ann_ivfpq_topk": "composition of headline ann_ivf_topk's routed-assignment stages and headline ann_pq_topk's encode+ADC stages, with strictly LESS ADC volume than the PQ headline (probed fraction only); its scale behavior is what matters and is priced in BENCH_SCALE's ivfpq rungs",
     "quantity_grouping_sets": "grouping-sets twin of headline revenue_cube; identical rollup machinery",
     "engaged_users_setops": "INTERSECT/EXCEPT over per-user aggregates; same distinct-exchange shape as user_cardinality",

@@ -98,6 +98,9 @@ _ROTATION_TIERS: dict[str, int] = {
     # tier; asymmetric eval-probe LSH); user_cardinality (next-ranked
     # fill) waits for r14 to hold the window at 50
     "decontaminate_embedding": 0,
+    # ann_index_append NEW r13 (frozen-quantizer incremental ingest);
+    # sql_daily_event_summary (next-ranked fill) waits for r14
+    "ann_index_append": 0,
     # (1) fill to 50, ranked by prior-row age (gen_rotation.py)
     "class_balanced_sample": 1,
     "lang_sampling_weights": 1,
@@ -115,7 +118,6 @@ _ROTATION_TIERS: dict[str, int] = {
     "report_batches": 1,
     "resolution_classify": 1,
     "source_mixing": 1,
-    "sql_daily_event_summary": 1,
 }
 
 
@@ -156,6 +158,7 @@ def register(
 # these by name; their physical shape is asserted piecewise in
 # tests/test_scale_layout.py instead.
 PLAN_OPAQUE_QUERIES: dict[str, str] = {
+    "ann_index_append": "iterative k-means (base split) materialized in fn()",
     "ann_ivf_topk": "iterative k-means materialized in fn()",
     "ann_lsh_topk": "bucketed index materialized in fn()",
     "decontaminate_overlap": "inverted index materialized in fn()",
