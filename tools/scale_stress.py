@@ -1757,6 +1757,33 @@ def main() -> None:
                         f"{entry['ann_lsh_registered']}",
                         flush=True,
                     )
+                if "contam" in vec_extras:
+                    # registered embedding-space decontamination on the
+                    # tier corpus: the asymmetric eval-probe LSH (r13)
+                    # — one signature pass + train x eval bucket join;
+                    # the claim the rung prices is candidate volume
+                    # linear in the ~1% eval slice, never corpus²
+                    entry["decontam_embedding_registered"] = time_query(
+                        spark, "decontaminate_embedding", tdir, args.repeats
+                    )
+                    print(
+                        f"[{tier}] decontam_embedding_registered: "
+                        f"{entry['decontam_embedding_registered']}",
+                        flush=True,
+                    )
+                if "append" in vec_extras:
+                    # registered incremental ingest (r13): quantizer
+                    # trained on the 90% base, the 10% new batch routed
+                    # + searched against the standing lists — the rung
+                    # prices per-batch cost at 20x/200x the fixture
+                    entry["ann_index_append_registered"] = time_query(
+                        spark, "ann_index_append", tdir, args.repeats
+                    )
+                    print(
+                        f"[{tier}] ann_index_append_registered: "
+                        f"{entry['ann_index_append_registered']}",
+                        flush=True,
+                    )
                 if "recall" in vec_extras:
                     # (None, None) = the REGISTERED operating point
                     # (occupancy-1024 auto_planes + auto_tables — shared
