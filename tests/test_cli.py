@@ -108,3 +108,35 @@ def test_cli_probe_appends_envelope_events(capsys, spark, tmp_path):
     ev = read_probe_events(spark, out, fmt="json")
     assert ev.count() == 12
     assert ev.filter(ev.created_time.isNull()).count() == 0
+
+
+def test_gen_rotation_owed_list_from_history(tmp_path):
+    """tools/gen_rotation.py is load-bearing contract tooling (the
+    driver-window rotation is computed from CORRECTNESS history, not
+    hand-maintained): pin its core — the stale-minimum cohort is owed,
+    the fill ranks by prior-row age, never-checked queries always
+    lead."""
+    import json
+
+    from tools.gen_rotation import history
+
+    for rnd, names in [
+        (1, ["a", "b", "c"]),
+        (2, ["a", "b", "d"]),
+        (3, ["b", "d"]),
+    ]:
+        (tmp_path / f"CORRECTNESS_r{rnd:02d}.json").write_text(
+            json.dumps({n: {"rows_match": True} for n in names})
+        )
+    hist = history(tmp_path)
+    assert hist == {"a": [1, 2], "b": [1, 2, 3], "c": [1], "d": [2, 3]}
+    newest = {q: rs[-1] for q, rs in hist.items()}
+    stale_min = min(newest.values())
+    owed = sorted(q for q, n in newest.items() if n == stale_min)
+    assert owed == ["c"]  # newest row r1 = the stale minimum
+    # fill ranking within the r2 cohort: 'a' (prior r1) before nothing
+    cohort = sorted(
+        (q for q, n in newest.items() if n == 2),
+        key=lambda q: (hist[q][-2] if len(hist[q]) > 1 else 0, q),
+    )
+    assert cohort == ["a"]
