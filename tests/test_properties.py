@@ -247,3 +247,68 @@ def test_scale_stress_marker_invalidates_on_gen_change(tmp_path):
     changed = {**params, "gen_version": params["gen_version"] + 1}
     s3 = ss._reuse_or_gen(str(tmp_path), changed, gen)
     assert calls == [1, 1] and s3.get("reused") is None
+
+
+def _fold_reference_labels(V, cents_sorted):
+    """Pure pre-r13 parity chain, re-derived independently: dots and
+    norms fold left-to-right across dims, sims round half-up to 6
+    decimals, first-max argmax, zero-norm rows take the smallest id."""
+    import numpy as np
+
+    from stream_processing_test_spark.llm.hashing import round6_np
+
+    C = np.array([c for _, c in cents_sorted], dtype=np.float64)
+    ids = np.array([i for i, _ in cents_sorted], dtype=np.int64)
+    k, dim = C.shape
+    acc = np.zeros((len(V), k))
+    nc = np.zeros(k)
+    nv = np.zeros(len(V))
+    for j in range(dim):
+        acc += V[:, j : j + 1] * C[None, :, j]
+        nc += C[:, j] * C[:, j]
+        nv += V[:, j] * V[:, j]
+    nc, nv = np.sqrt(nc), np.sqrt(nv)
+    import numpy as _np
+
+    with _np.errstate(invalid="ignore", divide="ignore"):
+        sims = round6_np(acc / (nv[:, None] * nc[None, :]))
+    lab = ids[_np.argmax(sims, axis=1)]
+    lab[nv == 0.0] = ids[0]
+    return lab
+
+
+@settings(max_examples=120, deadline=None)
+@given(data=st.data())
+def test_assign_labels_blas_equals_parity_fold(data):
+    """Property: the guarded-BLAS kernel (the exact code every Arrow
+    batch of the assignment runs) selects BIT-IDENTICALLY to the pure
+    parity fold on adversarial inputs — near-ties (scaled copies of
+    centroids, convex blends of two centroids that force rounded-sim
+    ties), zero vectors, tiny/huge magnitudes, and random noise."""
+    import numpy as np
+
+    from stream_processing_test_spark.llm.similarity import assign_labels_np
+
+    dim = data.draw(st.integers(2, 12), label="dim")
+    k = data.draw(st.integers(1, 9), label="k")
+    rng = np.random.default_rng(data.draw(st.integers(0, 2**31), label="seed"))
+    cents = [(i, rng.normal(size=dim).tolist()) for i in range(k)]
+    C = np.array([c for _, c in cents])
+
+    n_noise = data.draw(st.integers(0, 30), label="n_noise")
+    scale = 10.0 ** data.draw(st.integers(-6, 6), label="scale")
+    rowsets = [rng.normal(size=(n_noise, dim)) * scale]
+    # adversarial rows: scaled centroid copies (exact cos=1 ties) and
+    # pairwise centroid blends (rounded sims frequently tie)
+    for i in range(k):
+        rowsets.append(C[i : i + 1] * 2.5)
+    if k >= 2:
+        a, b = data.draw(st.integers(0, k - 1)), data.draw(st.integers(0, k - 1))
+        t = data.draw(st.floats(0.0, 1.0, allow_nan=False))
+        rowsets.append((t * C[a] + (1 - t) * C[b])[None, :])
+    rowsets.append(np.zeros((1, dim)))
+    V = np.vstack(rowsets)
+
+    got = assign_labels_np([r.tolist() for r in V], sorted(cents))
+    want = _fold_reference_labels(V, sorted(cents))
+    assert (got == want).all()
