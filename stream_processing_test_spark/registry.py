@@ -45,9 +45,13 @@ _REGISTRY: dict[str, QuerySpec] = {}
 #
 # Tier (0) = the TWENTY-EIGHT r10-row deferrals the r12 verdict bound
 # r13 to lead with (tool-verified identical to the hand list), plus
-# r13 new/changed queries. Tier (1) = 22 fill rows: the five r11-new
-# single-row queries, then the r11 cohort ranked by prior-row age
-# (prior r8 before prior r9). Unlisted queries keep ``10 + tier``.
+# the r13 new/changed queries listed below. Tier (1) = 18 fill rows:
+# the five r11-new single-row queries, then the r11 cohort ranked by
+# prior-row age (prior r8 before prior r9) — trimmed from 22 as each
+# new/changed query entered tier 0, dropping the last-ranked fill
+# rows (decayed_user_scores, cohort_retention, attribute_rollup,
+# ann_lsh_topk, user_cardinality, sql_daily_event_summary — all owed
+# r14 rows). Unlisted queries keep ``10 + tier``.
 _ROTATION_TIERS: dict[str, int] = {
     # (0) the twenty-eight r10-row deferrals (tools/gen_rotation.py)
     "active_sources": 0,
