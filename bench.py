@@ -132,6 +132,7 @@ BENCH_EXCLUDED = {
     "class_balanced_sample": "per-class rank window over documents with a bounded output (|langs| x 64 rows); same bounded-partition window shape as quality_calibrated_filter, scan timed by headline token_count",
     "ann_index_append": "ivf_topk with the new-batch split as the query relation: train/assign/probed-search stages identical to headline ann_ivf_topk (just 10x the broadcast query rows; per-batch cost priced by the qbatch arms)",
     "ann_ivfpq_topk": "composition of headline ann_ivf_topk's routed-assignment stages and headline ann_pq_topk's encode+ADC stages, with strictly LESS ADC volume than the PQ headline (probed fraction only); its scale behavior is what matters and is priced in BENCH_SCALE's ivfpq rungs",
+    "ann_ivf_auto_probe": "headline ann_ivf_topk's exact stages at the auto_lists/auto_probe operating point — at bench corpora both rules resolve to the fixture constants (16 lists / 2 probes), so the plan IS the headline plan; the escalation's cost lives at scale and is priced by BENCH_SCALE's ivfprobe arm",
     "quantity_grouping_sets": "grouping-sets twin of headline revenue_cube; identical rollup machinery",
     "engaged_users_setops": "INTERSECT/EXCEPT over per-user aggregates; same distinct-exchange shape as user_cardinality",
     "substring_dup_coverage": "hashed-gram inverted index on documents; same shingle-index stages as headline dedup_ngram_jaccard",
@@ -205,7 +206,11 @@ def _prev_committed_detail() -> tuple[dict | None, str | None]:
         if log.returncode == 0:
             for line in log.stdout.splitlines():
                 sha, _, subject = line.partition(" ")
-                if re.match(r"round \d+:", subject):
+                # IGNORECASE (ADVICE r13): a driver commit worded
+                # "Round 14: ..." must still be found — a silent
+                # fallback to HEAD reintroduces the same-day-window
+                # phantom movers this selection exists to prevent
+                if re.match(r"round \d+:", subject, re.IGNORECASE):
                     refs.insert(0, sha)
                     break
         for ref in refs:
@@ -216,7 +221,13 @@ def _prev_committed_detail() -> tuple[dict | None, str | None]:
                 timeout=20,
             )
             if out.returncode == 0 and out.stdout.strip():
-                label = "git:HEAD" if ref == "HEAD" else f"git:{ref} (driver window)"
+                # name the degraded comparison in the artifact so a
+                # missing driver baseline is visible, never silent
+                label = (
+                    "git:HEAD (no driver commit matched)"
+                    if ref == "HEAD"
+                    else f"git:{ref} (driver window)"
+                )
                 return json.loads(out.stdout), label
     except (OSError, subprocess.SubprocessError, json.JSONDecodeError):
         pass

@@ -1378,8 +1378,33 @@ def decontaminate_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     map pass + one exact verify per candidate; nothing corpus-scale
     shuffles except the signature rows themselves (bare (vec_id,
     table, bucket) triples, never vectors — vectors fan back by id for
-    the verify only).
+    the verify only). Since r14 (VERDICT r13 item 5) the eval-side
+    broadcasts are EXPLICIT, size-gated hints — estimated from the
+    count probe already paid (eval rows ≈ n / EVAL_MOD), same idiom as
+    ``cluster.with_keep_verdict`` — not left to AQE's runtime
+    conversion: the bucket relation (~n_tables rows/eval id) and the
+    verify-stage eval vectors (~8·dim B/eval id) each get the hint
+    only while their estimate fits the session broadcast budget, so a
+    skewed 100× histogram can't silently turn the claimed plan into a
+    corpus-scale shuffle-and-hope.
     """
+    from stream_processing_test_spark.session import finish_with
+
+    result, tables = _decontaminate_embedding_frames(spark, sf_dir)
+    return finish_with(result, tables)
+
+
+def _decontaminate_embedding_frames(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """The LAZY (result, persisted-buckets) pair behind
+    :func:`decontaminate_embedding` — split out so the layout tests
+    can assert the size-gated eval-side broadcasts on the
+    pre-checkpoint plan (finish_with's localCheckpoint makes the
+    registered query's plan opaque to explain())."""
+    from stream_processing_test_spark.llm.cluster import (
+        _auto_broadcast_threshold_bytes,
+    )
     from stream_processing_test_spark.llm.similarity import (
         _dot,
         _norm,
@@ -1387,13 +1412,14 @@ def decontaminate_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         auto_tables,
         hyperplane_tables,
     )
-    from stream_processing_test_spark.session import finish_with
 
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").alias("v")
     )
-    n_planes = auto_planes(emb.select("vec_id").count())
+    n_rows = emb.select("vec_id").count()
+    n_planes = auto_planes(n_rows)
     n_tables = auto_tables(n_planes)
+    n_eval = n_rows // EVAL_MOD + 1
     embd = emb.select("vec_id", F.col("v").cast("array<double>").alias("v"))
     tables = hyperplane_tables(
         embd, n_tables=n_tables, n_planes=n_planes
@@ -1405,6 +1431,18 @@ def decontaminate_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = tables.filter(is_eval).select(
         F.col("vec_id").alias("eval_id"), "table_id", "bucket"
     )
+    # size-gated EXPLICIT eval-side broadcasts (see docstring): the
+    # estimates come from the count probe already paid, so the gate
+    # costs no extra job. 32 B/bucket triple, dim doubles + id +
+    # overhead per vector row — deliberately generous so the gate
+    # trips BEFORE the session budget would.
+    from stream_processing_test_spark.llm.similarity import EMBED_DIM
+
+    thr = _auto_broadcast_threshold_bytes(spark)
+    ev_bucket_bytes = n_eval * n_tables * 32
+    ev_vec_bytes = n_eval * (EMBED_DIM * 8 + 32)
+    if thr > 0 and ev_bucket_bytes <= thr:
+        ev = F.broadcast(ev)
     cand = (
         tr.join(ev, ["table_id", "bucket"])
         .select("train_id", "eval_id")
@@ -1419,7 +1457,9 @@ def decontaminate_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("eval_id"),
         F.col("v").alias("vb"),
         _norm(F.col("v").cast("array<double>")).alias("nb"),
-    )
+    ).filter(F.col("eval_id") % EVAL_MOD == 0)
+    if thr > 0 and ev_vec_bytes <= thr:
+        vb = F.broadcast(vb)
     wa = F.col("va").cast("array<double>")
     wb = F.col("vb").cast("array<double>")
     result = (
@@ -1437,4 +1477,4 @@ def decontaminate_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("train_id").alias("vec_id"), "n_eval_hits", "max_cos")
     )
-    return finish_with(result, tables)
+    return result, tables

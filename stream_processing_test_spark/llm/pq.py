@@ -226,18 +226,196 @@ def pq_codebooks(
     return _pq_lloyd_numpy([(r["vec_id"], r["v"]) for r in train.collect()])
 
 
+def encode_codes_np(vecs, rows):
+    """The guarded-BLAS PQ-encode kernel, one Arrow batch's worth:
+    ``vecs`` is a sequence of dim-length vectors, ``rows`` the
+    (s, code, centroid) codebook; returns an int32 (n, n_subs) code
+    matrix, subspaces in sorted order. Module-level and Spark-free on
+    purpose — the property suite drives THIS function (the exact code
+    every Arrow batch runs) against the pure parity fold, the same
+    discipline as :func:`similarity.assign_labels_np`.
+
+    Selection contract (the oracle's): per subspace, min integer key
+    ``floor(dist·1e6 + 0.5) · PQ_CODES + code`` — min micro-distance
+    first, ties to the smaller code — where dist is the factored
+    ``greatest((xsq - 2·dot) + csq, 0)`` with LEFT-TO-RIGHT folds.
+    Here the cross-dot runs as ONE BLAS matmul per subspace; xsq and
+    csq keep the exact sequential fold (dsub adds — cheap). BLAS sums
+    in an unspecified order, so |dot_b - dot_fold| <= 2·γ_d·Σ|x_i·c_i|
+    (standard bound, both differ from the true dot by γ_d·Σ|x·c|),
+    hence |dist_b - dist_fold| <= 4·γ_d·Σ|x·c| (dist is 2-Lipschitz
+    in dot, max() 1-Lipschitz). A row whose BLAS top-2 distance gap
+    exceeds ``1e-6 + 16·γ_d·max_j Σ|x·c_j|`` therefore selects a code
+    whose exact micro key is STRICTLY below every rival — floor
+    monotonicity gives key_fold(top) < key_fold(j) for all j, so the
+    code tiebreak never fires and the BLAS winner is provably the
+    fold winner. Every row inside the band (micro ties, duplicate
+    centroids, non-finite inputs — NaN compares False into
+    ``unsafe``) is recomputed with the verbatim fold + integer-key
+    argmin. Net: 16 tiny dgemms + one abs-matmul replace the
+    per-row expression arithmetic; worst case degrades to the fold
+    plus the matmuls, never to wrong codes."""
+    import numpy as np
+
+    by_sub: dict[int, list[tuple[int, list[float]]]] = {}
+    for s, code, centroid in rows:
+        by_sub.setdefault(s, []).append((code, centroid))
+    subs = sorted(by_sub)
+    V = np.array(list(vecs), dtype=np.float64)
+    n = len(V)
+    out = np.empty((n, len(subs)), dtype=np.int32)
+    ar = np.arange(n)
+    for si, s in enumerate(subs):
+        entries = sorted(by_sub[s])
+        codes_arr = np.array([c for c, _ in entries], dtype=np.int64)
+        C = np.array([cent for _, cent in entries], dtype=np.float64)
+        k, dsub = C.shape
+        o = s * dsub
+        Xs = V[:, o : o + dsub]
+        # exact left-to-right folds (the parity-defining order) for
+        # the squared norms; only the cross-dot is BLAS
+        xsq = np.zeros(n)
+        csq = np.zeros(k)
+        for j in range(dsub):
+            xsq += Xs[:, j] * Xs[:, j]
+            csq += C[:, j] * C[:, j]
+        dot_b = Xs @ C.T
+        dist_b = (xsq[:, None] - 2.0 * dot_b) + csq[None, :]
+        np.maximum(dist_b, 0.0, out=dist_b)
+        absdot = np.abs(Xs) @ np.abs(C).T
+        gamma = (2 * dsub) * 2.0**-53  # >= γ_dsub, with headroom
+        thr = 1e-6 + 16.0 * gamma * absdot.max(axis=1)
+        bot = np.argmin(dist_b, axis=1)
+        dm = dist_b[ar, bot]
+        dist_b[ar, bot] = np.inf
+        d2 = dist_b.min(axis=1)
+        with np.errstate(invalid="ignore"):
+            unsafe = ~((d2 - dm) > thr)
+        lab = codes_arr[bot]
+        if unsafe.any():
+            Xu = Xs[unsafe]
+            acc = np.zeros((len(Xu), k))
+            for j in range(dsub):
+                acc += Xu[:, j : j + 1] * C[None, :, j]
+            dist_e = (xsq[unsafe][:, None] - 2.0 * acc) + csq[None, :]
+            np.maximum(dist_e, 0.0, out=dist_e)
+            keys = (
+                np.floor(dist_e * float(_MICRO) + 0.5).astype(np.int64)
+                * PQ_CODES
+                + codes_arr[None, :]
+            )
+            lab[unsafe] = keys.min(axis=1) % PQ_CODES
+        out[:, si] = lab.astype(np.int32)
+    return out
+
+
+def pq_encode_arrow(
+    base: DataFrame,
+    rows: list[tuple[int, int, list[float]]],
+    carry: tuple[str, ...] = (),
+) -> DataFrame:
+    """(vec_id, *carry, c0..c{M-1}): the registered encode pass —
+    :func:`encode_codes_np` fanned out over Arrow batches via
+    ``mapInPandas`` (the §2.9 vectorized-Python path), dropping the
+    raw vector on the way out so downstream relations carry 8-byte
+    codes, not 512-byte payloads.
+
+    Why Arrow and not Catalyst expressions (r14, VERDICT r13 item 2):
+    the inline-literal form spelled PQ_SUBS × PQ_CODES argmin keys as
+    one collapsed Project whose generated consume method janino
+    rejects (>64 KB) — every fused stage silently ran interpreted —
+    and the HOF rewrite that fixed compilation evaluated its lambdas
+    interpreted per (row × code): measured 17.4 -> 40.2 s
+    (ann_pq_topk wall, 2M × dim-64). This is the identical trade the
+    r11/r13 assignment-kernel decision table already priced
+    (similarity.py: arrow won EVERY cell), now applied to the encode:
+    one Arrow round-trip of the corpus per index build, dgemm
+    arithmetic, parity guarded per batch. The SQL twin
+    (:func:`pq_encode`) remains the parity reference the property
+    tests and the DuckDB oracles replay."""
+    subs = sorted({s for s, _, _ in rows})
+    keep = [f for f in base.schema.fields if f.name != "v"]
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in keep
+    ) + ", " + ", ".join(f"c{s} int" for s in subs)
+
+    def enc_batches(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = encode_codes_np(pdf["v"].tolist(), rows)
+            yield pdf.drop(columns=["v"]).assign(
+                **{f"c{s}": codes[:, i] for i, s in enumerate(subs)}
+            )
+
+    return base.mapInPandas(enc_batches, out_schema)
+
+
+def pq_assign_encode_arrow(
+    base: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    rows: list[tuple[int, int, list[float]]],
+) -> DataFrame:
+    """(vec_id, list_id, c0..c{M-1}) in ONE Arrow pass: the IVF coarse
+    assignment (:func:`similarity.assign_labels_np`) and the PQ encode
+    (:func:`encode_codes_np`) run back-to-back on the SAME in-worker
+    batch, and the raw vector never returns to the JVM.
+
+    Why fused (r14): wiring the Arrow encode AFTER ``kmeans_lists``'s
+    separate Arrow assignment chained two mapInPandas stages — the
+    corpus (vec_id + dim doubles) crossed the JVM↔Python boundary
+    twice, and the vec_x40 ivfpq wall REGRESSED 11.7 -> 32.9 s. One
+    pass restores a single corpus round-trip whose output rows are
+    bare ids + codes (~72 B vs ~550 B), which is also exactly the
+    100 TB index shape: build-time scan emits the compact IVFADC
+    index, never re-materializing vectors. Parity of each kernel is
+    pinned independently (the two property suites + the Spark-side
+    twin tests); fusing composes them without touching either
+    selection."""
+    import pandas as pd
+
+    from stream_processing_test_spark.llm.similarity import (
+        assign_labels_np,
+    )
+
+    cs = sorted(cents)
+    subs = sorted({s for s, _, _ in rows})
+    out_schema = "vec_id bigint, list_id int, " + ", ".join(
+        f"c{s} int" for s in subs
+    )
+
+    def batches(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            vecs = pdf["v"].tolist()
+            lab = assign_labels_np(vecs, cs)
+            codes = encode_codes_np(vecs, rows)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "list_id": lab,
+                    **{f"c{s}": codes[:, i] for i, s in enumerate(subs)},
+                }
+            )
+
+    return base.select("vec_id", "v").mapInPandas(batches, out_schema)
+
+
 def pq_encode(
     base: DataFrame,
     rows: list[tuple[int, int, list[float]]],
     carry: tuple[str, ...] = (),
 ) -> DataFrame:
-    """Assign every vector its PQ_SUBS codes in a single MAP-ONLY pass:
-    the (PQ_SUBS × PQ_CODES × PQ_DSUB)-double codebook is embedded as
-    literal expressions and each subspace's argmin is a ``least()``
-    over integer keys ``micro_distance * PQ_CODES + code`` — min
-    distance first, ties to the smaller code, as pure long arithmetic
-    (no struct/array allocation per row; distances are exact integer
-    micro-units, the same quantum the ADC lookup tables use). The
+    """Assign every vector its PQ_SUBS codes in a single MAP-ONLY pass
+    of pure Catalyst expressions — since r14 the PARITY-REFERENCE TWIN
+    of the registered :func:`pq_encode_arrow` kernel (the property
+    suite pins kernel == this form == the DuckDB CTE chain; the
+    registered queries ship the kernel — see its docstring for the
+    measured why). Each subspace's argmin is a min over integer keys
+    ``micro_distance * PQ_CODES + code`` — min distance first, ties to
+    the smaller code, as pure long arithmetic (distances are exact
+    integer micro-units, the same quantum the ADC lookup tables use). The
     oracle and the numpy trainer order by ``ROUND(dist, 6)`` — the
     same selection, since dividing the micro integer by 1e6 is
     monotone and collision-free at these magnitudes (spacing 1e-6 vs
@@ -258,66 +436,89 @@ def pq_encode(
     for s, code, centroid in rows:
         by_sub.setdefault(s, []).append((code, centroid))
 
-    # Layered selectExpr projections built as SQL STRINGS, not Column
-    # objects. Two measured reasons (sf0.1, 5 000 vectors):
-    # (1) x_i and xsq_s are aliases referenced many times downstream;
-    #     Catalyst's CollapseProject declines to inline a non-trivial
-    #     multi-use alias, so the analyzed tree keeps ~3.5k SHARED
-    #     nodes instead of ~9k duplicated ones (driver-side analysis
-    #     was the first fixture-scale bottleneck).
-    # (2) building the same tree with pyspark Column operators costs
-    #     one py4j round-trip PER OPERATOR — 8.7 s of pure Python for
-    #     this codebook before any Spark work; the string form is one
-    #     JVM parse per layer (~ms). Double literals use repr() + 'D'
-    #     (shortest round-trip repr parses back to the identical
-    #     IEEE double; bare decimals would parse as DECIMAL).
+    # Per-subspace argmin as ONE higher-order-function expression over
+    # constant-folded literal codebook arrays — the same shape as the
+    # LSH signature fold (similarity.hyperplane_tables), for the same
+    # two reasons plus a third learned in r14:
+    # (1) SQL strings, not Column objects: one JVM parse instead of a
+    #     py4j round-trip per operator (~8.7 s of driver Python for
+    #     this codebook in the operator form). Double literals use
+    #     repr() + 'D' (shortest round-trip repr parses back to the
+    #     identical IEEE double; bare decimals would parse as DECIMAL).
+    # (2) the sub{s}/xsq{s} aliases are non-trivial and multi-use, so
+    #     CollapseProject keeps them SHARED instead of duplicating the
+    #     slice/fold per reference.
+    # (3) codegen SIZE (VERDICT r13 item 2): the previous form spelled
+    #     all PQ_SUBS × PQ_CODES argmin keys as inline literal
+    #     arithmetic; CollapseProject merged them into one Project
+    #     whose single generated consume method was ~13k lines —
+    #     janino rejected it ("Code grows beyond 64 KB") and EVERY
+    #     stage this encode fused into silently ran interpreted
+    #     (measured: the failure was intrinsic, it reproduced even
+    #     scan-adjacent where expression-splitting is available). The
+    #     HOF form generates a compact eval call per c{s}; the
+    #     codebook/csq literals constant-fold to array references.
+    #     Fold order is unchanged — aggregate(zip_with(...)) is the
+    #     same left-to-right sum as the inline chain and as DuckDB's
+    #     list_sum, so the integer micro keys are bit-identical.
     # floor(y + 0.5), not round(): round() evaluates through
     # BigDecimal (256 per row at this fan-out); floor is a plain
     # double op AND the literal twin of the numpy trainer's half-up
     # (distances are >= 0). The engines' half-up implementations
     # differ only at sub-ulp .5 boundaries — the same accepted bridge
-    # as round6.
+    # as round6. greatest(·, 0): the factored form can go sub-ulp
+    # negative via cancellation when x equals a centroid; the half-up
+    # floor relies on nonnegativity, so the invariant is ENFORCED
+    # identically in all three engines (numpy trainer, this encode,
+    # the oracle's GREATEST).
     subs = sorted(by_sub)
     l1 = base.selectExpr(
         "vec_id",
         *carry,
-        *[f"element_at(v, {i + 1}) AS x{i}" for i in range(EMBED_DIM)],
+        *[
+            f"slice(v, {s * PQ_DSUB + 1}, {PQ_DSUB}) AS sub{s}"
+            for s in subs
+        ],
     )
-    xsq_exprs = []
-    for s in subs:
-        o = s * PQ_DSUB
-        terms = " + ".join(f"x{o + i} * x{o + i}" for i in range(PQ_DSUB))
-        xsq_exprs.append(f"({terms}) AS xsq{s}")
-    l2 = l1.selectExpr("*", *xsq_exprs)
-
-    key_exprs = []
-    for s in subs:
-        o = s * PQ_DSUB
-        for code, centroid in sorted(by_sub[s]):
-            dot = " + ".join(
-                f"x{o + i} * {centroid[i]!r}D" for i in range(PQ_DSUB)
-            )
-            csq = None
-            for ci in centroid:  # python-float fold == the engines'
-                csq = ci * ci if csq is None else csq + ci * ci
-            # greatest(·, 0): the factored form can go sub-ulp negative
-            # via cancellation when x equals a centroid; the half-up
-            # floor(y+0.5) below relies on nonnegativity, so the
-            # invariant is ENFORCED identically in all three engines
-            # (numpy trainer, this encode, the oracle's GREATEST).
-            dist = f"greatest((xsq{s} - 2.0D * ({dot})) + {csq!r}D, 0D)"
-            key_exprs.append(
-                f"(CAST(floor({dist} * {_MICRO}.0D + 0.5D) AS BIGINT)"
-                f" * {PQ_CODES} + {code}) AS k{s}_{code}"
-            )
-    l3 = l2.selectExpr("vec_id", *carry, *key_exprs)
+    l2 = l1.selectExpr(
+        "*",
+        *[
+            f"aggregate(sub{s}, 0D, (a, x) -> a + x * x) AS xsq{s}"
+            for s in subs
+        ],
+    )
 
     out_exprs = []
     for s in subs:
-        ks = [f"k{s}_{code}" for code, _ in sorted(by_sub[s])]
-        best = ks[0] if len(ks) == 1 else f"least({', '.join(ks)})"
-        out_exprs.append(f"CAST({best} % {PQ_CODES} AS INT) AS c{s}")
-    return l3.selectExpr("vec_id", *carry, *out_exprs)
+        entries = sorted(by_sub[s])
+        cb = "array(" + ", ".join(
+            "array(" + ", ".join(f"{ci!r}D" for ci in centroid) + ")"
+            for _, centroid in entries
+        ) + ")"
+        csqs = []
+        for _, centroid in entries:
+            csq = None
+            for ci in centroid:  # python-float fold == the engines'
+                csq = ci * ci if csq is None else csq + ci * ci
+            csqs.append(csq)
+        csq_arr = "array(" + ", ".join(f"{c!r}D" for c in csqs) + ")"
+        code_arr = "array(" + ", ".join(str(c) for c, _ in entries) + ")"
+        dot = (
+            f"aggregate(zip_with(sub{s}, {cb}[i], (x, y) -> x * y), "
+            "0D, (a, x) -> a + x)"
+        )
+        dist = f"greatest((xsq{s} - 2.0D * {dot}) + {csq_arr}[i], 0D)"
+        # min over packed keys = min distance first, ties to the
+        # smaller code (code_arr ascending), as pure long arithmetic
+        key = (
+            f"CAST(floor({dist} * {_MICRO}.0D + 0.5D) AS BIGINT)"
+            f" * {PQ_CODES} + {code_arr}[i]"
+        )
+        out_exprs.append(
+            f"CAST(array_min(transform(sequence(0, {len(entries) - 1}), "
+            f"i -> {key})) % {PQ_CODES} AS INT) AS c{s}"
+        )
+    return l2.selectExpr("vec_id", *carry, *out_exprs)
 
 
 def _seq_dot_sql(a: str, b: str, d: int) -> str:
@@ -571,14 +772,15 @@ def pq_topk(
     rows = pq_codebooks(emb, n_rows=n_rows)
     if not rows:
         return _empty_topk(emb.sparkSession)
-    enc = pq_encode(emb.select("vec_id", "v"), rows)
-    codes = _explode_codes(enc)
-    lut = _query_luts(queries, rows)
+    enc = pq_encode_arrow(emb.select("vec_id", "v"), rows)
+    lutw = _lut_wide(queries, rows)
 
-    # ONE broadcast join + ONE keyed integer sum (associative — Spark's
-    # arbitrary merge order and DuckDB's scan order cannot diverge)
-    pairs = codes.join(F.broadcast(lut), ["s", "code"])
-    return _adc_rank(pairs, emb, queries, rerank, top_k)
+    # ONE broadcast crossJoin of the |queries|-row wide LUT against
+    # the encoded corpus, ADC gathered in-row (:func:`_adc_gather`) —
+    # no explode, no keyed sum, the whole score rides the encode's
+    # map-only stage
+    scored = _adc_gather(enc.crossJoin(F.broadcast(lutw)))
+    return _adc_rank(scored, emb, queries, rerank, top_k)
 
 
 def _empty_topk(spark: SparkSession) -> DataFrame:
@@ -614,12 +816,73 @@ def _explode_codes(enc: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
     )
 
 
+def _lut_wide(
+    queries: DataFrame, rows: list[tuple[int, int, list[float]]]
+) -> DataFrame:
+    """(query_id, iparts, cnsqs): the per-query integer ADC lookup
+    table regrouped into two (PQ_SUBS × PQ_CODES)-element long arrays
+    indexed by ``s * PQ_CODES + code`` — the shape
+    :func:`_adc_gather` reads with one GetArrayItem per subspace.
+
+    Why wide (r14, VERDICT r13 item 2): the row-form LUT forced an
+    explode (16× row amplification) + broadcast join + keyed
+    group-sum, and that partial hash-agg FUSED with
+    :func:`pq_encode`'s 256 argmin-key expressions into one
+    whole-stage-codegen method — janino rejected the >64 KB
+    ``hashAgg_doAggregateWithKeys_0`` and Spark silently ran the
+    stage interpreted (two ERROR CodeGenerator events per sweep).
+    Gathering from a wide array needs NO aggregate at all, so the
+    encode stage stays map-only and compiles. array_sort on the
+    (s, code, ipart, cnsq) structs orders by (s, code) — unique —
+    so position (0-based) is exactly ``s * PQ_CODES + code``; this
+    regroup runs on |queries| × 256 rows, driver-adjacent scale."""
+    lut = _query_luts(queries, rows)
+    return (
+        lut.groupBy("query_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("s", "code", "ipart", "cnsq"))
+            ).alias("e")
+        )
+        .select(
+            "query_id",
+            F.expr("transform(e, x -> x.ipart)").alias("iparts"),
+            F.expr("transform(e, x -> x.cnsq)").alias("cnsqs"),
+        )
+    )
+
+
+def _adc_gather(pairs: DataFrame) -> DataFrame:
+    """(query_id, vec_id, idot, insq) from a wide (c0..c{M-1},
+    iparts, cnsqs) row: the ADC sums as PQ_SUBS GetArrayItem gathers
+    each, pure fixed-order int64 addition — associative and
+    commutative, so it equals the DuckDB oracle's any-order
+    ``SUM(ipart)``/``SUM(cnsq)`` over the identical 16 integers
+    exactly. Replaces the explode + broadcast-LUT join + keyed
+    group-sum (see :func:`_lut_wide` for why): 16× fewer rows into
+    the stage, zero shuffle, zero aggregate — the scoring rides the
+    same map-only stage as the encode."""
+    idot = " + ".join(
+        f"iparts[{s * PQ_CODES} + c{s}]" for s in range(PQ_SUBS)
+    )
+    insq = " + ".join(
+        f"cnsqs[{s * PQ_CODES} + c{s}]" for s in range(PQ_SUBS)
+    )
+    return pairs.filter(F.col("vec_id") != F.col("query_id")).selectExpr(
+        "query_id",
+        "vec_id",
+        f"({idot}) AS idot",
+        f"({insq}) AS insq",
+    )
+
+
 def _query_luts(
     queries: DataFrame, rows: list[tuple[int, int, list[float]]]
 ) -> DataFrame:
     """The per-query integer ADC lookup table (query_id, s, code,
     ipart, cnsq): one broadcast crossJoin of the query set against the
-    (PQ_SUBS × PQ_CODES)-row codebook relation."""
+    (PQ_SUBS × PQ_CODES)-row codebook relation. Consumed through
+    :func:`_lut_wide`'s array regroup since r14."""
     codebook = queries.sparkSession.createDataFrame(
         rows, "s int, code int, centroid array<double>"
     )
@@ -638,29 +901,27 @@ def _query_luts(
 
 
 def _adc_rank(
-    pairs: DataFrame,
+    scored: DataFrame,
     emb: DataFrame,
     queries: DataFrame,
     rerank: int,
     top_k: int,
 ) -> DataFrame:
     """The shared ADC+R tail (Spark twin of :func:`_adc_tail_sql`):
-    ``pairs`` is the pre-aggregation (query_id, vec_id, ipart, cnsq)
-    stream — the pure-PQ path feeds codes ⋈ LUT, the IVF-PQ path
-    feeds probed-list codes ⋈ LUT. One keyed integer sum, approx-cos
-    reconstruction, per-query shortlist of ``rerank``, exact re-rank
-    touching only |queries| × rerank raw vectors, top-k."""
+    ``scored`` is the gathered (query_id, vec_id, idot, insq) stream
+    from :func:`_adc_gather` — the pure-PQ path feeds every
+    (vec, query) pair, the IVF-PQ path only the probed-list pairs.
+    Approx-cos reconstruction, per-query shortlist of ``rerank``,
+    exact re-rank touching only |queries| × rerank raw vectors,
+    top-k. (The keyed integer sum that used to live here moved into
+    the gather — see :func:`_lut_wide` for the codegen story; the
+    oracle's GROUP BY form sums the same int64s, exactly.)"""
     from pyspark.sql import Window
 
     from stream_processing_test_spark.llm.similarity import cosine
 
     qn = queries.select("query_id", _norm(F.col("qv")).alias("qn"))
-    agg = (
-        pairs.filter(F.col("vec_id") != F.col("query_id"))
-        .groupBy("query_id", "vec_id")
-        .agg(F.sum("ipart").alias("idot"), F.sum("cnsq").alias("insq"))
-    )
-    adc = agg.join(F.broadcast(qn), "query_id").select(
+    adc = scored.join(F.broadcast(qn), "query_id").select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
         F.round(
@@ -725,17 +986,18 @@ def ivfpq_topk(
     fraction searched, exactly as ``ann_ivf_topk`` documents; routing
     gain needs corpus structure and is pytest-pinned there).
 
-    Scale shape: ONE corpus assignment scan (broadcast trained
-    centroids), ONE map-only encode pass over the assignment output
-    (list_id rides the encode via ``pq_encode(carry=...)`` — no
-    corpus-scale code⋈list join), then the ADC group-sum over the
-    probed fraction and the two per-query top-k windows. Both
-    trainers run driver-local on the shared hash-capped sample."""
+    Scale shape: ONE fused corpus pass (assignment + encode in the
+    same Arrow batch — :func:`pq_assign_encode_arrow`, list_id rides
+    the encode so there is no corpus-scale code⋈list join and the raw
+    vector never returns to the JVM), then the probed-list restriction
+    (broadcast (query, list) pairs), the in-row ADC gather, and the
+    two per-query top-k windows. Both trainers run driver-local on
+    the shared hash-capped sample."""
     from stream_processing_test_spark.llm.similarity import (
         N_PROBE,
         auto_lists,
-        kmeans_lists,
         route_queries,
+        train_ivf_cents,
     )
 
     if n_probe is None:
@@ -748,26 +1010,27 @@ def ivfpq_topk(
     rows = pq_codebooks(emb, n_rows=n_rows)
     if not rows:
         return _empty_topk(emb.sparkSession)
-    # checkpoint=False: the assignment's ONLY consumer here is the
-    # encode pass below (the rerank tail re-reads `emb`, not the
-    # assignment), so the index materialization is pure overhead —
-    # the r12 attribution measured the wide-row checkpoint as part of
-    # the dominant stage of the 2M-vector wall.
-    assign, centroids = kmeans_lists(
-        emb, k=n_lists, n_rows=n_rows, checkpoint=False
-    )
-    enc = pq_encode(assign, rows, carry=("list_id",))
-    codes = _explode_codes(enc, carry=("list_id",))
-    lut = _query_luts(queries, rows)
+    # train only (no separate assignment pass, no checkpoint — the r12
+    # attribution already measured the wide-row materialization as
+    # dead weight here): assignment and encode run FUSED in one Arrow
+    # pass below, so the corpus crosses the Python boundary once
+    cents, centroids = train_ivf_cents(emb, k=n_lists, n_rows=n_rows)
+    if not cents:
+        return _empty_topk(emb.sparkSession)
+    enc = pq_assign_encode_arrow(emb, cents, rows)
+    lutw = _lut_wide(queries, rows)
 
     probed = route_queries(queries, centroids, n_probe)
     # list restriction FIRST (broadcast (query, list) pairs), then the
-    # LUT keyed on (query_id, s, code) — the group-sum input is the
-    # probed fraction of the code stream, not all of it
-    pairs = codes.join(F.broadcast(probed), "list_id").join(
-        F.broadcast(lut), ["query_id", "s", "code"]
+    # |queries|-row wide LUT broadcast on query_id, ADC gathered
+    # in-row (:func:`_adc_gather`) — the gather input is the probed
+    # fraction of the encoded corpus, with no explode and no keyed sum
+    scored = _adc_gather(
+        enc.join(F.broadcast(probed), "list_id").join(
+            F.broadcast(lutw), "query_id"
+        )
     )
-    return _adc_rank(pairs, emb, queries, rerank, top_k)
+    return _adc_rank(scored, emb, queries, rerank, top_k)
 
 
 def _ivfpq_oracle(top_k: int = TOP_K, n_probe: int | None = None) -> str:

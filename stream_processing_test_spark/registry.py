@@ -34,94 +34,91 @@ class QuerySpec:
 
 _REGISTRY: dict[str, QuerySpec] = {}
 
-# Round-13 rotation: the driver checks a 50-query prefix. The owed
-# list is now COMPUTED, not hand-maintained (VERDICT r12 item 7):
-# ``python tools/gen_rotation.py [--changed ...]`` reads every
-# CORRECTNESS_r*.json, finds the stale-minimum cohort (queries whose
-# newest driver row is oldest — they MUST lead the window), and ranks
-# the fill cohort by prior-row age. This dict is its output for r13,
-# plus the round's new/changed queries (kept current as the round
-# progresses, per the rotation contract).
+# Round-14 rotation: the driver checks a 50-query prefix. The owed
+# list is COMPUTED, not hand-maintained: ``python tools/gen_rotation.py
+# [--changed ...]`` reads every CORRECTNESS_r*.json, finds the
+# stale-minimum cohort (queries whose newest driver row is oldest —
+# they MUST lead the window), and ranks the fill cohort by prior-row
+# age. This dict is its r14 output, plus the round's new/changed
+# queries (kept current as the round progresses, per the rotation
+# contract). Unlisted queries keep ``10 + tier``.
 #
-# Tier (0) = the TWENTY-EIGHT r10-row deferrals the r12 verdict bound
-# r13 to lead with (tool-verified identical to the hand list), plus
-# the r13 new/changed queries listed below. Tier (1) = 18 fill rows:
-# the five r11-new single-row queries, then the r11 cohort ranked by
-# prior-row age (prior r8 before prior r9) — trimmed from 22 as each
-# new/changed query entered tier 0, dropping the last-ranked fill
-# rows (decayed_user_scores, cohort_retention, attribute_rollup,
-# ann_lsh_topk, user_cardinality, sql_daily_event_summary — all owed
-# r14 rows). Unlisted queries keep ``10 + tier``.
+# Tier (0) = the TWENTY-EIGHT r11-row deferrals the r13 verdict bound
+# r14 to lead with (tool-verified), plus this round's changed queries
+# annotated inline below. Tier (1) = the fill rows, gen_rotation's
+# prior-row-age order — trimmed from 22 as changed queries entered
+# tier 0, dropping the last-ranked fill rows each time.
 _ROTATION_TIERS: dict[str, int] = {
-    # (0) the twenty-eight r10-row deferrals (tools/gen_rotation.py)
-    "active_sources": 0,
-    "ann_cosine_topk": 0,
-    "bm25_topk": 0,
-    "daily_report_pipeline": 0,
-    "decontaminate_overlap": 0,
-    "dedup_exact": 0,
-    "dedup_keep_canonical": 0,
-    "doc_quality_score": 0,
-    "doc_repetition_stats": 0,
-    "embedding_centroids": 0,
-    "embedding_norm_stats": 0,
-    "leakage_safe_split": 0,
-    "pii_redact": 0,
-    "q12_priority_shipping": 0,
-    "q17_small_quantity_revenue": 0,
-    "q3_shipping_priority": 0,
-    "range_join_error_context": 0,
-    "session_windows": 0,
-    "stratified_sample": 0,
-    "streaming_daily_scores": 0,
-    "streaming_daily_scores_update": 0,
-    "streaming_dedup": 0,
-    "substring_dup_coverage": 0,
-    "suppliers_with_bulk_items": 0,
-    "tfidf_top_terms": 0,
-    "token_count": 0,
-    "top_events_per_user": 0,
-    "users_without_big_purchase": 0,
-    # (0) r13 new/changed — kept current as the round progresses:
-    # ann_auto_topk NEW (the measured ANN path selector, VERDICT r12
-    # item 3); ann_ivf_topk + ann_ivfpq_topk changed (the guarded-BLAS
-    # assignment pass, VERDICT r12 item 4). The three last-ranked fill
-    # rows (decayed_user_scores, cohort_retention, attribute_rollup)
-    # dropped to keep the window at exactly 50.
-    "ann_auto_topk": 0,
-    "ann_ivf_topk": 0,
+    # (0) the twenty-eight r11-row deferrals (tools/gen_rotation.py)
+    "ann_lsh_topk": 0,
+    "attribute_rollup": 0,
+    "cohort_retention": 0,
+    "decayed_user_scores": 0,
+    "decontaminate_bloom": 0,
+    "dedup_embedding_lsh": 0,
+    "dedup_ngram_jaccard": 0,
+    "dup_clusters": 0,
+    "dup_clusters_star": 0,
+    "funnel_conversion": 0,
+    "multimodal_features": 0,
+    "price_percentiles": 0,
+    "q10_returned_items": 0,
+    "q13_order_count_distribution": 0,
+    "q16_part_supplier_variety": 0,
+    "q18_large_orders": 0,
+    "q1_pricing_summary": 0,
+    "q21_blocking_suppliers": 0,
+    "q2_min_cost_supplier": 0,
+    "q6_forecast_revenue": 0,
+    "q9_product_profit": 0,
+    "revenue_cube": 0,
+    "skew_salted_rollup": 0,
+    "sql_daily_event_summary": 0,
+    "stats_moments": 0,
+    "user_cardinality": 0,
+    "user_value_percentiles": 0,
+    "vendor_flow_stats": 0,
+    # (0) r14 changed — kept current as the round progresses.
+    # ann_ivfpq_topk changed (hash-agg codegen fallback fix, VERDICT
+    # r13 item 2; ann_lsh_topk shares the fix and is already owed).
+    # ann_ivf_topk + ann_auto_topk changed (the measured auto_probe
+    # escalation policy, VERDICT r13 item 3). ann_index_append changed
+    # (large-batch ADC dispatch, item 4). decontaminate_embedding
+    # changed (explicit eval-side broadcast, item 5).
+    # streaming_click_purchase_outer + streaming_session_windows
+    # changed (shared sentinel-replay helper, item 7;
+    # streaming_session_windows promoted out of the fill cohort).
+    # Eight promotions/new (incl. ann_ivf_auto_probe below) -> fill
+    # trimmed 22 -> 14, dropping the last-ranked rows
+    # (q4_order_priority, q7_nation_trade_volume, q8_market_share,
+    # rich_accounts_union, streaming_envelope_rollup,
+    # streaming_rate_rollup, q22_idle_customers).
     "ann_ivfpq_topk": 0,
-    # streaming_click_purchase_outer NEW r13 (left-outer stream-stream
-    # interval join; outer rows = watermark-eviction evidence). With
-    # 32 tier-0 entries the fill is trimmed to 18 — the four
-    # last-ranked fill rows by gen_rotation's prior-row-age order
-    # (decayed_user_scores, cohort_retention, attribute_rollup,
-    # ann_lsh_topk) wait for r14
-    "streaming_click_purchase_outer": 0,
-    # decontaminate_embedding NEW r13 (embedding-space decontamination
-    # tier; asymmetric eval-probe LSH); user_cardinality (next-ranked
-    # fill) waits for r14 to hold the window at 50
-    "decontaminate_embedding": 0,
-    # ann_index_append NEW r13 (frozen-quantizer incremental ingest);
-    # sql_daily_event_summary (next-ranked fill) waits for r14
+    "ann_ivf_topk": 0,
+    "ann_auto_topk": 0,
     "ann_index_append": 0,
+    "decontaminate_embedding": 0,
+    "streaming_click_purchase_outer": 0,
+    "streaming_session_windows": 0,
+    # ann_ivf_auto_probe NEW r14 (the measured auto_probe hold-recall
+    # dial, VERDICT r13 item 3); q22_idle_customers (last-ranked fill)
+    # waits for r15 to hold the window at 50
+    "ann_ivf_auto_probe": 0,
     # (1) fill to 50, ranked by prior-row age (gen_rotation.py)
-    "class_balanced_sample": 1,
-    "lang_sampling_weights": 1,
-    "quality_calibrated_filter": 1,
-    "sequence_pack": 1,
-    "streaming_enriched_rollup": 1,
-    "daily_scores": 1,
-    "dedup_embedding_cosine": 1,
-    "doc_chunking": 1,
-    "engaged_users_setops": 1,
-    "envelope_rollup_csv": 1,
-    "error_labels": 1,
-    "monotonic_violations": 1,
-    "records_in_window": 1,
-    "report_batches": 1,
-    "resolution_classify": 1,
-    "source_mixing": 1,
+    "dedup_incremental": 1,
+    "dedup_multimodal": 1,
+    "lang_mismatch_audit": 1,
+    "vocab_top_ngrams": 1,
+    "ann_cosine_topk_int8": 1,
+    "balance_quartiles": 1,
+    "dedup_simhash": 1,
+    "doc_fingerprint": 1,
+    "embedding_quantize_int8": 1,
+    "envelope_rollup": 1,
+    "envelope_rollup_orc": 1,
+    "envelope_rollup_parquet": 1,
+    "multimodal_preprocess": 1,
+    "q20_excess_suppliers": 1,
 }
 
 
@@ -163,6 +160,7 @@ def register(
 # tests/test_scale_layout.py instead.
 PLAN_OPAQUE_QUERIES: dict[str, str] = {
     "ann_index_append": "iterative k-means (base split) materialized in fn()",
+    "ann_ivf_auto_probe": "iterative k-means materialized in fn()",
     "ann_ivf_topk": "iterative k-means materialized in fn()",
     "ann_lsh_topk": "bucketed index materialized in fn()",
     "decontaminate_overlap": "inverted index materialized in fn()",

@@ -85,11 +85,13 @@ def synthetic_prober(url_id: str, url: str) -> dict:
     }
 
 
-def ffprobe_available() -> bool:
-    """Capability check: is an ffprobe binary on PATH?"""
+def ffprobe_available(path: str | None = None) -> bool:
+    """Capability check: is an ffprobe binary on PATH (or on an
+    explicit ``path`` override — see :func:`ffprobe_prober`'s
+    ``env``)?"""
     import shutil
 
-    return shutil.which("ffprobe") is not None
+    return shutil.which("ffprobe", path=path) is not None
 
 
 _EMPTY_META = {
@@ -131,6 +133,7 @@ def ffprobe_prober(
     open_timeout_s: int = 5,
     total_timeout_s: int = 10,
     kill_grace_s: int = 5,
+    env: dict | None = None,
 ) -> dict:
     """Real ffprobe-backed prober, mirroring the reference's
     ``OperationStream`` (StreamTest.cpp:1377-1675):
@@ -154,11 +157,19 @@ def ffprobe_prober(
     Degrades gracefully: raises RuntimeError at call time when no
     ffprobe binary is on PATH (use ``ffprobe_available()`` to gate, or
     inject ``synthetic_prober``). Kept per-URL so ``probe_sources``
-    can fan it out via mapInPandas unchanged."""
+    can fan it out via mapInPandas unchanged.
+
+    ``env``: optional full environment for the child process (passed
+    verbatim to ``subprocess.Popen``; its PATH also drives the binary
+    check). Lets a deployment point a fanned-out prober at a pinned
+    ffmpeg install — and lets tests shim the binary — WITHOUT mutating
+    ``os.environ`` inside long-lived executor Python workers (ADVICE
+    r13: a worker-side PATH mutation outlives the test that made
+    it)."""
     import json
     import subprocess
 
-    if not ffprobe_available():
+    if not ffprobe_available(path=(env or {}).get("PATH")):
         raise RuntimeError(
             "ffprobe binary not found on PATH; inject synthetic_prober "
             "or install ffmpeg"
@@ -173,7 +184,7 @@ def ffprobe_prober(
         url,
     ]
     proc = subprocess.Popen(
-        cmd, stdout=subprocess.PIPE, stderr=subprocess.PIPE
+        cmd, stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env
     )
     stdout = _communicate_with_escalation(proc, total_timeout_s, kill_grace_s)
     if stdout is None:

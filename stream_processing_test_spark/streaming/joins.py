@@ -161,53 +161,30 @@ def streaming_click_purchase_outer(
     extra rows — exactly the failure the batch LEFT JOIN oracle
     catches row-for-row.
 
-    Finite-replay mechanics (same design as
-    ``streaming_session_windows``, which documents the trade): a
-    finite stream's watermark stops at the last real event, which
-    would hold the final purchases' state open forever. The replay
-    file appends one far-future sentinel per side (user_id = -1,
-    filtered from the result); both sides share the SINGLE replay
-    file, so the watermark only advances after the batch containing
-    every real event, and Spark's no-data batch then flushes the
-    evicted state through the outer join.
+    Finite-replay mechanics: one far-future sentinel PER SIDE (a
+    'click' and a 'purchase', user_id = -1, filtered from the result)
+    appended to the single replay file — the shared
+    :func:`pipeline.sentinel_replay` helper documents why each piece
+    is load-bearing (per-input watermark advance, real-events-first
+    ordering, the trailing no-data batch that flushes evicted state
+    through the outer join).
 
     Scale shape: identical to the inner variant — state keyed by
     user_id, bounded by (watermark delay x arrival rate), priced with
     rows-in-state at 1M/10M events in BENCH_SCALE's ss_join arm
     (BENCH_NOTES §r13-ssjoin-rungs).
     """
-    import tempfile
-    from datetime import datetime
-
-    from pyspark.sql import types as T
-
-    from stream_processing_test_spark.tables import load
+    from stream_processing_test_spark.streaming.pipeline import (
+        sentinel_replay,
+    )
 
     scoped = spark.newSession()
-    ev_batch = load(scoped, sf_dir, "events").select(
-        "event_id", "ts", "user_id", "event_type", "value", "props"
+    replay_dir = sentinel_replay(
+        scoped,
+        sf_dir,
+        [(-1, "click"), (-2, "purchase")],
+        "ssouter_replay_",
     )
-    schema = T.StructType(
-        [
-            T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.TimestampType()),
-            T.StructField("user_id", T.LongType()),
-            T.StructField("event_type", T.StringType()),
-            T.StructField("value", T.DoubleType()),
-            T.StructField("props", T.StringType()),
-        ]
-    )
-    sentinels = scoped.createDataFrame(
-        [
-            (-1, datetime(2100, 1, 1), -1, "click", 0.0, "{}"),
-            (-2, datetime(2100, 1, 1), -1, "purchase", 0.0, "{}"),
-        ],
-        schema,
-    )
-    replay_dir = tempfile.mkdtemp(prefix="ssouter_replay_")
-    ev_batch.unionByName(sentinels).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(replay_dir)
 
     clicks = (
         events_stream(scoped, replay_dir)

@@ -1118,6 +1118,46 @@ def test_auto_lists_sql_twin_matches_python():
     assert auto_lists(10**9) == 256  # clamp
 
 
+def test_auto_probe_sql_twin_matches_python():
+    """auto_probe (the r14 hold-recall escalation dial) and its
+    ``npr`` CTE must agree exactly across the policy boundary: the
+    N_PROBE floor binds through lists = 16 (auto_probe(16) = 2, so
+    fixture plans coincide with ann_ivf_topk), and above it the
+    searched fraction is pinned at exactly 1/PROBE_DIV for every
+    power-of-two list count auto_lists can select."""
+    import duckdb
+
+    from stream_processing_test_spark.llm.similarity import (
+        N_PROBE,
+        PROBE_DIV,
+        auto_lists,
+        auto_lists_ctes,
+        auto_probe,
+        auto_probe_ctes,
+    )
+
+    # rule shape at the boundary
+    assert auto_probe(16) == N_PROBE  # fixture floor: plans unchanged
+    assert auto_probe(32) == 4 and auto_probe(256) == 32
+    for lists in (16, 32, 64, 128, 256):
+        assert auto_probe(lists) == max(N_PROBE, lists // PROBE_DIV)
+        if lists > N_PROBE * PROBE_DIV:
+            assert auto_probe(lists) * PROBE_DIV == lists  # exact 1/8
+
+    con = duckdb.connect()
+    for n in [1, 500, 16384, 16385, 200_000, 2_000_000, 10**8]:
+        con.execute(
+            f"CREATE OR REPLACE VIEW embeddings AS "
+            f"SELECT range AS vec_id FROM range({n})"
+        )
+        got = con.sql(
+            f"WITH nv AS (SELECT COUNT(*) AS n FROM embeddings), "
+            f"{auto_lists_ctes()}, {auto_probe_ctes()} "
+            f"SELECT probes FROM npr"
+        ).fetchone()[0]
+        assert got == auto_probe(auto_lists(n)), (n, got)
+
+
 def test_ivfpq_dynamic_lists_cross_engine_parity(spark, tmp_path):
     """IVF-PQ end-to-end with BOTH dynamic policies off their floors:
     50 000 vectors → auto_lists = 32 (> the 16 floor, so the oracle's
@@ -1872,3 +1912,42 @@ def test_embedding_decontamination_catches_planted_paraphrase(spark, tmp_path):
     assert train_twin_a not in got
     # eval docs themselves are never output rows (train side only)
     assert all(v % EVAL_MOD != 0 for v in got)
+
+
+def test_pq_encode_arrow_matches_sql_twin(spark):
+    """The registered Arrow encode kernel and the Catalyst-expression
+    parity twin must emit IDENTICAL code matrices on the fixture
+    corpus (r14 — the Spark-side end-to-end pin on top of the
+    hypothesis property; the DuckDB oracle replays the twin's
+    arithmetic, so kernel == twin is exactly oracle parity for the
+    encode stage). Carry columns must ride through untouched."""
+    from pyspark.sql import functions as F
+
+    from stream_processing_test_spark.llm.pq import (
+        pq_codebooks,
+        pq_encode,
+        pq_encode_arrow,
+    )
+    from stream_processing_test_spark.tables import load
+    from tests.conftest import SF_SMALL
+
+    emb = load(spark, SF_SMALL, "embeddings").select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+        (F.col("vec_id") % 7).alias("tag"),  # carry passthrough probe
+    )
+    rows = pq_codebooks(emb.select("vec_id", "v"))
+    got = {
+        r["vec_id"]: tuple(r[c] for c in r.asDict() if c.startswith("c"))
+        for r in pq_encode_arrow(emb, rows, carry=("tag",)).collect()
+    }
+    want = {
+        r["vec_id"]: tuple(r[c] for c in r.asDict() if c.startswith("c"))
+        for r in pq_encode(emb, rows, carry=("tag",)).collect()
+    }
+    assert got == want and len(got) > 0
+    tags = {
+        r["vec_id"]: r["tag"]
+        for r in pq_encode_arrow(emb, rows, carry=("tag",)).collect()
+    }
+    assert all(tags[v] == v % 7 for v in tags)

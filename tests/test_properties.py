@@ -312,3 +312,97 @@ def test_assign_labels_blas_equals_parity_fold(data):
     got = assign_labels_np([r.tolist() for r in V], sorted(cents))
     want = _fold_reference_labels(V, sorted(cents))
     assert (got == want).all()
+
+
+def _fold_reference_codes(V, rows):
+    """Pure PQ-encode parity chain, re-derived independently of the
+    kernel: per subspace, dist = greatest((xsq - 2·dot) + csq, 0) with
+    every fold LEFT-TO-RIGHT across dims, integer keys
+    floor(dist·1e6 + 0.5)·PQ_CODES + code, min key wins (min distance
+    first, ties to the smaller code) — the exact selection
+    pq.pq_encode spells as Catalyst expressions and the DuckDB oracle
+    replays as CTEs."""
+    import numpy as np
+
+    from stream_processing_test_spark.llm.pq import PQ_CODES
+
+    by_sub = {}
+    for s, code, centroid in rows:
+        by_sub.setdefault(s, []).append((code, centroid))
+    subs = sorted(by_sub)
+    out = np.empty((len(V), len(subs)), dtype=np.int32)
+    for si, s in enumerate(subs):
+        entries = sorted(by_sub[s])
+        codes_arr = np.array([c for c, _ in entries], dtype=np.int64)
+        C = np.array([cent for _, cent in entries], dtype=np.float64)
+        k, dsub = C.shape
+        Xs = V[:, s * dsub : (s + 1) * dsub]
+        acc = np.zeros((len(V), k))
+        xsq = np.zeros(len(V))
+        csq = np.zeros(k)
+        for j in range(dsub):
+            acc += Xs[:, j : j + 1] * C[None, :, j]
+            xsq += Xs[:, j] * Xs[:, j]
+            csq += C[:, j] * C[:, j]
+        dist = np.maximum((xsq[:, None] - 2.0 * acc) + csq[None, :], 0.0)
+        keys = (
+            np.floor(dist * 1000000.0 + 0.5).astype(np.int64) * PQ_CODES
+            + codes_arr[None, :]
+        )
+        out[:, si] = (keys.min(axis=1) % PQ_CODES).astype(np.int32)
+    return out
+
+
+@settings(max_examples=120, deadline=None)
+@given(data=st.data())
+def test_encode_codes_blas_equals_parity_fold(data):
+    """Property (r14, the encode twin of the r13 assignment-kernel
+    pin): the guarded-BLAS PQ-encode kernel — the exact code every
+    Arrow batch of pq_encode_arrow runs — selects BIT-IDENTICALLY to
+    the pure micro-key parity fold on adversarial inputs: rows equal
+    to codewords (zero distance, key ties broken by code), convex
+    codeword blends (micro-distance ties), zero rows, tiny/huge
+    magnitudes, and random noise."""
+    import numpy as np
+
+    from stream_processing_test_spark.llm.pq import encode_codes_np
+
+    n_subs = data.draw(st.integers(1, 4), label="n_subs")
+    dsub = data.draw(st.integers(1, 6), label="dsub")
+    k = data.draw(st.integers(1, 8), label="k")
+    dim = n_subs * dsub
+    rng = np.random.default_rng(data.draw(st.integers(0, 2**31), label="seed"))
+    rows = [
+        (s, code, rng.normal(size=dsub).tolist())
+        for s in range(n_subs)
+        for code in range(k)
+    ]
+
+    n_noise = data.draw(st.integers(0, 30), label="n_noise")
+    scale = 10.0 ** data.draw(st.integers(-4, 4), label="scale")
+    rowsets = [rng.normal(size=(n_noise, dim)) * scale]
+    # adversarial rows: full vectors stitched from per-subspace
+    # codewords (dist exactly 0 in every subspace -> pure code
+    # tiebreak), and stitched blends of two codewords (micro ties)
+    by_sub = {}
+    for s, code, centroid in rows:
+        by_sub.setdefault(s, {})[code] = np.array(centroid)
+    pick = data.draw(st.integers(0, k - 1), label="pick")
+    rowsets.append(
+        np.concatenate([by_sub[s][pick] for s in range(n_subs)])[None, :]
+    )
+    if k >= 2:
+        a = data.draw(st.integers(0, k - 1), label="blend_a")
+        b = data.draw(st.integers(0, k - 1), label="blend_b")
+        t = data.draw(st.floats(0.0, 1.0, allow_nan=False), label="t")
+        rowsets.append(
+            np.concatenate(
+                [t * by_sub[s][a] + (1 - t) * by_sub[s][b] for s in range(n_subs)]
+            )[None, :]
+        )
+    rowsets.append(np.zeros((1, dim)))
+    V = np.vstack(rowsets)
+
+    got = encode_codes_np([r.tolist() for r in V], rows)
+    want = _fold_reference_codes(V, rows)
+    assert (got == want).all()

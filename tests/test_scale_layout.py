@@ -351,6 +351,41 @@ def test_curation_pipeline_fuses_into_one_scan(spark):
     assert len(shuffle_ids) <= 1, shuffle_ids
 
 
+def test_decontaminate_embedding_eval_side_broadcasts(spark):
+    """decontaminate_embedding's 100 TB claim (VERDICT r13 item 5):
+    the cross-split bucket join and the verify-stage eval-vector join
+    must carry EXPLICIT size-gated broadcast hints — the claimed plan
+    is the actual plan, not an AQE runtime conversion. Under the
+    default budget the fixture's eval side fits, so the lazy plan must
+    show the broadcasts (and no SortMergeJoin anywhere); with
+    broadcasting disabled the gate must refuse BOTH hints."""
+    from stream_processing_test_spark.llm.dedup import (
+        _decontaminate_embedding_frames,
+    )
+
+    result, tables = _decontaminate_embedding_frames(spark, SF_SMALL)
+    try:
+        plan = _plan(result)
+        assert plan.count("BroadcastHashJoin") >= 2
+        assert "SortMergeJoin" not in plan
+    finally:
+        tables.unpersist()
+
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        result, tables = _decontaminate_embedding_frames(spark, SF_SMALL)
+        try:
+            assert "BroadcastExchange" not in _plan(result), (
+                "eval-side joins still broadcast with "
+                "autoBroadcastJoinThreshold=-1"
+            )
+        finally:
+            tables.unpersist()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+
+
 def test_keep_canonical_verdict_is_broadcast(spark):
     """dedup_keep_canonical's corpus pass must be a broadcast left
     join of the clustered-node set WHEN the measured node count fits

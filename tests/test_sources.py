@@ -299,15 +299,15 @@ def test_ffprobe_shim_through_probe_sources(spark, fake_ffprobe):
     """The ffprobe prober fanned out through the REAL mapInPandas
     connector: every executor-side subprocess resolves the PATH shim,
     one event per source, taxonomy items only. Spark's Python workers
-    were forked before the fixture's monkeypatch, so the shim dir is
-    prepended to PATH inside the worker by a thin wrapper — the probe
+    were forked before the fixture's monkeypatch, so the shim dir
+    reaches the child through the prober's explicit ``env`` argument —
+    never by mutating ``os.environ`` inside the long-lived, reused
+    worker (ADVICE r13: that mutation outlives the test). The probe
     itself is the real ffprobe_prober, subprocess and all."""
-    shim_dir = str(fake_ffprobe / "bin")
+    shim_path = f"{fake_ffprobe / 'bin'}:{os.environ['PATH']}"
 
     def prober(url_id, url):
-        if shim_dir not in os.environ["PATH"]:
-            os.environ["PATH"] = f"{shim_dir}:{os.environ['PATH']}"
-        return ffprobe_prober(url_id, url)
+        return ffprobe_prober(url_id, url, env={"PATH": shim_path})
 
     src = _sources(spark, n=8)
     out = probe_sources(src, prober=prober, created_time=STAMP).collect()

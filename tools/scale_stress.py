@@ -995,6 +995,128 @@ def vector_ivf_run(
     return out
 
 
+def vector_appendadc_run(
+    spark, tdir: str, repeats: int, with_recall: bool
+) -> dict:
+    """Price the ADC-backed append (VERDICT r13 item 4): the same
+    base/batch split as the registered ``ann_index_append``, searched
+    through the IVF-PQ composition (frozen base-trained coarse
+    quantizer + codebooks, fused assign+encode of the base, probed
+    integer ADC, auto_rerank exact verify) instead of probed-list
+    exact scoring. This is the arm the r13 rung named as 'the right
+    tool' for corpus-fraction batches — the rung measures whether and
+    where it actually wins, so the dispatch crossover is a recorded
+    number, not a guess. ``with_recall`` additionally runs the exact
+    append once (untimed) and records recall@k of the ADC result
+    against it — affordable at the tiers where the exact arm
+    completes."""
+    from pyspark.sql import functions as F
+
+    from stream_processing_test_spark.llm.pq import ivfpq_topk
+    from stream_processing_test_spark.llm.similarity import INGEST_MOD
+    from stream_processing_test_spark.registry import all_queries
+    from stream_processing_test_spark.session import release_local_checkpoint
+    from stream_processing_test_spark.tables import load
+
+    emb = load(spark, tdir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    is_new = F.col("vec_id") % INGEST_MOD == 0
+    base = emb.filter(~is_new)
+    q = emb.filter(is_new).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    out: dict = {"ingest_mod": INGEST_MOD}
+    samples: list[float] = []
+    for i in range(repeats):
+        spark.catalog.clearCache()
+        release_pinned_rdds(spark)
+        t0 = time.time()
+        res = ivfpq_topk(base, q)
+        samples.append(round(time.time() - t0, 2))
+        if i == 0:
+            got = {
+                (r["query_id"], r["neighbor_id"]) for r in res.collect()
+            }
+            out["rows"] = len(got)
+            if with_recall:
+                exact_pairs = {
+                    (r["query_id"], r["neighbor_id"])
+                    for r in all_queries()["ann_index_append"]
+                    .fn(spark, tdir)
+                    .collect()
+                }
+                out["recall_vs_exact_append"] = round(
+                    len(exact_pairs & got) / max(len(exact_pairs), 1), 3
+                )
+        release_local_checkpoint(res)
+    out["wall_sec"] = min(samples)
+    out["samples"] = samples
+    return out
+
+
+def vector_ivfprobe_run(spark, tdir: str, repeats: int) -> dict:
+    """Price the r14 ``auto_probe`` hold-recall dial (VERDICT r13
+    item 3): at the AUTO-SIZED list count (``auto_lists``), run the
+    probed search once with the fixed N_PROBE default (the documented
+    recall floor: fraction searched = N_PROBE/L, decaying with n) and
+    once with ``auto_probe(L)`` (fraction pinned at 1/PROBE_DIV),
+    recording recall@k against the registered exact brute-force query
+    and the wall for each — the recall-vs-wall trade the policy buys,
+    measured on the same corpus with the same trained quantizer
+    rules. The ``auto`` arm IS the registered ``ann_ivf_auto_probe``
+    operating point."""
+    from pyspark.sql import functions as F
+
+    from stream_processing_test_spark.llm.similarity import (
+        N_PROBE,
+        N_QUERIES,
+        auto_lists,
+        auto_probe,
+        ivf_topk,
+    )
+    from stream_processing_test_spark.registry import all_queries
+    from stream_processing_test_spark.session import release_local_checkpoint
+    from stream_processing_test_spark.tables import load
+
+    emb = load(spark, tdir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    n = emb.count()
+    lists = auto_lists(n)
+    exact_pairs = {
+        (r["query_id"], r["neighbor_id"])
+        for r in all_queries()["ann_cosine_topk"].fn(spark, tdir).collect()
+    }
+    out: dict = {"n_lists": lists, "n_queries": N_QUERIES}
+    for arm, n_probe in (("fixed", N_PROBE), ("auto", auto_probe(lists))):
+        samples: list[float] = []
+        rec = None
+        for i in range(repeats):
+            spark.catalog.clearCache()
+            release_pinned_rdds(spark)
+            t0 = time.time()
+            res = ivf_topk(emb, q, n_lists=lists, n_probe=n_probe)
+            samples.append(round(time.time() - t0, 2))
+            if i == 0:
+                got = {
+                    (r["query_id"], r["neighbor_id"]) for r in res.collect()
+                }
+                rec = round(len(exact_pairs & got) / max(len(exact_pairs), 1), 3)
+            release_local_checkpoint(res)
+        out[arm] = {
+            "n_probe": n_probe,
+            "fraction_searched": round(n_probe / lists, 4),
+            "recall_at_k": rec,
+            "wall_sec": min(samples),
+            "samples": samples,
+        }
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Streaming rung (VERDICT r8 item 3): sustained events/s + state-store
 # size for the two headline streaming queries at 10x/100x the sf0.1
@@ -1546,7 +1668,7 @@ def main() -> None:
     ap.add_argument(
         "--vec-extras",
         default="",
-        help="comma list from {thr08,ivf,ann,recall,policywall,pq,pqdial,ivfpq,qbatch}: for the "
+        help="comma list from {thr08,ivf,ann,recall,policywall,pq,pqdial,ivfpq,ivfprobe,append,appendadc,contam,qbatch}: for the "
         "named vec tiers run ONLY these attribution extras (threshold-0.8 "
         "LSH variant, IVF rung, the REGISTERED ann_lsh_topk verbatim, the "
         "planted-pair recall probe at the registered + policy operating "
@@ -1615,6 +1737,11 @@ def main() -> None:
                 time_query(spark, "ann_cosine_topk", wdir, 1)
         if "qbatch" in vec_extras:
             vector_qbatch_run(spark, wdir, 1, batches=(5,))
+        if "ivfprobe" in vec_extras:
+            time_query(spark, "ann_ivf_auto_probe", wdir, 1)
+            time_query(spark, "ann_cosine_topk", wdir, 1)
+        if "appendadc" in vec_extras:
+            vector_appendadc_run(spark, wdir, 1, with_recall=False)
         print("[warmup] vector JIT pass done", flush=True)
     if any(t.startswith("stream_") for t in tier_names):
         wdir = os.path.join(args.scratch, "warmup_stream")
@@ -1784,6 +1911,17 @@ def main() -> None:
                         f"{entry['ann_index_append_registered']}",
                         flush=True,
                     )
+                if "appendadc" in vec_extras:
+                    # recall arm only where the exact append completes
+                    # (its vec_x40 run is the recorded 2.8G-score skip)
+                    entry["append_adc"] = vector_appendadc_run(
+                        spark, tdir, args.repeats,
+                        with_recall=tier in ("vec_x1", "vec_x4"),
+                    )
+                    print(
+                        f"[{tier}] append_adc: {entry['append_adc']}",
+                        flush=True,
+                    )
                 if "recall" in vec_extras:
                     # (None, None) = the REGISTERED operating point
                     # (occupancy-1024 auto_planes + auto_tables — shared
@@ -1852,6 +1990,13 @@ def main() -> None:
                         spark, tdir, args.repeats
                     )
                     print(f"[{tier}] ivfpq: {entry['ivfpq']}", flush=True)
+                if "ivfprobe" in vec_extras:
+                    entry["ivfprobe"] = vector_ivfprobe_run(
+                        spark, tdir, args.repeats
+                    )
+                    print(
+                        f"[{tier}] ivfprobe: {entry['ivfprobe']}", flush=True
+                    )
                 if "qbatch" in vec_extras:
                     entry["qbatch"] = vector_qbatch_run(
                         spark, tdir, args.repeats
