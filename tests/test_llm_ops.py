@@ -1951,3 +1951,48 @@ def test_pq_encode_arrow_matches_sql_twin(spark):
         for r in pq_encode_arrow(emb, rows, carry=("tag",)).collect()
     }
     assert all(tags[v] == v % 7 for v in tags)
+
+
+def test_append_adc_branch_cross_engine_parity(spark):
+    """Force ann_index_append's ADC branch at fixture scale
+    (crossover = 0, so the dispatch rule trips immediately) and gate
+    it against the oracle regenerated with the same zero crossover —
+    the registered APPEND_ADC_ROWS never dispatches to ADC below
+    ladder scale, so without this the ADC branch (frozen base-trained
+    quantizer + codebooks, batch LUTs, probed integer ADC, capped
+    rerank) would run oracle-ungated. Exercises the dispatch and the
+    dual-branch oracle end-to-end, including the decision CTE picking
+    'adc'."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from stream_processing_test_spark.llm.similarity import (
+        INGEST_MOD,
+        _append_dispatch,
+        _append_oracle,
+    )
+    from stream_processing_test_spark.tables import load
+    from tests.conftest import SF_SMALL
+
+    emb = load(spark, SF_SMALL, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    is_new = F.col("vec_id") % INGEST_MOD == 0
+    base = emb.filter(~is_new)
+    q = emb.filter(is_new).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    res = _append_dispatch(base, q, emb.count(), adc_rows=0)
+    assert res.columns == ["query_id", "neighbor_id", "cos_sim", "rk"]
+    got = sorted(
+        (r["query_id"], r["neighbor_id"], r["cos_sim"], r["rk"])
+        for r in res.collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{SF_SMALL}/embeddings.parquet')"
+    )
+    want = sorted(map(tuple, con.sql(_append_oracle(adc_rows=0)).fetchall()))
+    assert len(got) > 0 and got == want
