@@ -36,13 +36,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from stream_processing_test_spark.llm.similarity import (
+# constants from the LEAF params module, NOT from similarity: pq and
+# similarity need each other's helpers at registration time (both
+# directions), so a top-level import either way makes executor-side
+# module init order-dependent — see params.py's docstring (r14). The
+# function-shaped needs (_dot/_norm/_train_shift_ctes and the CTE
+# builders) are imported lazily inside the functions that use them,
+# all of which run only after both modules' own names are defined.
+from stream_processing_test_spark.llm.params import (
     EMBED_DIM,
     N_QUERIES,
     TOP_K,
-    _dot,
-    _norm,
-    _train_shift_ctes,
 )
 from stream_processing_test_spark.registry import register
 from stream_processing_test_spark.tables import load
@@ -725,6 +729,10 @@ def _pq_oracle(
     :func:`_rerank_cte` — the shortlist bound becomes a scalar
     subquery over that CTE, so the oracle replays the hold-recall
     policy at any corpus size."""
+    from stream_processing_test_spark.llm.similarity import (
+        _train_shift_ctes,
+    )
+
     if rerank is None:
         rr_cte, rerank_bound = f"{_rerank_cte()},\n", "(SELECT rerank FROM rr)"
     else:
@@ -903,6 +911,8 @@ def _query_luts(
     ipart, cnsq): one broadcast crossJoin of the query set against the
     (PQ_SUBS × PQ_CODES)-row codebook relation. Consumed through
     :func:`_lut_wide`'s array regroup since r14."""
+    from stream_processing_test_spark.llm.similarity import _dot
+
     codebook = queries.sparkSession.createDataFrame(
         rows, "s int, code int, centroid array<double>"
     )
@@ -948,7 +958,7 @@ def _adc_rank(
     broadcast either way (16 B/query)."""
     from pyspark.sql import Window
 
-    from stream_processing_test_spark.llm.similarity import cosine
+    from stream_processing_test_spark.llm.similarity import _norm, cosine
 
     def maybe_b(df: DataFrame) -> DataFrame:
         return df if large_batch else F.broadcast(df)
@@ -1136,6 +1146,7 @@ def _ivfpq_oracle(top_k: int = TOP_K, n_probe: int | None = None) -> str:
     from stream_processing_test_spark.llm.similarity import (
         N_PROBE,
         _ivf_lloyd_ctes,
+        _train_shift_ctes,
         auto_lists_ctes,
     )
 

@@ -88,11 +88,11 @@ _ROTATION_TIERS: dict[str, int] = {
     # streaming_click_purchase_outer + streaming_session_windows
     # changed (shared sentinel-replay helper, item 7;
     # streaming_session_windows promoted out of the fill cohort).
-    # Eight promotions/new (incl. ann_ivf_auto_probe below) -> fill
-    # trimmed 22 -> 14, dropping the last-ranked rows
+    # Nine promotions/new (incl. ann_ivf_auto_probe + ann_pq_topk
+    # below) -> fill trimmed 22 -> 13, dropping the last-ranked rows
     # (q4_order_priority, q7_nation_trade_volume, q8_market_share,
     # rich_accounts_union, streaming_envelope_rollup,
-    # streaming_rate_rollup, q22_idle_customers).
+    # streaming_rate_rollup, q22_idle_customers, q20_excess_suppliers).
     "ann_ivfpq_topk": 0,
     "ann_ivf_topk": 0,
     "ann_auto_topk": 0,
@@ -104,6 +104,11 @@ _ROTATION_TIERS: dict[str, int] = {
     # dial, VERDICT r13 item 3); q22_idle_customers (last-ranked fill)
     # waits for r15 to hold the window at 50
     "ann_ivf_auto_probe": 0,
+    # ann_pq_topk changed r14 (wide-gather ADC + the Arrow encode
+    # kernel ride its registered path too); q20_excess_suppliers
+    # (last-ranked fill) waits for r15 — tier-0 now matches
+    # gen_rotation --changed exactly (28 owed + 9 new/changed = 37)
+    "ann_pq_topk": 0,
     # (1) fill to 50, ranked by prior-row age (gen_rotation.py)
     "dedup_incremental": 1,
     "dedup_multimodal": 1,
@@ -118,7 +123,6 @@ _ROTATION_TIERS: dict[str, int] = {
     "envelope_rollup_orc": 1,
     "envelope_rollup_parquet": 1,
     "multimodal_preprocess": 1,
-    "q20_excess_suppliers": 1,
 }
 
 
