@@ -140,3 +140,35 @@ def test_gen_rotation_owed_list_from_history(tmp_path):
         key=lambda q: (hist[q][-2] if len(hist[q]) > 1 else 0, q),
     )
     assert cohort == ["a"]
+
+
+def test_pq_similarity_import_order_both_ways():
+    """pq and similarity need each other's helpers at REGISTRATION
+    time (oracle builders run as decorator arguments), so each must be
+    importable FIRST in a fresh interpreter — executors import
+    whichever module the pickled Arrow kernel lives in, and the r14
+    sf0.1 bench caught pq-first workers dying on a partially
+    initialized sibling (fixed via the leaf ``llm.params`` module +
+    lazy function imports). Fresh subprocess per direction — the
+    test's own interpreter has both cached."""
+    import subprocess
+    import sys
+
+    for first in (
+        "stream_processing_test_spark.llm.pq",
+        "stream_processing_test_spark.llm.similarity",
+    ):
+        proc = subprocess.run(
+            [
+                sys.executable,
+                "-c",
+                f"import {first}; "
+                "import stream_processing_test_spark.llm.pq as p; "
+                "import stream_processing_test_spark.llm.similarity as s; "
+                "assert p.PQ_RERANK and s.N_PROBE",
+            ],
+            capture_output=True,
+            text=True,
+            timeout=120,
+        )
+        assert proc.returncode == 0, f"{first} first: {proc.stderr[-800:]}"
