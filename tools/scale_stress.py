@@ -1311,26 +1311,38 @@ def vector_qbatch_run(
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    from stream_processing_test_spark.llm.pq import PQ_SUBS, pq_topk
+    from stream_processing_test_spark.llm.pq import pq_topk
     from stream_processing_test_spark.llm.similarity import (
         TOP_K,
         auto_lists,
         cosine,
         ivf_topk,
+        parallelize_narrow_scan,
     )
     from stream_processing_test_spark.tables import load
 
     BRUTE_PAIR_CAP = 1 << 28
-    # PQ's ADC pre-aggregation stream is n x PQ_SUBS x B integer rows
-    # (every code row meets every query's LUT entry) — linear in B
-    # like brute, just a much smaller constant. Capped at the volume
-    # of the x4-tier 512-query point (the crossover validation point);
-    # beyond it the marginal-cost extrapolation below the cap already
-    # answers the question.
-    PQ_SCORE_CAP = 1_700_000_000
+    # PQ's scored stream is n x B GATHER rows since r14 (the wide-LUT
+    # in-row gather replaced the explode + keyed sum — 16x fewer rows
+    # than the r12 pre-agg arithmetic this cap was first sized for).
+    # Still linear in B like brute, far cheaper per row; the binding
+    # cost past the cap is the per-query shortlist SORT of the full
+    # gather stream (measured spilling past local disk at 2.8e9 rows,
+    # §r14-append-adc), so the cap is set under that regime.
+    PQ_GATHER_CAP = 500_000_000
 
-    emb = load(spark, tdir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    # r14 harness fix: the single-file x1 tier fed the brute crossJoin
+    # ONE scan partition, so its interpreted fold ran single-threaded
+    # (measured: 50k x 64 took exactly the x4 tier's per-task wall) —
+    # the registered ann_cosine_topk parallelizes narrow scans, so the
+    # surface must too or brute cells overstate at small file counts.
+    # All arms read the same widened frame; r12's cells carried the
+    # same flaw consistently, so the re-derive is apples-to-apples
+    # WITHIN the r14 surface only.
+    emb = parallelize_narrow_scan(
+        load(spark, tdir, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        )
     )
     n = emb.select("vec_id").count()
     out: dict = {"n_vecs": n, "brute_pair_cap": BRUTE_PAIR_CAP, "points": {}}
@@ -1375,12 +1387,12 @@ def vector_qbatch_run(
             pt["brute_skipped"] = (
                 f"{n * B:.2e} candidate pairs > cap (interpreted fold)"
             )
-        if n * PQ_SUBS * B <= PQ_SCORE_CAP:
+        if n * B <= PQ_GATHER_CAP:
             pt["pq"] = timed(lambda: pq_topk(emb, q))
         else:
             pt["pq"] = None
             pt["pq_skipped"] = (
-                f"{n * PQ_SUBS * B:.2e} ADC pre-agg rows > cap"
+                f"{n * B:.2e} ADC gather rows > cap (shortlist sort)"
             )
         pt["ivf"] = timed(lambda: ivf_topk(emb, q, n_lists=auto_lists(n)))
         out["points"][str(B)] = pt
