@@ -133,6 +133,7 @@ BENCH_EXCLUDED = {
     "ann_index_append": "ivf_topk with the new-batch split as the query relation: train/assign/probed-search stages identical to headline ann_ivf_topk (just 10x the broadcast query rows; per-batch cost priced by the qbatch arms)",
     "ann_ivfpq_topk": "composition of headline ann_ivf_topk's routed-assignment stages and headline ann_pq_topk's encode+ADC stages, with strictly LESS ADC volume than the PQ headline (probed fraction only); its scale behavior is what matters and is priced in BENCH_SCALE's ivfpq rungs",
     "ann_ivf_auto_probe": "headline ann_ivf_topk's exact stages at the auto_lists/auto_probe operating point — at bench corpora both rules resolve to the fixture constants (16 lists / 2 probes), so the plan IS the headline plan; the escalation's cost lives at scale and is priced by BENCH_SCALE's ivfprobe arm",
+    "embedding_diverse_sample": "headline ann_ivf_topk's trainer + Arrow assignment stages plus one broadcast-centroid map join and a bounded per-list rank window (the quota prunes before the exchange); no stage shape the IVF headline doesn't already time",
     "quantity_grouping_sets": "grouping-sets twin of headline revenue_cube; identical rollup machinery",
     "engaged_users_setops": "INTERSECT/EXCEPT over per-user aggregates; same distinct-exchange shape as user_cardinality",
     "substring_dup_coverage": "hashed-gram inverted index on documents; same shingle-index stages as headline dedup_ngram_jaccard",

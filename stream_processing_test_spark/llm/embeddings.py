@@ -305,3 +305,118 @@ def ann_cosine_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         sims.withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= TOP_K)
     )
+
+
+SAMPLE_TARGET = 256  # diverse-sample size target; per-cluster quota =
+#                      ceil(SAMPLE_TARGET / auto_lists(n))
+
+
+def _diverse_oracle() -> str:
+    """DuckDB oracle for the cluster-stratified diverse sample: the
+    dynamic-list IVF Lloyd chain (the exact quantizer
+    ``kmeans_lists`` trains — seeds, passes, reseeds, final
+    assignment all replayed), a ``quota`` CTE recomputing the integer
+    per-cluster quota from the oracle's own counts, and a per-list
+    representativeness rank over round-6 cosine — the same rounding
+    bridge every IVF oracle uses."""
+    from stream_processing_test_spark.llm.similarity import (
+        _ivf_lloyd_ctes,
+        _train_shift_ctes,
+        auto_lists_ctes,
+    )
+
+    lloyd, cents = _ivf_lloyd_ctes(n_lists=None)
+    return f"""
+WITH esig AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+),
+{_train_shift_ctes()},
+{auto_lists_ctes()},
+quota AS (
+    SELECT ({SAMPLE_TARGET} + lists - 1) // lists AS q FROM nl
+),
+{lloyd},
+scored AS (
+    SELECT a.vec_id, a.list_id,
+           ROUND(list_cosine_similarity(a.v, c.centroid), 6) AS rep
+    FROM assign_final a JOIN {cents} c USING (list_id)
+),
+ranked AS (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY list_id ORDER BY rep DESC, vec_id ASC) AS rk
+    FROM scored
+)
+SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       CAST(list_id AS INT) AS list_id,
+       rep,
+       CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= (SELECT q FROM quota)
+"""
+
+
+@register(
+    "embedding_diverse_sample",
+    oracle=_diverse_oracle(),
+    survey_ops="§7-sampling,§7-similarity,IVF",
+    tier=0,  # new in r14
+)
+def embedding_diverse_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-stratified DIVERSE subset selection — the curation op
+    that picks a small, spread-out sample of a corpus by embedding
+    geometry (diverse SFT/eval subsets, k-center-style seed pools):
+    the deterministic IVF quantizer partitions the corpus into
+    ~sqrt(n) clusters (``auto_lists``), and each cluster contributes
+    its ``ceil(SAMPLE_TARGET / lists)`` most REPRESENTATIVE members
+    (round-6 cosine to the cluster centroid DESC, vec_id ASC) — so
+    the sample covers every region of the space instead of
+    oversampling the dense core, and its size is ~SAMPLE_TARGET
+    regardless of corpus size.
+
+    Contrast with the family's other samplers: ``stratified_sample``
+    and ``class_balanced_sample`` stratify on LABELS; this stratifies
+    on LEARNED geometry, which needs no labels and is the shape
+    diversity-aware data curation actually uses (cluster-then-pick,
+    cf. the cluster-routed step of SemDeDup-style pipelines —
+    evaluated for dedup in REGISTRY §parameter-policies, where
+    CANDIDATE GENERATION made it lose; here there is no pair
+    generation, so the cluster route is the right tool).
+
+    Scale shape: training is the capped hash-sample collect
+    (``kmeans_lists``); ONE corpus assignment scan (the Arrow
+    kernel); the representativeness score is a map-side broadcast
+    join against the k-row centroid relation; the per-cluster rank
+    partitions by list_id (~sqrt(n) groups, WindowGroupLimit prunes
+    to the quota before the exchange). Nothing corpus-scale shuffles
+    except the bare (vec_id, list_id, rep) rows. The whole chain —
+    quantizer included — replays in the DuckDB oracle
+    (:func:`_diverse_oracle`), so the driver gate checks the sampler
+    end-to-end at any corpus size."""
+    from pyspark.sql import Window
+
+    from stream_processing_test_spark.llm.similarity import (
+        auto_lists,
+        cosine,
+        kmeans_lists,
+    )
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    n = emb.select("vec_id").count()
+    lists = auto_lists(n)
+    quota = (SAMPLE_TARGET + lists - 1) // lists
+    assign, centroids = kmeans_lists(emb, k=lists, n_rows=n)
+    scored = assign.join(F.broadcast(centroids), "list_id").select(
+        "vec_id",
+        "list_id",
+        F.round(cosine(F.col("v"), F.col("centroid")), 6).alias("rep"),
+    )
+    w = Window.partitionBy("list_id").orderBy(
+        F.col("rep").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= quota)
+        .select("vec_id", "list_id", "rep", "rk")
+    )

@@ -88,11 +88,13 @@ _ROTATION_TIERS: dict[str, int] = {
     # streaming_click_purchase_outer + streaming_session_windows
     # changed (shared sentinel-replay helper, item 7;
     # streaming_session_windows promoted out of the fill cohort).
-    # Nine promotions/new (incl. ann_ivf_auto_probe + ann_pq_topk
-    # below) -> fill trimmed 22 -> 13, dropping the last-ranked rows
-    # (q4_order_priority, q7_nation_trade_volume, q8_market_share,
-    # rich_accounts_union, streaming_envelope_rollup,
-    # streaming_rate_rollup, q22_idle_customers, q20_excess_suppliers).
+    # Ten promotions/new (incl. ann_ivf_auto_probe, ann_pq_topk and
+    # embedding_diverse_sample below) -> fill trimmed 22 -> 12,
+    # dropping the last-ranked rows (q4_order_priority,
+    # q7_nation_trade_volume, q8_market_share, rich_accounts_union,
+    # streaming_envelope_rollup, streaming_rate_rollup,
+    # q22_idle_customers, q20_excess_suppliers,
+    # multimodal_preprocess).
     "ann_ivfpq_topk": 0,
     "ann_ivf_topk": 0,
     "ann_auto_topk": 0,
@@ -106,9 +108,13 @@ _ROTATION_TIERS: dict[str, int] = {
     "ann_ivf_auto_probe": 0,
     # ann_pq_topk changed r14 (wide-gather ADC + the Arrow encode
     # kernel ride its registered path too); q20_excess_suppliers
-    # (last-ranked fill) waits for r15 — tier-0 now matches
-    # gen_rotation --changed exactly (28 owed + 9 new/changed = 37)
+    # (last-ranked fill) waits for r15
     "ann_pq_topk": 0,
+    # embedding_diverse_sample NEW r14 (cluster-stratified diverse
+    # subset selection); multimodal_preprocess (last-ranked fill)
+    # waits for r15 — tier-0 now matches gen_rotation --changed
+    # exactly (28 owed + 10 new/changed = 38)
+    "embedding_diverse_sample": 0,
     # (1) fill to 50, ranked by prior-row age (gen_rotation.py)
     "dedup_incremental": 1,
     "dedup_multimodal": 1,
@@ -122,7 +128,6 @@ _ROTATION_TIERS: dict[str, int] = {
     "envelope_rollup": 1,
     "envelope_rollup_orc": 1,
     "envelope_rollup_parquet": 1,
-    "multimodal_preprocess": 1,
 }
 
 
@@ -176,6 +181,7 @@ PLAN_OPAQUE_QUERIES: dict[str, str] = {
     "dedup_multimodal": "fingerprints materialized in fn()",
     "doc_lm_score": "persisted pair_tf materialized in fn() (r12 scan cut)",
     "dedup_simhash": "fingerprints materialized in fn()",
+    "embedding_diverse_sample": "iterative k-means materialized in fn()",
     "dup_clusters": "connected-components loop materialized in fn()",
     "dup_clusters_star": "star-contraction loop materialized in fn()",
     "leakage_safe_split": "connected-components loop materialized in fn()",

@@ -1996,3 +1996,35 @@ def test_append_adc_branch_cross_engine_parity(spark):
     )
     want = sorted(map(tuple, con.sql(_append_oracle(adc_rows=0)).fetchall()))
     assert len(got) > 0 and got == want
+
+
+def test_embedding_diverse_sample_covers_every_cluster(spark):
+    """The diverse sampler's contract: every cluster the quantizer
+    formed contributes (coverage — the point of stratifying on
+    geometry), no cluster exceeds the integer quota, ranks are
+    1..quota within a cluster, and the sample is ~SAMPLE_TARGET-bounded
+    (lists × quota) regardless of corpus size. Value parity with the
+    Lloyd-replaying DuckDB oracle is the driver gate's job; this pins
+    the shape."""
+    from stream_processing_test_spark.llm.embeddings import (
+        SAMPLE_TARGET,
+        embedding_diverse_sample,
+    )
+    from stream_processing_test_spark.llm.similarity import auto_lists
+    from stream_processing_test_spark.tables import load
+    from tests.conftest import SF_SMALL
+
+    n = load(spark, SF_SMALL, "embeddings").count()
+    lists = auto_lists(n)
+    quota = (SAMPLE_TARGET + lists - 1) // lists
+    rows = embedding_diverse_sample(spark, SF_SMALL).collect()
+    assert 0 < len(rows) <= lists * quota
+    by_list: dict = {}
+    for r in rows:
+        by_list.setdefault(r["list_id"], []).append(r["rk"])
+    # every cluster contributes (the fixture corpus fills all 16 —
+    # Lloyd reseeds empty lists), bounded by quota, dense ranks
+    assert len(by_list) == lists
+    for lid, rks in by_list.items():
+        assert len(rks) <= quota
+        assert sorted(rks) == list(range(1, len(rks) + 1)), lid
