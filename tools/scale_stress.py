@@ -1828,7 +1828,7 @@ def main() -> None:
     ap.add_argument(
         "--vec-extras",
         default="",
-        help="comma list from {thr08,ivf,ann,recall,policywall,pq,pqdial,ivfpq,ivfprobe,append,appendadc,contam,qbatch}: for the "
+        help="comma list from {thr08,ivf,ann,recall,policywall,pq,pqdial,ivfpq,ivfprobe,append,appendadc,contam,diverse,qbatch}: for the "
         "named vec tiers run ONLY these attribution extras (threshold-0.8 "
         "LSH variant, IVF rung, the REGISTERED ann_lsh_topk verbatim, the "
         "planted-pair recall probe at the registered + policy operating "
@@ -2070,6 +2070,19 @@ def main() -> None:
                     print(
                         f"[{tier}] ann_index_append_registered: "
                         f"{entry['ann_index_append_registered']}",
+                        flush=True,
+                    )
+                if "diverse" in vec_extras:
+                    # the r14 cluster-stratified sampler: registered
+                    # path verbatim (train + Arrow assignment +
+                    # broadcast-centroid score + quota-pruned rank)
+                    entry["diverse_sample_registered"] = time_query(
+                        spark, "embedding_diverse_sample", tdir,
+                        args.repeats,
+                    )
+                    print(
+                        f"[{tier}] diverse_sample_registered: "
+                        f"{entry['diverse_sample_registered']}",
                         flush=True,
                     )
                 if "appendadc" in vec_extras:
