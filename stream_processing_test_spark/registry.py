@@ -34,100 +34,75 @@ class QuerySpec:
 
 _REGISTRY: dict[str, QuerySpec] = {}
 
-# Round-14 rotation: the driver checks a 50-query prefix. The owed
+# Round-15 rotation: the driver checks a 50-query prefix. The owed
 # list is COMPUTED, not hand-maintained: ``python tools/gen_rotation.py
 # [--changed ...]`` reads every CORRECTNESS_r*.json, finds the
 # stale-minimum cohort (queries whose newest driver row is oldest —
 # they MUST lead the window), and ranks the fill cohort by prior-row
-# age. This dict is its r14 output, plus the round's new/changed
+# age. This dict is its r15 output, plus the round's new/changed
 # queries (kept current as the round progresses, per the rotation
 # contract). Unlisted queries keep ``10 + tier``.
 #
-# Tier (0) = the TWENTY-EIGHT r11-row deferrals the r13 verdict bound
-# r14 to lead with (tool-verified), plus this round's changed queries
+# Tier (0) = the THIRTY-FOUR r12-row deferrals the r14 verdict bound
+# r15 to lead with (tool-verified), plus this round's changed queries
 # annotated inline below. Tier (1) = the fill rows, gen_rotation's
-# prior-row-age order — trimmed from 22 as changed queries entered
+# prior-row-age order — trimmed from 16 as changed queries enter
 # tier 0, dropping the last-ranked fill rows each time.
 _ROTATION_TIERS: dict[str, int] = {
-    # (0) the twenty-eight r11-row deferrals (tools/gen_rotation.py)
-    "ann_lsh_topk": 0,
-    "attribute_rollup": 0,
-    "cohort_retention": 0,
-    "decayed_user_scores": 0,
-    "decontaminate_bloom": 0,
-    "dedup_embedding_lsh": 0,
-    "dedup_ngram_jaccard": 0,
-    "dup_clusters": 0,
-    "dup_clusters_star": 0,
-    "funnel_conversion": 0,
-    "multimodal_features": 0,
-    "price_percentiles": 0,
-    "q10_returned_items": 0,
-    "q13_order_count_distribution": 0,
-    "q16_part_supplier_variety": 0,
-    "q18_large_orders": 0,
-    "q1_pricing_summary": 0,
-    "q21_blocking_suppliers": 0,
-    "q2_min_cost_supplier": 0,
-    "q6_forecast_revenue": 0,
-    "q9_product_profit": 0,
-    "revenue_cube": 0,
-    "skew_salted_rollup": 0,
-    "sql_daily_event_summary": 0,
-    "stats_moments": 0,
-    "user_cardinality": 0,
-    "user_value_percentiles": 0,
-    "vendor_flow_stats": 0,
-    # (0) r14 changed — kept current as the round progresses.
-    # ann_ivfpq_topk changed (hash-agg codegen fallback fix, VERDICT
-    # r13 item 2; ann_lsh_topk shares the fix and is already owed).
-    # ann_ivf_topk + ann_auto_topk changed (the measured auto_probe
-    # escalation policy, VERDICT r13 item 3). ann_index_append changed
-    # (large-batch ADC dispatch, item 4). decontaminate_embedding
-    # changed (explicit eval-side broadcast, item 5).
-    # streaming_click_purchase_outer + streaming_session_windows
-    # changed (shared sentinel-replay helper, item 7;
-    # streaming_session_windows promoted out of the fill cohort).
-    # Ten promotions/new (incl. ann_ivf_auto_probe, ann_pq_topk and
-    # embedding_diverse_sample below) -> fill trimmed 22 -> 12,
-    # dropping the last-ranked rows (q4_order_priority,
-    # q7_nation_trade_volume, q8_market_share, rich_accounts_union,
-    # streaming_envelope_rollup, streaming_rate_rollup,
-    # q22_idle_customers, q20_excess_suppliers,
-    # multimodal_preprocess).
-    "ann_ivfpq_topk": 0,
-    "ann_ivf_topk": 0,
-    "ann_auto_topk": 0,
-    "ann_index_append": 0,
-    "decontaminate_embedding": 0,
-    "streaming_click_purchase_outer": 0,
-    "streaming_session_windows": 0,
-    # ann_ivf_auto_probe NEW r14 (the measured auto_probe hold-recall
-    # dial, VERDICT r13 item 3); q22_idle_customers (last-ranked fill)
-    # waits for r15 to hold the window at 50
-    "ann_ivf_auto_probe": 0,
-    # ann_pq_topk changed r14 (wide-gather ADC + the Arrow encode
-    # kernel ride its registered path too); q20_excess_suppliers
-    # (last-ranked fill) waits for r15
-    "ann_pq_topk": 0,
-    # embedding_diverse_sample NEW r14 (cluster-stratified diverse
-    # subset selection); multimodal_preprocess (last-ranked fill)
-    # waits for r15 — tier-0 now matches gen_rotation --changed
-    # exactly (28 owed + 10 new/changed = 38)
-    "embedding_diverse_sample": 0,
+    # (0) the thirty-four r12-row deferrals (tools/gen_rotation.py)
+    "asof_click_attribution": 0,
+    "bm25_multi_topk": 0,
+    "corpus_curation_pipeline": 0,
+    "day_close_trigger": 0,
+    "dedup_minhash_lsh": 0,
+    "doc_lm_score": 0,
+    "doc_span_dedup": 0,
+    "failing_programs": 0,
+    "lang_id_ngram": 0,
+    "multimodal_preprocess": 0,
+    "per_source_rollup": 0,
+    "probe_source_events": 0,
+    "program_match": 0,
+    "props_json_stats": 0,
+    "q11_important_parts": 0,
+    "q14_promo_revenue_share": 0,
+    "q15_top_supplier": 0,
+    "q19_disjunctive_revenue": 0,
+    "q20_excess_suppliers": 0,
+    "q22_idle_customers": 0,
+    "q4_order_priority": 0,
+    "q5_region_revenue": 0,
+    "q7_nation_trade_volume": 0,
+    "q8_market_share": 0,
+    "quantity_grouping_sets": 0,
+    "revenue_rollup": 0,
+    "rich_accounts_union": 0,
+    "rolling_user_stats": 0,
+    "streaming_click_purchase_join": 0,
+    "streaming_envelope_rollup": 0,
+    "streaming_failure_streaks": 0,
+    "streaming_rate_rollup": 0,
+    "streaming_sliding_rollup": 0,
+    "user_cardinality_approx": 0,
+    # (0) r15 changed — kept current as the round progresses.
+    # (none yet; entries appear here as the round touches code paths)
     # (1) fill to 50, ranked by prior-row age (gen_rotation.py)
-    "dedup_incremental": 1,
-    "dedup_multimodal": 1,
-    "lang_mismatch_audit": 1,
-    "vocab_top_ngrams": 1,
-    "ann_cosine_topk_int8": 1,
-    "balance_quartiles": 1,
-    "dedup_simhash": 1,
-    "doc_fingerprint": 1,
-    "embedding_quantize_int8": 1,
-    "envelope_rollup": 1,
-    "envelope_rollup_orc": 1,
-    "envelope_rollup_parquet": 1,
+    "active_sources": 1,
+    "ann_cosine_topk": 1,
+    "bm25_topk": 1,
+    "daily_report_pipeline": 1,
+    "decontaminate_overlap": 1,
+    "dedup_exact": 1,
+    "dedup_keep_canonical": 1,
+    "doc_quality_score": 1,
+    "doc_repetition_stats": 1,
+    "embedding_centroids": 1,
+    "embedding_norm_stats": 1,
+    "leakage_safe_split": 1,
+    "pii_redact": 1,
+    "q12_priority_shipping": 1,
+    "q17_small_quantity_revenue": 1,
+    "q3_shipping_priority": 1,
 }
 
 
