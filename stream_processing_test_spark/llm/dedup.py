@@ -1419,7 +1419,6 @@ def _decontaminate_embedding_frames(
     n_rows = emb.select("vec_id").count()
     n_planes = auto_planes(n_rows)
     n_tables = auto_tables(n_planes)
-    n_eval = n_rows // EVAL_MOD + 1
     embd = emb.select("vec_id", F.col("v").cast("array<double>").alias("v"))
     tables = hyperplane_tables(
         embd, n_tables=n_tables, n_planes=n_planes
@@ -1431,15 +1430,23 @@ def _decontaminate_embedding_frames(
     ev = tables.filter(is_eval).select(
         F.col("vec_id").alias("eval_id"), "table_id", "bucket"
     )
-    # size-gated EXPLICIT eval-side broadcasts (see docstring): the
-    # estimates come from the count probe already paid, so the gate
-    # costs no extra job. 32 B/bucket triple, dim doubles + id +
-    # overhead per vector row — deliberately generous so the gate
-    # trips BEFORE the session budget would.
+    # size-gated EXPLICIT eval-side broadcasts (see docstring), gated
+    # on the ACTUAL eval-side count, not ``n_rows // EVAL_MOD`` —
+    # that estimate assumes ids uniform mod 97, and a distribution
+    # skewed toward multiples of EVAL_MOD would underestimate the
+    # eval side and force-broadcast an oversized relation, the exact
+    # silent blowup the gate exists to prevent (ADVICE r14). The
+    # count materializes the persisted ``tables`` relation, which
+    # every downstream stage reuses — so the job is prepaid, not
+    # extra. 32 B/bucket triple, dim doubles + id + overhead per
+    # vector row — deliberately generous so the gate trips BEFORE
+    # the session budget would.
     from stream_processing_test_spark.llm.similarity import EMBED_DIM
 
     thr = _auto_broadcast_threshold_bytes(spark)
-    ev_bucket_bytes = n_eval * n_tables * 32
+    ev_rows = ev.count()  # one row per (eval vec, table)
+    n_eval = ev_rows // max(n_tables, 1)
+    ev_bucket_bytes = ev_rows * 32
     ev_vec_bytes = n_eval * (EMBED_DIM * 8 + 32)
     if thr > 0 and ev_bucket_bytes <= thr:
         ev = F.broadcast(ev)

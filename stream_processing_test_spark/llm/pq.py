@@ -860,22 +860,43 @@ def _lut_wide(
     ``hashAgg_doAggregateWithKeys_0`` and Spark silently ran the
     stage interpreted (two ERROR CodeGenerator events per sweep).
     Gathering from a wide array needs NO aggregate at all, so the
-    encode stage stays map-only and compiles. array_sort on the
-    (s, code, ipart, cnsq) structs orders by (s, code) — unique —
-    so position (0-based) is exactly ``s * PQ_CODES + code``; this
-    regroup runs on |queries| × 256 rows, driver-adjacent scale."""
+    encode stage stays map-only and compiles. The arrays are built by
+    EXPLICIT key scatter — ``map_from_entries`` keyed on
+    ``s * PQ_CODES + code``, then a dense ``sequence(0, 255)`` probe
+    with 0-fill — NOT by array_sort position: ``_pq_lloyd_numpy`` can
+    legitimately emit fewer than PQ_CODES codes in a subspace
+    (duplicate-heavy training samples exhaust the reseed donors, and
+    samples smaller than PQ_CODES start sparse), and a positional
+    build against a sparse codebook would shift every later slot and
+    silently corrupt the gathered ADC scores. The 0-filled slots are
+    never read — the encoder argmins over the SAME rows list, so every
+    emitted c{s} has a real LUT entry — they only keep the gather
+    indices honest. This regroup runs on |queries| × ≤256 rows,
+    driver-adjacent scale."""
     lut = _query_luts(queries, rows)
+    n_slots = PQ_SUBS * PQ_CODES
     return (
         lut.groupBy("query_id")
         .agg(
-            F.array_sort(
-                F.collect_list(F.struct("s", "code", "ipart", "cnsq"))
-            ).alias("e")
+            F.map_from_entries(
+                F.collect_list(
+                    F.struct(
+                        (F.col("s") * PQ_CODES + F.col("code")).alias("k"),
+                        F.struct("ipart", "cnsq").alias("v"),
+                    )
+                )
+            ).alias("m")
         )
         .select(
             "query_id",
-            F.expr("transform(e, x -> x.ipart)").alias("iparts"),
-            F.expr("transform(e, x -> x.cnsq)").alias("cnsqs"),
+            F.expr(
+                f"transform(sequence(0, {n_slots - 1}),"
+                " i -> coalesce(m[i].ipart, 0L))"
+            ).alias("iparts"),
+            F.expr(
+                f"transform(sequence(0, {n_slots - 1}),"
+                " i -> coalesce(m[i].cnsq, 0L))"
+            ).alias("cnsqs"),
         )
     )
 

@@ -85,7 +85,23 @@ _ROTATION_TIERS: dict[str, int] = {
     "streaming_sliding_rollup": 0,
     "user_cardinality_approx": 0,
     # (0) r15 changed — kept current as the round progresses.
-    # (none yet; entries appear here as the round touches code paths)
+    # pq.py changed (_lut_wide explicit-scatter build, sparse-codebook
+    # robustness — ADVICE r14 medium): every query transiting the
+    # wide ADC LUT rides it — ann_pq_topk, ann_ivfpq_topk, and the
+    # dispatchers ann_auto_topk / ann_index_append whose PQ/ADC
+    # branches consume it. dedup.py changed (eval-broadcast gate now
+    # counts the actual eval side — ADVICE r14 low):
+    # decontaminate_embedding. probe.py changed (gate/exec PATH
+    # agreement — ADVICE r14 low): probe_source_events is already
+    # owed above. Five promotions -> fill trimmed 16 -> 11, dropping
+    # the last-ranked rows (q3_shipping_priority,
+    # q17_small_quantity_revenue, q12_priority_shipping, pii_redact,
+    # leakage_safe_split).
+    "ann_pq_topk": 0,
+    "ann_ivfpq_topk": 0,
+    "ann_auto_topk": 0,
+    "ann_index_append": 0,
+    "decontaminate_embedding": 0,
     # (1) fill to 50, ranked by prior-row age (gen_rotation.py)
     "active_sources": 1,
     "ann_cosine_topk": 1,
@@ -98,11 +114,6 @@ _ROTATION_TIERS: dict[str, int] = {
     "doc_repetition_stats": 1,
     "embedding_centroids": 1,
     "embedding_norm_stats": 1,
-    "leakage_safe_split": 1,
-    "pii_redact": 1,
-    "q12_priority_shipping": 1,
-    "q17_small_quantity_revenue": 1,
-    "q3_shipping_priority": 1,
 }
 
 

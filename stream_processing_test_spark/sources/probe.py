@@ -167,15 +167,30 @@ def ffprobe_prober(
     r13: a worker-side PATH mutation outlives the test that made
     it)."""
     import json
+    import os
+    import shutil
     import subprocess
 
-    if not ffprobe_available(path=(env or {}).get("PATH")):
+    # Resolve the binary against the SAME search path the child will
+    # actually use (ADVICE r14): with env given, Popen resolves a bare
+    # "ffprobe" against env's PATH — falling back to os.defpath when
+    # env has no PATH key — NOT os.environ's. Checking os.environ here
+    # while the child searches elsewhere would pass the gate and then
+    # die with FileNotFoundError instead of the contracted
+    # RuntimeError. Passing the resolved absolute path to Popen makes
+    # the gate and the exec see the identical binary.
+    child_path = (
+        env.get("PATH", os.defpath) if env is not None
+        else os.environ.get("PATH", os.defpath)
+    )
+    binary = shutil.which("ffprobe", path=child_path)
+    if binary is None:
         raise RuntimeError(
             "ffprobe binary not found on PATH; inject synthetic_prober "
             "or install ffmpeg"
         )
     cmd = [
-        "ffprobe",
+        binary,
         "-v", "error",
         "-print_format", "json",
         "-show_format",

@@ -1953,6 +1953,62 @@ def test_pq_encode_arrow_matches_sql_twin(spark):
     assert all(tags[v] == v % 7 for v in tags)
 
 
+def test_lut_wide_scatter_robust_to_sparse_codebook(spark):
+    """_lut_wide must stay position-correct when the trained codebook
+    is SPARSE (r15 — _pq_lloyd_numpy can emit fewer than PQ_CODES
+    codes per subspace when duplicate-heavy samples exhaust the
+    reseed donors). The r14 array_sort build assumed a dense 16×16
+    grid, so a dropped (s, code) shifted every later slot and
+    silently corrupted gathered ADC scores; the scatter build keys
+    each slot by s*PQ_CODES+code explicitly. Pin: on a sparsified
+    codebook, every surviving slot equals the keyed LUT value and
+    every missing slot is exactly 0 (never gathered — the encoder
+    argmins over the same rows list)."""
+    from pyspark.sql import functions as F
+
+    from stream_processing_test_spark.llm.pq import (
+        PQ_CODES,
+        PQ_SUBS,
+        _lut_wide,
+        _query_luts,
+        pq_codebooks,
+    )
+    from stream_processing_test_spark.tables import load
+    from tests.conftest import SF_SMALL
+
+    emb = load(spark, SF_SMALL, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    rows = pq_codebooks(emb.select("vec_id", "v"))
+    # sparsify deterministically: drop ~1/5 of the grid, keeping at
+    # least one code per subspace ((s+c)%5 != 0 never empties a row)
+    sparse = [(s, c, v) for (s, c, v) in rows if (s + c) % 5 != 0]
+    assert len(sparse) < len(rows)
+    q = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    wide = {
+        r["query_id"]: (r["iparts"], r["cnsqs"])
+        for r in _lut_wide(q, sparse).collect()
+    }
+    keyed = {
+        (r["query_id"], r["s"], r["code"]): (r["ipart"], r["cnsq"])
+        for r in _query_luts(q, sparse).collect()
+    }
+    present = {(s, c) for (s, c, _) in sparse}
+    assert len(wide) == 4
+    for qid, (ip, cn) in wide.items():
+        assert len(ip) == PQ_SUBS * PQ_CODES == len(cn)
+        for s in range(PQ_SUBS):
+            for c in range(PQ_CODES):
+                pos = s * PQ_CODES + c
+                if (s, c) in present:
+                    assert ip[pos] == keyed[(qid, s, c)][0]
+                    assert cn[pos] == keyed[(qid, s, c)][1]
+                else:
+                    assert ip[pos] == 0 and cn[pos] == 0
+
+
 def test_append_adc_branch_cross_engine_parity(spark):
     """Force ann_index_append's ADC branch at fixture scale
     (crossover = 0, so the dispatch rule trips immediately) and gate

@@ -314,3 +314,31 @@ def test_ffprobe_shim_through_probe_sources(spark, fake_ffprobe):
     assert len(out) == 8
     assert {r.item for r in out} == {0}
     assert {r.video_resolution for r in out} == {"1280x720"}
+
+
+def test_ffprobe_env_without_path_fails_closed(fake_ffprobe):
+    """``env`` given WITHOUT a PATH key: Popen would resolve a bare
+    binary name against os.defpath, not os.environ's PATH — so the
+    availability gate must check the SAME search path and raise the
+    contracted RuntimeError, never pass-the-gate-then-
+    FileNotFoundError (ADVICE r14). The fixture puts a working shim
+    on os.environ PATH specifically so a gate that (wrongly) checks
+    os.environ would pass."""
+    import pytest
+
+    with pytest.raises(RuntimeError, match="ffprobe binary not found"):
+        ffprobe_prober("1", "http://stream/ok", env={"TZ": "UTC"})
+
+
+def test_ffprobe_env_path_resolves_absolute_binary(fake_ffprobe):
+    """With env PATH of just the shim dir + os.defpath (defpath so the
+    shim's own `cat` resolves; no ffprobe lives there), the prober
+    must exec the shim — the gate resolves the absolute path against
+    env's PATH and hands that to Popen, so gate and exec agree."""
+    out = ffprobe_prober(
+        "1",
+        "http://stream/ok",
+        env={"PATH": f"{fake_ffprobe / 'bin'}{os.pathsep}{os.defpath}"},
+    )
+    assert out["item"] == 0
+    assert out["video_resolution"] == "1280x720"
