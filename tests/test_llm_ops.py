@@ -2054,6 +2054,70 @@ def test_append_adc_branch_cross_engine_parity(spark):
     assert len(got) > 0 and got == want
 
 
+def test_append_windowed_branch_cross_engine_parity(spark):
+    """Force ann_index_append's WINDOWED branch at fixture scale
+    (spill crossover = 0, tiny windows so the fixture batch spans
+    SEVERAL of them) and gate it against the oracle regenerated with
+    the same zero crossover and window size — the registered
+    APPEND_SPILL_ROWS never dispatches to windowed below ladder
+    scale, so without this the r15 branch (standing IVFADC index
+    built once, batch streamed window-at-a-time through
+    pq.ivfpq_search, eager per-window materialization, unioned) would
+    run oracle-ungated. The oracle replays the branch as the
+    monolithic ADC chain with the WINDOW-sized rerank rule; got ==
+    want across a multi-window split is exactly the
+    windows-cannot-change-per-query-results claim, verified
+    cross-engine."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from stream_processing_test_spark.llm.similarity import (
+        INGEST_MOD,
+        _append_dispatch,
+        _append_oracle,
+    )
+    from stream_processing_test_spark.tables import load
+    from tests.conftest import SF_SMALL
+
+    emb = load(spark, SF_SMALL, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    is_new = F.col("vec_id") % INGEST_MOD == 0
+    base = emb.filter(~is_new)
+    q = emb.filter(is_new).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    n_batch = q.count()
+    w = max(1, n_batch // 4)  # >= 4 windows — the union is exercised
+    res = _append_dispatch(
+        base, q, base.count() + n_batch, spill_rows=0, window_queries=w
+    )
+    assert res.columns == ["query_id", "neighbor_id", "cos_sim", "rk"]
+    got = sorted(
+        (r["query_id"], r["neighbor_id"], r["cos_sim"], r["rk"])
+        for r in res.collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{SF_SMALL}/embeddings.parquet')"
+    )
+    want = sorted(
+        map(
+            tuple,
+            con.sql(
+                _append_oracle(spill_rows=0, window_queries=w)
+            ).fetchall(),
+        )
+    )
+    assert len(got) > 0 and got == want
+    # every new-batch query answered: no window dropped or duplicated
+    assert {g[0] for g in got} == {
+        r["query_id"] for r in q.select("query_id").collect()
+    }
+
+
 def test_embedding_diverse_sample_covers_every_cluster(spark):
     """The diverse sampler's contract: every cluster the quantizer
     formed contributes (coverage — the point of stratifying on

@@ -1294,7 +1294,11 @@ def gen_events(out_dir: str, n_events: int, seed: int = SEED) -> dict:
 
 
 def vector_qbatch_run(
-    spark, tdir: str, repeats: int, batches=(5, 64, 512)
+    spark,
+    tdir: str,
+    repeats: int,
+    batches=(5, 64, 512),
+    arms=("brute", "pq", "ivf", "ivfauto"),
 ) -> dict:
     """Query-count crossover for the ANN paths (VERDICT r11 item 5):
     at a fixed 5-query batch the brute-exact scan beat registered PQ
@@ -1303,7 +1307,14 @@ def vector_qbatch_run(
     batch size B it times brute-exact (corpus × B candidate pairs),
     ``pq_topk`` (train+encode once per call, ADC per query) and
     ``ivf_topk`` (train+assign once per call, probed fraction per
-    query) on the SAME query set (vec_id < B). Brute is skipped above
+    query) on the SAME query set (vec_id < B). ``ivfauto`` (r15) is
+    the AUTO-PROBE operating point — ``ivf_topk`` at
+    ``n_probe=auto_probe(auto_lists(n))``, the fraction-pinned dial
+    ``ann_ivf_auto_probe`` registers — priced so the auto dispatcher
+    can route its IVF branch through the recall-holding point on
+    measured walls (VERDICT r14 item 2). ``arms`` selects which paths
+    a tier re-measures; cells not re-run are carried (labeled in
+    BENCH_NOTES, never silently mixed). Brute is skipped above
     ``BRUTE_PAIR_CAP`` candidate pairs (the interpreted-HOF cosine
     fold makes 10^9-pair batches an hours-scale run, and the
     crossover is already visible below the cap); the skip is recorded
@@ -1380,21 +1391,33 @@ def vector_qbatch_run(
             F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
         )
         pt: dict = {}
-        if n * B <= BRUTE_PAIR_CAP:
-            pt["brute"] = timed(lambda: brute_plan(q))
-        else:
-            pt["brute"] = None
-            pt["brute_skipped"] = (
-                f"{n * B:.2e} candidate pairs > cap (interpreted fold)"
+        if "brute" in arms:
+            if n * B <= BRUTE_PAIR_CAP:
+                pt["brute"] = timed(lambda: brute_plan(q))
+            else:
+                pt["brute"] = None
+                pt["brute_skipped"] = (
+                    f"{n * B:.2e} candidate pairs > cap (interpreted fold)"
+                )
+        if "pq" in arms:
+            if n * B <= PQ_GATHER_CAP:
+                pt["pq"] = timed(lambda: pq_topk(emb, q))
+            else:
+                pt["pq"] = None
+                pt["pq_skipped"] = (
+                    f"{n * B:.2e} ADC gather rows > cap (shortlist sort)"
+                )
+        if "ivf" in arms:
+            pt["ivf"] = timed(
+                lambda: ivf_topk(emb, q, n_lists=auto_lists(n))
             )
-        if n * B <= PQ_GATHER_CAP:
-            pt["pq"] = timed(lambda: pq_topk(emb, q))
-        else:
-            pt["pq"] = None
-            pt["pq_skipped"] = (
-                f"{n * B:.2e} ADC gather rows > cap (shortlist sort)"
+        if "ivfauto" in arms:
+            from stream_processing_test_spark.llm.similarity import auto_probe
+
+            L = auto_lists(n)
+            pt["ivfauto"] = timed(
+                lambda: ivf_topk(emb, q, n_lists=L, n_probe=auto_probe(L))
             )
-        pt["ivf"] = timed(lambda: ivf_topk(emb, q, n_lists=auto_lists(n)))
         out["points"][str(B)] = pt
         print(f"[qbatch B={B}] {pt}", flush=True)
     return out
