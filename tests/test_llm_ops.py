@@ -1730,23 +1730,28 @@ def test_dedup_incremental_consistent_with_batch_minhash(spark):
 
 
 def test_auto_path_picks_every_measured_winner():
-    """:func:`auto_path`'s thresholds are read off the r12 qbatch
-    walls (BENCH_NOTES §r12-qbatch, carried verbatim in
+    """:func:`auto_path`'s thresholds are read off the r15 qbatch
+    walls (BENCH_NOTES §r15-qbatch, carried verbatim in
     QBATCH_MEASURED). This pins the rule TO the measurements: for
     every measured (corpus, batch) cell the selector must pick the
-    cheapest admissible path — brute counting as admissible always,
-    pq only when a recall floor is required or it simply wins, and
-    capped (None) arms never winning. A re-measure that moves a
-    crossover fails here until the thresholds are re-derived."""
+    cheapest admissible path AMONG THE ARMS IT CAN RUN (DISPATCH_ARMS
+    — the ivf branch executes the auto-probe operating point, so its
+    wall is the ``ivfauto`` column; the fixed-probe ``ivf`` column is
+    the recall evidence's reference, not a dispatchable arm) — brute
+    counting as admissible always, pq only when a recall floor is
+    required or it simply wins, and capped (None) arms never winning.
+    A re-measure that moves a crossover fails here until the
+    thresholds are re-derived."""
     from stream_processing_test_spark.llm.similarity import (
+        DISPATCH_ARMS,
         QBATCH_MEASURED,
         auto_path,
     )
 
-    for (n, b), walls in QBATCH_MEASURED.items():
-        # default contract: any path admissible; parity ties (within
-        # 5%) break toward the exact path, which is why 200k/B=5
-        # picks brute at 3.15 against IVF's 3.09
+    for (n, b), cell in QBATCH_MEASURED.items():
+        walls = {p: cell[col] for p, col in DISPATCH_ARMS.items()}
+        # default contract: any dispatchable path admissible; parity
+        # ties (within 5%) break toward the exact path
         ran = {p: w for p, w in walls.items() if w is not None}
         best = min(ran.values())
         winners = {p for p, w in ran.items() if w <= best * 1.05}
