@@ -420,3 +420,197 @@ def embedding_diverse_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= quota)
         .select("vec_id", "list_id", "rep", "rk")
     )
+
+
+# --------------------------------------------------------------------
+# Top principal component (r15): deterministic power iteration on the
+# bounded training sample, corpus projected against the learned
+# direction — the whitening/outlier primitive of embedding curation
+# (dominant-direction removal per Mu & Viswanath 2018 "All-but-the-
+# Top"; projection extremes are the classic embedding-outlier audit).
+
+PCA_ITERS = 4  # power-iteration steps — a PARITY count, not a
+# convergence claim: both engines run exactly these steps with
+# identical rounding, so the emitted direction is bit-agreed even
+# where the eigengap would want more steps for convergence
+PCA_TOPN = 100  # projection extremes emitted
+
+
+def _pca_power_numpy(
+    id_vecs: list[tuple[int, list[float]]],
+) -> tuple[list[float], float] | None:
+    """Driver-local power iteration over the hash-capped sample.
+    Returns ``(loadings[EMBED_DIM], cmu)`` — the sign-fixed top
+    direction and the round-6 centering constant ``sum(mu * v)`` —
+    or None when degenerate (empty/constant sample: a zero norm at
+    any step).
+
+    Determinism contract (the ``_pq_lloyd_numpy`` convention,
+    transposed): every cross-row reduction rounds HALF-UP to 6
+    decimals at the same points the DuckDB oracle does —
+    per-dimension sample means; per-row dots against the current
+    direction; the per-dimension MEAN (not sum — keeps magnitudes
+    O(10), so round-6 absorbs the engines' addition-order noise) of
+    value x dot; the squared norm, its sqrt, and the normalized
+    direction. v0 = 0.125 in every dimension (exact in binary).
+    Sign fix: the largest-|loading| dimension (ties to the smaller
+    d — numpy argmax's first-max == ORDER BY ABS DESC, d ASC)
+    points positive, so the direction is unique, not
+    eigenvector-up-to-sign."""
+    import numpy as np
+
+    from stream_processing_test_spark.llm.hashing import round6_np as round6
+    from stream_processing_test_spark.llm.similarity import EMBED_DIM
+
+    if not id_vecs:
+        return None
+    x = np.array([v for _, v in id_vecs], dtype=np.float64)
+    mu = round6(x.mean(axis=0))
+    c = x - mu
+    v = np.full(EMBED_DIM, 0.125)
+    for _ in range(PCA_ITERS):
+        dot = round6(c @ v)
+        w = round6((c * dot[:, None]).mean(axis=0))
+        nrm = round6(float(np.sqrt(round6(float(np.sum(w * w))))))
+        if nrm == 0.0:
+            return None
+        v = round6(w / nrm)
+    if v[int(np.argmax(np.abs(v)))] < 0:
+        v = -v
+    cmu = round6(float(np.sum(mu * v)))
+    return [float(t) for t in v], float(cmu)
+
+
+def _pca_oracle() -> str:
+    """DuckDB oracle replaying the WHOLE chain — hash-capped sample,
+    per-dim centering, PCA_ITERS unrolled power-iteration steps with
+    the identical round-6 points, sign fix, centering constant,
+    corpus-wide projection, top-PCA_TOPN extremes. The iteration
+    CTEs are the Lloyd-unroll pattern (``_ivf_lloyd_ctes``) for a
+    different fixpoint map. A degenerate direction (zero norm at any
+    step) propagates as NULL into the final guard, matching the
+    Spark side's empty result."""
+    from stream_processing_test_spark.llm.similarity import (
+        EMBED_DIM,
+        _train_shift_ctes,
+    )
+
+    d = EMBED_DIM
+    steps = []
+    prev = "v0"
+    for t in range(1, PCA_ITERS + 1):
+        steps.append(f"""dots{t} AS MATERIALIZED (
+    SELECT c.vec_id, ROUND(SUM(c.val * p.vd), 6) AS dot
+    FROM cent c JOIN {prev} p USING (d) GROUP BY c.vec_id
+),
+w{t} AS MATERIALIZED (
+    SELECT c.d, ROUND(AVG(c.val * s.dot), 6) AS w
+    FROM cent c JOIN dots{t} s USING (vec_id) GROUP BY c.d
+),
+n{t} AS (
+    SELECT ROUND(SQRT((SELECT ROUND(SUM(w * w), 6) FROM w{t})), 6) AS nrm
+),
+v{t} AS (SELECT d, ROUND(w / nrm, 6) AS vd FROM w{t}, n{t})""")
+        prev = f"v{t}"
+    pieces = ",\n".join(steps)
+    return f"""
+WITH esig AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+),
+{_train_shift_ctes()},
+tflat AS (
+    SELECT vec_id, d, v[d + 1] AS x FROM train, range({d}) dd(d)
+),
+mu AS (SELECT d, ROUND(AVG(x), 6) AS m FROM tflat GROUP BY d),
+cent AS MATERIALIZED (
+    SELECT t.vec_id, t.d, t.x - mu.m AS val FROM tflat t JOIN mu USING (d)
+),
+v0 AS (SELECT d, 0.125 AS vd FROM range({d}) dd(d)),
+{pieces},
+sgn AS (
+    SELECT CASE WHEN (SELECT vd FROM {prev}
+                      ORDER BY ABS(vd) DESC, d ASC LIMIT 1) < 0
+           THEN -1.0 ELSE 1.0 END AS s
+),
+vf AS (SELECT d, vd * s AS vd FROM {prev}, sgn),
+cmu AS (SELECT ROUND(SUM(m.m * f.vd), 6) AS cm FROM mu m JOIN vf f USING (d)),
+cflat AS (
+    SELECT vec_id, d, v[d + 1] AS x FROM esig, range({d}) dd(d)
+),
+proj AS (
+    SELECT c.vec_id,
+           ROUND(SUM(c.x * f.vd) - (SELECT cm FROM cmu), 4) AS proj
+    FROM cflat c JOIN vf f USING (d) GROUP BY c.vec_id
+),
+ranked AS (
+    SELECT vec_id, proj, ROW_NUMBER() OVER (
+        ORDER BY ABS(proj) DESC, vec_id ASC) AS rk
+    FROM proj
+)
+SELECT CAST(vec_id AS BIGINT) AS vec_id, proj, CAST(rk AS BIGINT) AS rk
+FROM ranked
+WHERE rk <= {PCA_TOPN}
+  AND COALESCE((SELECT nrm FROM n{PCA_ITERS}), 0) > 0
+"""
+
+
+@register(
+    "embedding_top_component",
+    oracle=_pca_oracle(),
+    survey_ops="§7-similarity,A8,W1",
+    tier=0,  # new in r15
+)
+def embedding_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding corpus by
+    deterministic power iteration, projected corpus-wide: the top
+    PCA_TOPN |projection| extremes (vec_id, proj, rk). The direction
+    is the dominant-variance axis curation pipelines remove
+    (all-but-the-top whitening) or audit (projection extremes are
+    outlier candidates: mislabeled, duplicated, or off-distribution
+    vectors concentrate in the tails).
+
+    Scale shape: training is the same hash-capped sample collect as
+    every quantizer trainer (``train_sample``, <= 4096 rows — cost
+    does not grow with the corpus); the learned direction and the
+    round-6 centering constant enter the plan as LITERALS, so the
+    corpus pass is ONE map-only projection fold (``_dot`` against a
+    64-literal array — no explode, no join, no shuffle of vectors)
+    followed by Spark's distributed TakeOrderedAndProject top-k
+    (per-partition top-100, driver merge — never a global sort). The
+    DuckDB oracle replays the entire chain from its own rows
+    (:func:`_pca_oracle`), so the driver gate checks sample rule,
+    iteration arithmetic, sign fix, and projection end-to-end."""
+    from pyspark.sql import Window
+
+    from stream_processing_test_spark.llm.similarity import (
+        _dot,
+        train_sample,
+    )
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    sample = sorted(
+        (r["vec_id"], list(r["v"]))
+        for r in train_sample(emb).collect()
+    )
+    fit = _pca_power_numpy(sample)
+    spark_ = spark
+    if fit is None:
+        return spark_.createDataFrame(
+            [], "vec_id long, proj double, rk long"
+        )
+    loadings, cmu = fit
+    lit_v = F.array(*[F.lit(float(t)) for t in loadings])
+    scored = emb.select(
+        "vec_id",
+        F.round(_dot(F.col("v"), lit_v) - F.lit(float(cmu)), 4).alias(
+            "proj"
+        ),
+    )
+    top = scored.orderBy(
+        F.abs(F.col("proj")).desc(), F.col("vec_id").asc()
+    ).limit(PCA_TOPN)
+    w = Window.orderBy(F.abs(F.col("proj")).desc(), F.col("vec_id").asc())
+    return top.withColumn("rk", F.row_number().over(w).cast("long"))

@@ -84,6 +84,10 @@ _ROTATION_TIERS: dict[str, int] = {
     "streaming_rate_rollup": 0,
     "streaming_sliding_rollup": 0,
     "user_cardinality_approx": 0,
+    # (0) r15 NEW: embedding_top_component (power-iteration PCA,
+    # projection extremes); embedding_norm_stats (last-ranked fill)
+    # waits for r16 to hold the window at 50
+    "embedding_top_component": 0,
     # (0) r15 changed — kept current as the round progresses.
     # pq.py changed (_lut_wide explicit-scatter build, sparse-codebook
     # robustness — ADVICE r14 medium): every query transiting the
@@ -113,7 +117,6 @@ _ROTATION_TIERS: dict[str, int] = {
     "doc_quality_score": 1,
     "doc_repetition_stats": 1,
     "embedding_centroids": 1,
-    "embedding_norm_stats": 1,
 }
 
 

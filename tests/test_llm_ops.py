@@ -2153,3 +2153,56 @@ def test_embedding_diverse_sample_covers_every_cluster(spark):
     for lid, rks in by_list.items():
         assert len(rks) <= quota
         assert sorted(rks) == list(range(1, len(rks) + 1)), lid
+
+
+def test_embedding_top_component_contract(spark):
+    """The r15 PCA op's Spark-side contract (value parity with the
+    unrolled-power-iteration oracle is the driver gate's job):
+    (a) exactly PCA_TOPN rows with dense ranks ordered by |proj|
+    DESC then vec_id ASC; (b) the learned direction is unit-norm
+    (round-6) and sign-fixed (largest-|loading| dim positive) — the
+    uniqueness rule both engines replay; (c) the direction actually
+    concentrates variance: sample projection variance along it
+    exceeds the per-dim variance of every raw axis (power iteration
+    did something a coordinate axis would not); (d) a degenerate
+    (constant) sample fits to None instead of emitting garbage."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from stream_processing_test_spark.llm.embeddings import (
+        PCA_TOPN,
+        _pca_power_numpy,
+        embedding_top_component,
+    )
+    from stream_processing_test_spark.llm.similarity import train_sample
+    from stream_processing_test_spark.tables import load
+    from tests.conftest import SF_SMALL
+
+    rows = embedding_top_component(spark, SF_SMALL).collect()
+    n_emb = load(spark, SF_SMALL, "embeddings").count()
+    assert len(rows) == min(PCA_TOPN, n_emb)
+    assert [r["rk"] for r in rows] == list(range(1, len(rows) + 1))
+    key = [(-abs(r["proj"]), r["vec_id"]) for r in rows]
+    assert key == sorted(key)
+
+    emb = load(spark, SF_SMALL, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    sample = sorted(
+        (r["vec_id"], list(r["v"])) for r in train_sample(emb).collect()
+    )
+    loadings, _ = _pca_power_numpy(sample)
+    v = np.array(loadings)
+    # unit norm up to the round-6 quantization of each component and
+    # of the norm itself (relative error ~5e-7/|w_d| per small
+    # component — observed 1.4e-4 on the fixture)
+    assert abs(float(np.sum(v * v)) - 1.0) < 1e-3
+    assert v[int(np.argmax(np.abs(v)))] > 0  # sign fix
+    x = np.array([vec for _, vec in sample])
+    c = x - x.mean(axis=0)
+    along = float(np.var(c @ v))
+    per_axis = np.var(c, axis=0)
+    assert along > float(per_axis.max())
+
+    assert _pca_power_numpy([(1, [1.0] * 64), (2, [1.0] * 64)]) is None
