@@ -2206,3 +2206,46 @@ def test_embedding_top_component_contract(spark):
     assert along > float(per_axis.max())
 
     assert _pca_power_numpy([(1, [1.0] * 64), (2, [1.0] * 64)]) is None
+
+
+def test_auto_ivf_exec_both_arms_cross_engine_parity(spark):
+    """Force BOTH exec engines of the dispatched ivf arm at fixture
+    scale and gate each against the oracle regenerated with the same
+    forced thresholds (brute region zeroed so the decision reaches
+    the ivf ladder) — the registered APPEND_ADC_ROWS crossover never
+    trips below ~19M vectors, so without this the r15 ADC exec arm
+    (IVF-PQ composition at the auto operating point) would run
+    oracle-ungated. exact-arm == adc-arm-to-its-own-oracle is also
+    the candidates-unchanged claim: the exec rule swaps the scoring
+    engine, never the routing."""
+    import duckdb
+
+    from stream_processing_test_spark.llm.similarity import (
+        _auto_ivf_exec,
+        _auto_oracle,
+    )
+    from stream_processing_test_spark.tables import load
+    from tests.conftest import SF_SMALL
+
+    n = load(spark, SF_SMALL, "embeddings").count()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{SF_SMALL}/embeddings.parquet')"
+    )
+    for forced_adc_rows in (0, 10**15):  # adc arm, then exact arm
+        res = _auto_ivf_exec(spark, SF_SMALL, n, adc_rows=forced_adc_rows)
+        assert res.columns == ["query_id", "neighbor_id", "cos_sim", "rk"]
+        got = sorted(
+            (r["query_id"], r["neighbor_id"], r["cos_sim"], r["rk"])
+            for r in res.collect()
+        )
+        want = sorted(
+            map(
+                tuple,
+                con.sql(
+                    _auto_oracle(adc_rows=forced_adc_rows, brute_max=0)
+                ).fetchall(),
+            )
+        )
+        assert len(got) > 0 and got == want, forced_adc_rows
