@@ -614,3 +614,215 @@ def embedding_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(PCA_TOPN)
     w = Window.orderBy(F.abs(F.col("proj")).desc(), F.col("vec_id").asc())
     return top.withColumn("rk", F.row_number().over(w).cast("long"))
+
+
+# --------------------------------------------------------------------
+# MMR diversity re-ranking (r15): Maximal Marginal Relevance
+# (Carbonell & Goldstein 1998) — greedy top-k selection balancing
+# relevance to the query against similarity to the already-selected
+# set. THE standard diversity re-ranker of retrieval pipelines (RAG
+# context assembly, dedup-aware recommendation): a plain top-k returns
+# ten near-copies of the best hit; MMR returns the best hit plus nine
+# results that each add information.
+
+MMR_LAMBDA = 0.7  # relevance weight
+MMR_BETA = 0.3  # diversity weight — an EXPLICIT constant, NOT
+# computed as 1 - MMR_LAMBDA: 1.0 - 0.7 is a different double than
+# the literal 0.3, and both engines must score with the identical
+# bits (the oracle embeds these literals verbatim)
+MMR_POOL = 50  # relevance candidates per query entering the greedy
+
+
+def _round4_np(x):
+    """numpy twin of both engines' 4-decimal HALF-UP rounding — the
+    precision every cosine bridge in this package rounds to (see
+    ``hashing.round6_np`` for the half-away-from-zero rationale)."""
+    import numpy as np
+
+    return np.copysign(np.floor(np.abs(x) * 1e4 + 0.5), x) / 1e4
+
+
+def _mmr_greedy(pdf):
+    """Per-query greedy MMR over the (<= MMR_POOL)-row candidate
+    pool: rows arrive with the JVM-computed round-4 relevance and the
+    candidate vectors; the kernel computes the round-4 pairwise
+    cosine matrix (the same double arithmetic the oracle's
+    list_cosine_similarity performs, order noise absorbed by the
+    rounding exactly as in every other cosine bridge) and selects
+    TOP_K steps of argmax(MMR_LAMBDA*rel - MMR_BETA*max_sim_to_
+    selected), ties to the smaller neighbor_id (rows are id-sorted,
+    argmax takes the first max — the oracle's ROW_NUMBER tiebreak)."""
+    import numpy as np
+    import pandas as pd
+
+    from stream_processing_test_spark.llm.params import TOP_K
+
+    pdf = pdf.sort_values("neighbor_id").reset_index(drop=True)
+    m = len(pdf)
+    v = np.array([list(x) for x in pdf["v"]], dtype=np.float64)
+    rel = pdf["rel"].to_numpy(dtype=np.float64)
+    nrm = np.sqrt(np.sum(v * v, axis=1))
+    s = _round4_np((v @ v.T) / np.outer(nrm, nrm))
+    sel: list[int] = []
+    remaining = list(range(m))
+    out = []
+    for step in range(1, min(TOP_K, m) + 1):
+        if sel:
+            ms = s[:, sel].max(axis=1)
+            scores = MMR_LAMBDA * rel - MMR_BETA * ms
+        else:
+            scores = MMR_LAMBDA * rel
+        best = remaining[int(np.argmax(scores[remaining]))]
+        remaining.remove(best)
+        sel.append(best)
+        out.append(
+            (
+                int(pdf["query_id"].iloc[best]),
+                int(pdf["neighbor_id"].iloc[best]),
+                float(rel[best]),
+                step,
+            )
+        )
+    return pd.DataFrame(
+        out, columns=["query_id", "neighbor_id", "cos_sim", "rk"]
+    )
+
+
+def _mmr_oracle() -> str:
+    """DuckDB oracle replaying the WHOLE MMR chain: the round-4
+    relevance pool (top MMR_POOL per query), the round-4 pairwise
+    candidate similarity relation, and TOP_K unrolled greedy steps —
+    each step a ROW_NUMBER argmax of the identical
+    ``{lam}*rel - {beta}*max_sim`` double expression over the
+    not-yet-selected pool, ties to the smaller neighbor_id (the
+    kernel's first-max on id-sorted rows). The unroll is the Lloyd
+    pattern for a greedy fixpoint; the selected-set union grows one
+    CTE per step."""
+    from stream_processing_test_spark.llm.params import N_QUERIES, TOP_K
+
+    lam, beta = MMR_LAMBDA, MMR_BETA
+    steps = []
+    for i in range(2, TOP_K + 1):
+        prev = f"selall{i - 1}"
+        steps.append(f"""sel{i} AS MATERIALIZED (
+    SELECT query_id, neighbor_id, rel, {i} AS rk FROM (
+        SELECT p.query_id, p.neighbor_id, p.rel,
+               ROW_NUMBER() OVER (PARTITION BY p.query_id
+                   ORDER BY {lam} * p.rel - {beta} * ms.m DESC,
+                            p.neighbor_id ASC) AS r
+        FROM pool p
+        JOIN (SELECT ps.query_id, ps.a, MAX(ps.s) AS m
+              FROM psim ps
+              JOIN {prev} s ON s.query_id = ps.query_id
+                           AND s.neighbor_id = ps.b
+              GROUP BY ps.query_id, ps.a) ms
+          ON ms.query_id = p.query_id AND ms.a = p.neighbor_id
+        LEFT JOIN {prev} x ON x.query_id = p.query_id
+                          AND x.neighbor_id = p.neighbor_id
+        WHERE x.neighbor_id IS NULL) t
+    WHERE t.r = 1
+),
+selall{i} AS MATERIALIZED (
+    SELECT * FROM {prev} UNION ALL SELECT * FROM sel{i}
+)""")
+    pieces = ",\n".join(steps)
+    return f"""
+WITH esig AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM esig WHERE vec_id < {N_QUERIES}),
+pool AS MATERIALIZED (
+    SELECT query_id, neighbor_id, rel FROM (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               ROUND(list_cosine_similarity(q.qv, e.v), 4) AS rel,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                   ORDER BY ROUND(list_cosine_similarity(q.qv, e.v), 4) DESC,
+                            e.vec_id ASC) AS pr
+        FROM q, esig e WHERE e.vec_id <> q.query_id) t
+    WHERE pr <= {MMR_POOL}
+),
+psim AS MATERIALIZED (
+    SELECT p1.query_id, p1.neighbor_id AS a, p2.neighbor_id AS b,
+           ROUND(list_cosine_similarity(ea.v, eb.v), 4) AS s
+    FROM pool p1
+    JOIN pool p2 ON p1.query_id = p2.query_id
+                AND p1.neighbor_id <> p2.neighbor_id
+    JOIN esig ea ON ea.vec_id = p1.neighbor_id
+    JOIN esig eb ON eb.vec_id = p2.neighbor_id
+),
+sel1 AS MATERIALIZED (
+    SELECT query_id, neighbor_id, rel, 1 AS rk FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY {lam} * rel DESC, neighbor_id ASC) AS r
+        FROM pool) t
+    WHERE t.r = 1
+),
+selall1 AS MATERIALIZED (SELECT * FROM sel1),
+{pieces}
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(neighbor_id AS BIGINT) AS neighbor_id,
+       rel AS cos_sim,
+       CAST(rk AS BIGINT) AS rk
+FROM selall{TOP_K}
+"""
+
+
+@register(
+    "mmr_diverse_topk",
+    oracle=_mmr_oracle(),
+    survey_ops="§7-similarity,§2.9,W1",
+    tier=0,  # new in r15
+)
+def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-aware top-k: exact round-4 relevance builds a
+    MMR_POOL-candidate pool per query, then a per-query greedy MMR
+    (``MMR_LAMBDA * relevance - MMR_BETA * max-similarity-to-
+    selected``) picks TOP_K results in selection order — the
+    re-ranker that keeps a RAG context window from filling with ten
+    near-copies of the best hit.
+
+    Scale shape: the pool stage is the brute scoring shape (broadcast
+    query rows; swap in any ANN arm's shortlist at index scale — the
+    greedy only needs (neighbor_id, rel, v) rows), cut to MMR_POOL
+    per query by a partitioned window BEFORE anything quadratic
+    happens; the greedy is an ``applyInPandas`` kernel over <= 50-row
+    groups (§2.9 Arrow surface — per-query work is O(TOP_K x POOL)
+    with a 50x64 pairwise matrix, bounded regardless of corpus size,
+    and the shuffle carries |queries| x POOL skinny rows). The DuckDB
+    oracle replays pool, pairwise sims, and all TOP_K greedy steps
+    unrolled (:func:`_mmr_oracle`), so the driver gate checks the
+    greedy's every argmax cross-engine."""
+    from pyspark.sql import Window
+
+    from stream_processing_test_spark.llm.params import N_QUERIES
+    from stream_processing_test_spark.llm.similarity import cosine
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    sims = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine(F.col("qv"), F.col("v")), 4).alias("rel"),
+            "v",
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rel").desc(), F.col("neighbor_id").asc()
+    )
+    pool = (
+        sims.withColumn("pr", F.row_number().over(w))
+        .filter(F.col("pr") <= MMR_POOL)
+        .select("query_id", "neighbor_id", "rel", "v")
+    )
+    return pool.groupBy("query_id").applyInPandas(
+        _mmr_greedy,
+        schema="query_id long, neighbor_id long, cos_sim double, rk long",
+    )

@@ -88,6 +88,10 @@ _ROTATION_TIERS: dict[str, int] = {
     # projection extremes); embedding_norm_stats (last-ranked fill)
     # waits for r16 to hold the window at 50
     "embedding_top_component": 0,
+    # (0) r15 NEW: mmr_diverse_topk (greedy MMR diversity re-rank,
+    # §2.9 applyInPandas surface); embedding_centroids (last-ranked
+    # fill) waits for r16
+    "mmr_diverse_topk": 0,
     # (0) r15 changed — kept current as the round progresses.
     # pq.py changed (_lut_wide explicit-scatter build, sparse-codebook
     # robustness — ADVICE r14 medium): every query transiting the
@@ -116,7 +120,6 @@ _ROTATION_TIERS: dict[str, int] = {
     "dedup_keep_canonical": 1,
     "doc_quality_score": 1,
     "doc_repetition_stats": 1,
-    "embedding_centroids": 1,
 }
 
 

@@ -2249,3 +2249,60 @@ def test_auto_ivf_exec_both_arms_cross_engine_parity(spark):
             )
         )
         assert len(got) > 0 and got == want, forced_adc_rows
+
+
+def test_mmr_diverse_topk_contract(spark):
+    """The r15 MMR re-ranker's behavioral contract (value parity with
+    the unrolled-greedy oracle is the driver gate's job): (a) TOP_K
+    dense selection ranks per query; (b) rank 1 IS the relevance
+    top-1 (the first greedy step has no diversity term); (c) the
+    diversity term actually bites — on a pool seeded with near-copies
+    of the best hit, plain relevance top-k keeps the copies and MMR
+    evicts at least one in favor of a more distant result."""
+    import numpy as np
+    import pandas as pd
+
+    from stream_processing_test_spark.llm.embeddings import (
+        MMR_LAMBDA,
+        _mmr_greedy,
+        mmr_diverse_topk,
+    )
+    from stream_processing_test_spark.llm.params import N_QUERIES, TOP_K
+    from tests.conftest import SF_SMALL
+
+    rows = mmr_diverse_topk(spark, SF_SMALL).collect()
+    by_q: dict = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == set(range(N_QUERIES))
+    for qid, rs in by_q.items():
+        rs.sort(key=lambda r: r["rk"])
+        assert [r["rk"] for r in rs] == list(range(1, TOP_K + 1))
+        # rank 1 = relevance argmax (ties to smaller id)
+        best = max(rs, key=lambda r: (r["cos_sim"], -r["neighbor_id"]))
+        assert rs[0]["cos_sim"] >= best["cos_sim"], qid
+
+    # (c) synthetic pool: one strong hit + two near-copies + spread-out
+    # moderates. Relevance order keeps the copies at ranks 2-3; MMR
+    # must push a moderate above at least one copy.
+    rng = np.random.RandomState(7)
+    base = rng.randn(64)
+    rows_in = []
+    vecs = {
+        10: base + 0.01 * rng.randn(64),          # best hit
+        11: base + 0.012 * rng.randn(64),         # near-copy
+        12: base + 0.013 * rng.randn(64),         # near-copy
+        13: rng.randn(64),                        # distant
+        14: rng.randn(64),                        # distant
+    }
+    rels = {10: 0.95, 11: 0.94, 12: 0.93, 13: 0.6, 14: 0.59}
+    for nid, vec in vecs.items():
+        rows_in.append((0, nid, rels[nid], list(map(float, vec))))
+    pdf = pd.DataFrame(rows_in, columns=["query_id", "neighbor_id", "rel", "v"])
+    out = _mmr_greedy(pdf)
+    order = list(out["neighbor_id"])
+    assert order[0] == 10
+    # relevance-only order would be [10, 11, 12, 13, 14]; the
+    # diversity term must promote a distant vector above a near-copy
+    assert order.index(13) < order.index(12), order
+    assert 0 < MMR_LAMBDA < 1
