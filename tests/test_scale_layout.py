@@ -567,6 +567,8 @@ def test_connected_components_one_job_per_round(spark):
 _FORCED_BROADCAST_ALLOWED = {
     "ann_cosine_topk": "k-row query-vector set (crossJoin seed)",
     "ann_cosine_topk_int8": "k-row query-vector set (crossJoin seed)",
+    "mmr_diverse_topk": "k-row query-vector set (crossJoin seed of the "
+    "relevance pool — the greedy itself broadcasts nothing)",
     "ann_auto_topk": "dispatches to ann_cosine_topk in the brute region "
     "(auto_path: the sweep corpus is under BRUTE_MAX_ROWS), so the same "
     "k-row query-vector broadcast",
