@@ -2233,8 +2233,16 @@ def test_auto_ivf_exec_both_arms_cross_engine_parity(spark):
         f"CREATE VIEW embeddings AS SELECT * FROM "
         f"read_parquet('{SF_SMALL}/embeddings.parquet')"
     )
-    for forced_adc_rows in (0, 10**15):  # adc arm, then exact arm
-        res = _auto_ivf_exec(spark, SF_SMALL, n, adc_rows=forced_adc_rows)
+    # (adc_rows, spill_rows, window) -> forced arm: monolithic ADC,
+    # exact, and the spill-windowed ADC (tiny windows so the fixture
+    # batch spans several — value-identical to the monolithic chain,
+    # which is exactly why the oracle's 'ivf_adc' guard covers it)
+    for forced in (
+        {"adc_rows": 0},
+        {"adc_rows": 10**15},
+        {"adc_rows": 0, "spill_rows": 0, "window_queries": 2},
+    ):
+        res = _auto_ivf_exec(spark, SF_SMALL, n, **forced)
         assert res.columns == ["query_id", "neighbor_id", "cos_sim", "rk"]
         got = sorted(
             (r["query_id"], r["neighbor_id"], r["cos_sim"], r["rk"])
@@ -2244,11 +2252,11 @@ def test_auto_ivf_exec_both_arms_cross_engine_parity(spark):
             map(
                 tuple,
                 con.sql(
-                    _auto_oracle(adc_rows=forced_adc_rows, brute_max=0)
+                    _auto_oracle(adc_rows=forced["adc_rows"], brute_max=0)
                 ).fetchall(),
             )
         )
-        assert len(got) > 0 and got == want, forced_adc_rows
+        assert len(got) > 0 and got == want, forced
 
 
 def test_mmr_diverse_topk_contract(spark):
