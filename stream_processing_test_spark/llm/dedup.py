@@ -676,11 +676,23 @@ def embedding_lsh_pairs(
     n_planes: int | None = None,
     target_occupancy: int | None = None,
     threshold: float = EMBED_COSINE_THRESHOLD,
+    per_node_top_k: int | None = None,
 ) -> DataFrame:
     """Candidate/verify embedding near-dup core over ``emb`` (vec_id,
     v: array<double>): hyperplane-LSH bucket self-join for candidates,
     exact JVM-side cosine verify, emitting (doc_a, doc_b, cos_sim)
     pairs with cosine >= ``threshold``.
+
+    ``per_node_top_k`` switches the pipeline tail from the threshold
+    filter to a symmetric per-node k-NN graph (``threshold`` is then
+    unused): every verified pair is emitted in both directions and a
+    per-``vec_id`` window keeps the ``per_node_top_k`` highest-cosine
+    neighbors, ranked on the ROUNDED value with ``neighbor_id`` as
+    tie-break (the engine-parity convention of ``ann_cosine_topk``).
+    The symmetrization is a 2-element ``explode`` over the joined pair
+    row — the verify join runs once, not once per direction — and the
+    rank-limit sits BEFORE the eager checkpoint, so only the ≤ n·k
+    graph rows materialize, never the unfiltered candidate set.
 
     ``n_planes=None`` sizes the planes from a corpus COUNT probe via
     ``similarity.auto_planes`` (optionally at an explicit
@@ -760,7 +772,7 @@ def embedding_lsh_pairs(
     )
     wa = F.col("va").cast("array<double>")
     wb = F.col("vb").cast("array<double>")
-    result = (
+    pairs = (
         cand.join(va, "doc_a")
         .join(vb, "doc_b")
         .select(
@@ -770,8 +782,38 @@ def embedding_lsh_pairs(
                 "raw_cos"
             ),
         )
-        .filter(F.col("raw_cos") >= threshold)
-        .select("doc_a", "doc_b", F.round("raw_cos", 4).alias("cos_sim"))
+    )
+    if per_node_top_k is not None:
+        from pyspark.sql import Window
+
+        rounded = F.round("raw_cos", 4).alias("cos_sim")
+        # one row per (pair, direction) out of a single verify join —
+        # explode, not a self-union, so the joins execute once
+        sym = pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("doc_a").alias("vec_id"),
+                        F.col("doc_b").alias("neighbor_id"),
+                        rounded,
+                    ),
+                    F.struct(
+                        F.col("doc_b").alias("vec_id"),
+                        F.col("doc_a").alias("neighbor_id"),
+                        rounded,
+                    ),
+                )
+            ).alias("e")
+        ).select("e.*")
+        w = Window.partitionBy("vec_id").orderBy(
+            F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+        )
+        ranked = sym.withColumn(
+            "rk", F.row_number().over(w).cast("long")
+        ).filter(F.col("rk") <= per_node_top_k)
+        return finish_with(ranked, tables)
+    result = pairs.filter(F.col("raw_cos") >= threshold).select(
+        "doc_a", "doc_b", F.round("raw_cos", 4).alias("cos_sim")
     )
     return finish_with(result, tables)
 

@@ -826,3 +826,84 @@ def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         _mmr_greedy,
         schema="query_id long, neighbor_id long, cos_sim double, rk long",
     )
+
+
+KNN_GRAPH_K = 5  # neighbors kept per node in the k-NN graph
+
+
+def _knn_graph_oracle() -> str:
+    """DuckDB oracle for the LSH k-NN graph: the shared auto-sized
+    bucket CTE chain (``similarity.bucket_ctes`` — the exact chain the
+    ``dedup_embedding_lsh`` oracle replays), the same candidate
+    self-join and exact-cosine verify, then UNION ALL symmetrization
+    and a per-node ROW_NUMBER over (rounded cosine DESC, neighbor
+    ASC) — the ``ann_cosine_topk`` engine-parity convention."""
+    from stream_processing_test_spark.llm.similarity import bucket_ctes
+
+    return f"""
+WITH {bucket_ctes(n_tables=None, n_planes=None)},
+cand AS (
+    SELECT DISTINCT a.vec_id AS doc_a, b.vec_id AS doc_b
+    FROM buckets a JOIN buckets b
+      ON a.table_id = b.table_id AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+verified AS (
+    SELECT c.doc_a, c.doc_b,
+           ROUND(list_cosine_similarity(ea.v, eb.v), 4) AS cos_sim
+    FROM cand c
+    JOIN esig ea ON ea.vec_id = c.doc_a
+    JOIN esig eb ON eb.vec_id = c.doc_b
+),
+sym AS (
+    SELECT doc_a AS vec_id, doc_b AS neighbor_id, cos_sim FROM verified
+    UNION ALL
+    SELECT doc_b AS vec_id, doc_a AS neighbor_id, cos_sim FROM verified
+),
+ranked AS (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY vec_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rk
+    FROM sym
+)
+SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       CAST(neighbor_id AS BIGINT) AS neighbor_id,
+       cos_sim,
+       CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= {KNN_GRAPH_K}
+"""
+
+
+@register(
+    "embedding_knn_graph",
+    oracle=_knn_graph_oracle(),
+    survey_ops="§7-dedup,§7-similarity,LSH,⊘rank",
+    tier=0,
+)
+def embedding_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node top-k cosine neighbor graph over the embedding corpus —
+    the input relation of graph-based curation (SemDeDup-style cluster
+    pruning, label propagation, connected-component near-dup groups
+    beyond pairwise thresholds).
+
+    Rides ``dedup.embedding_lsh_pairs`` in ``per_node_top_k`` mode: the
+    auto-sized hyperplane-LSH bucket join confines pairwise work to
+    bucket groups (planes from the corpus-COUNT occupancy rule, tables
+    from the hold-recall rule — the identical candidate set as
+    ``dedup_embedding_lsh``), the exact verify scores candidates only,
+    and a per-node rank keeps the KNN_GRAPH_K best neighbors. The
+    symmetrization is an explode over the verified pair row (one join
+    execution, both directions) and the rank-limit runs as a
+    WindowGroupLimit per-partition top-k BEFORE the eager checkpoint —
+    ≤ n·k rows materialize regardless of candidate volume. Nodes whose
+    buckets yield no candidates are isolated: absent from the output in
+    both engines by the same rule.
+
+    Scale posture: identical stages to the measured
+    ``dedup_embedding_lsh`` ladder (BENCH_SCALE vector rungs) plus one
+    rank exchange carrying (id, id, double) rows — the graph, never
+    vectors."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").alias("v")
+    )
+    from stream_processing_test_spark.llm.dedup import embedding_lsh_pairs
+
+    return embedding_lsh_pairs(emb, per_node_top_k=KNN_GRAPH_K)

@@ -92,6 +92,14 @@ _ROTATION_TIERS: dict[str, int] = {
     # §2.9 applyInPandas surface); embedding_centroids (last-ranked
     # fill) waits for r16
     "mmr_diverse_topk": 0,
+    # (0) r15 NEW: embedding_knn_graph (per-node LSH k-NN graph), plus
+    # dedup_embedding_lsh promoted as CHANGED — both transit the
+    # embedding_lsh_pairs core, whose tail gained the per_node_top_k
+    # branch (threshold path value-identical, but the code moved).
+    # Fill trimmed 11 -> 9: doc_quality_score and doc_repetition_stats
+    # (last-ranked) wait for r16.
+    "embedding_knn_graph": 0,
+    "dedup_embedding_lsh": 0,
     # (0) r15 changed — kept current as the round progresses.
     # pq.py changed (_lut_wide explicit-scatter build, sparse-codebook
     # robustness — ADVICE r14 medium): every query transiting the
@@ -118,8 +126,6 @@ _ROTATION_TIERS: dict[str, int] = {
     "decontaminate_overlap": 1,
     "dedup_exact": 1,
     "dedup_keep_canonical": 1,
-    "doc_quality_score": 1,
-    "doc_repetition_stats": 1,
 }
 
 

@@ -92,6 +92,55 @@ def test_embedding_lsh_candidate_verify(spark):
     assert recall >= 0.75, f"embedding-LSH recall {recall:.2f} over {len(exact)} pairs"
 
 
+def test_embedding_knn_graph(spark):
+    """The k-NN graph is the per-node top-k of the verified candidate
+    relation: ranks contiguous from 1 and capped at KNN_GRAPH_K, rows
+    ordered by (cos DESC, neighbor ASC) within a node, the underlying
+    pair relation symmetric (a missing reverse edge is only legal when
+    the reverse node's list is full of strictly better keys), and
+    every above-threshold edge scoring exactly as the quadratic twin."""
+    from stream_processing_test_spark.llm.dedup import (
+        EMBED_COSINE_THRESHOLD,
+    )
+    from stream_processing_test_spark.llm.embeddings import KNN_GRAPH_K
+
+    rows = _q("embedding_knn_graph").fn(spark, SF).collect()
+    assert rows
+    by_node: dict = {}
+    for r in rows:
+        by_node.setdefault(r["vec_id"], []).append(r)
+    for vid, nbrs in by_node.items():
+        nbrs.sort(key=lambda r: r["rk"])
+        assert [r["rk"] for r in nbrs] == list(range(1, len(nbrs) + 1))
+        assert len(nbrs) <= KNN_GRAPH_K
+        keys = [(-r["cos_sim"], r["neighbor_id"]) for r in nbrs]
+        assert keys == sorted(keys)
+        assert vid not in {r["neighbor_id"] for r in nbrs}
+
+    edge = {(r["vec_id"], r["neighbor_id"]): r["cos_sim"] for r in rows}
+    for (a, b), c in edge.items():
+        if (b, a) in edge:
+            assert edge[(b, a)] == c
+        else:
+            back = by_node[b]
+            assert len(back) == KNN_GRAPH_K
+            worst = back[-1]
+            assert (-worst["cos_sim"], worst["neighbor_id"]) < (-c, a)
+
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["cos_sim"]
+        for r in _q("dedup_embedding_cosine").fn(spark, SF).collect()
+    }
+    checked = 0
+    for (a, b), c in edge.items():
+        # margin keeps raw-vs-rounded threshold straddles out of scope
+        if c >= EMBED_COSINE_THRESHOLD + 0.001:
+            key = (min(a, b), max(a, b))
+            assert key in exact and exact[key] == c
+            checked += 1
+    assert checked, "fixture should put above-threshold pairs in the graph"
+
+
 def test_ann_lsh_recall_at_k(spark):
     brute = _q("ann_cosine_topk").fn(spark, SF).collect()
     lsh = _q("ann_lsh_topk").fn(spark, SF).collect()

@@ -812,3 +812,24 @@ def test_lsh_bucket_occupancy_scales_with_auto_planes(spark):
     # auto-planes cuts the join work by the grown bucket count
     assert fixed > n * n / 64, fixed
     assert fixed > 8 * scaled, (fixed, scaled)
+
+
+def test_knn_graph_rank_prunes_before_exchange(spark, monkeypatch):
+    """embedding_knn_graph's per-node rank must plan as WindowGroupLimit
+    pairs (partial before the rank exchange, final after): at 100 TB the
+    unfiltered candidate set is orders of magnitude larger than the
+    <= n*k graph, and only pruned rows may cross the shuffle. Probed on
+    the pre-checkpoint frame (the registered op eagerly checkpoints,
+    which hides the plan)."""
+    import stream_processing_test_spark.llm.dedup as dd
+    from stream_processing_test_spark.llm.dedup import embedding_lsh_pairs
+    from stream_processing_test_spark.tables import load
+
+    monkeypatch.setattr(
+        dd, "finish_with", lambda r, *cached: ([c.unpersist() for c in cached], r)[1]
+    )
+    emb = load(spark, SF_SMALL, "embeddings").select(
+        "vec_id", F.col("embedding").alias("v")
+    )
+    plan = _plan(embedding_lsh_pairs(emb, per_node_top_k=5))
+    assert plan.count("WindowGroupLimit") >= 2
