@@ -706,6 +706,76 @@ def vector_lsh_run(
     return out
 
 
+def vector_knn_run(spark, tdir: str, repeats: int) -> dict:
+    """Time the registered ``embedding_knn_graph`` path (r15):
+    ``embedding_lsh_pairs`` in ``per_node_top_k`` mode on the tier's
+    embeddings table — same auto-sized candidate/verify stages as the
+    ``auto`` LSH rung, plus the symmetrize-explode and the
+    WindowGroupLimit-pruned per-node rank. Records graph rows (≤ n·k by
+    construction) and planted-edge recall: a planted near-copy sits at
+    cos ~0.89, far above the fixture's typical neighbor, so the pair
+    should surface as a graph edge whenever its buckets collide — the
+    rung's recall ≈ the LSH collision recall of the ``auto`` rung.
+
+    Sizing follows the LADDER convention (``vector_lsh_run``): planes
+    from ``auto_planes`` at VEC_OCCUPANCY=16, VEC_TABLES tables — the
+    synthetic corpus is bucket-uniform, so the registered default
+    occupancy (1024) would pay ~8000x the verify volume for no recall
+    the 16-point doesn't already deliver (the vector-carrying verify
+    shuffle at that volume exceeds local disk — measured, not
+    hypothetical)."""
+    from pyspark.sql import functions as F
+
+    from stream_processing_test_spark.llm.dedup import embedding_lsh_pairs
+    from stream_processing_test_spark.llm.embeddings import KNN_GRAPH_K
+    from stream_processing_test_spark.llm.similarity import auto_planes
+    from stream_processing_test_spark.session import release_local_checkpoint
+    from stream_processing_test_spark.tables import load
+
+    emb = load(spark, tdir, "embeddings").select(
+        "vec_id", F.col("embedding").alias("v")
+    )
+    n = emb.count()
+    planes = auto_planes(n, target_occupancy=VEC_OCCUPANCY)
+    out: dict = {
+        "n_vecs": n,
+        "k": KNN_GRAPH_K,
+        "planes": planes,
+        "tables": VEC_TABLES,
+        "target_occupancy": VEC_OCCUPANCY,
+    }
+    samples: list[float] = []
+    for i in range(repeats):
+        spark.catalog.clearCache()
+        release_pinned_rdds(spark)
+        t0 = time.time()
+        res = embedding_lsh_pairs(
+            emb,
+            n_tables=VEC_TABLES,
+            n_planes=planes,
+            per_node_top_k=KNN_GRAPH_K,
+        )
+        samples.append(round(time.time() - t0, 2))
+        if i == 0:
+            out["graph_rows"] = res.count()
+            planted = spark.read.parquet(
+                os.path.join(tdir, "planted_pairs.parquet")
+            )
+            n_planted = planted.count()
+            # an edge in EITHER direction counts (planted pairs are
+            # stored doc_a < doc_b; the graph is directed)
+            edges = res.select(
+                F.least("vec_id", "neighbor_id").alias("doc_a"),
+                F.greatest("vec_id", "neighbor_id").alias("doc_b"),
+            ).dropDuplicates(["doc_a", "doc_b"])
+            hits = edges.join(planted, ["doc_a", "doc_b"]).count()
+            out["planted_edge_recall"] = round(hits / max(n_planted, 1), 3)
+        release_local_checkpoint(res)
+    out["wall_sec"] = min(samples)
+    out["samples"] = samples
+    return out
+
+
 def lsh_recall_probe(
     spark,
     tdir: str,
@@ -1865,7 +1935,7 @@ def main() -> None:
     ap.add_argument(
         "--vec-extras",
         default="",
-        help="comma list from {thr08,ivf,ann,recall,policywall,pq,pqdial,ivfpq,ivfprobe,append,appendadc,contam,diverse,qbatch}: for the "
+        help="comma list from {thr08,ivf,ann,recall,policywall,pq,pqdial,ivfpq,ivfprobe,append,appendadc,contam,diverse,qbatch,knn}: for the "
         "named vec tiers run ONLY these attribution extras (threshold-0.8 "
         "LSH variant, IVF rung, the REGISTERED ann_lsh_topk verbatim, the "
         "planted-pair recall probe at the registered + policy operating "
@@ -1939,6 +2009,8 @@ def main() -> None:
             time_query(spark, "ann_cosine_topk", wdir, 1)
         if "appendadc" in vec_extras:
             vector_appendadc_run(spark, wdir, 1, with_recall=False)
+        if "knn" in vec_extras:
+            vector_knn_run(spark, wdir, 1)
         print("[warmup] vector JIT pass done", flush=True)
     if any(t.startswith("stream_") for t in tier_names):
         wdir = os.path.join(args.scratch, "warmup_stream")
@@ -2080,6 +2152,19 @@ def main() -> None:
                     print(
                         f"[{tier}] ann_lsh_registered: "
                         f"{entry['ann_lsh_registered']}",
+                        flush=True,
+                    )
+                if "knn" in vec_extras:
+                    # registered embedding_knn_graph path (r15): the
+                    # auto rung's candidate/verify stages plus the
+                    # WindowGroupLimit-pruned per-node rank — the rung
+                    # prices what the rank tail adds over `auto`
+                    entry["knn_graph_registered"] = vector_knn_run(
+                        spark, tdir, args.repeats
+                    )
+                    print(
+                        f"[{tier}] knn_graph_registered: "
+                        f"{entry['knn_graph_registered']}",
                         flush=True,
                     )
                 if "contam" in vec_extras:
