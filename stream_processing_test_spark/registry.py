@@ -173,6 +173,7 @@ PLAN_OPAQUE_QUERIES: dict[str, str] = {
     "decontaminate_overlap": "inverted index materialized in fn()",
     "decontaminate_embedding": "signature tables materialized in fn()",
     "dedup_embedding_lsh": "bucket+verify materialized in fn()",
+    "embedding_knn_graph": "bucket+verify+rank materialized in fn()",
     "dedup_incremental": "shared signature relation materialized in fn()",
     "dedup_minhash_lsh": "signatures/banding materialized in fn()",
     "dedup_ngram_jaccard": "shingle index materialized in fn()",
