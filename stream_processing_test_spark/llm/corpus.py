@@ -756,3 +756,161 @@ def doc_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_id").cast("bigint").alias("doc_id"), "n_bigrams", "lm_score")
     )
     return finish_with(result, pair_tf)
+
+
+BPE_ROUNDS = 6       # merge rounds trained; each round is one corpus
+#                      scan (count) + one narrow rewrite (replace)
+_BPE_JOIN = "@@"     # merged-symbol joiner (corpus tokens are split on
+#                      whitespace, so the joiner cannot pre-exist
+#                      inside a token boundary pattern)
+
+
+def _bpe_oracle() -> str:
+    """DuckDB replay of the full iterative trainer: R unrolled rounds,
+    each recomputing the pair counts from the current sequences,
+    taking the SAME deterministic argmax (n DESC, w1 ASC, w2 ASC
+    LIMIT 1), and applying the merge with literal ``replace`` over the
+    double-space encoding. ``MATERIALIZED`` pins each round's sequence
+    relation (two consumers — the next count and the next rewrite), so
+    the chain stays linear instead of inlining exponentially."""
+    ctes = [
+        "seq0 AS MATERIALIZED (\n"
+        "    SELECT doc_id,\n"
+        "           ' ' || array_to_string(\n"
+        "               regexp_split_to_array(lower(trim(text)), '\\s+'),\n"
+        "               '  ') || ' ' AS s\n"
+        "    FROM documents WHERE len(trim(text)) > 0\n"
+        ")"
+    ]
+    for r in range(1, BPE_ROUNDS + 1):
+        ctes.append(
+            f"cnt{r} AS (\n"
+            f"    SELECT w[i + 1] AS w1, w[i + 2] AS w2, COUNT(*) AS n\n"
+            f"    FROM (SELECT w, unnest(range(0, len(w) - 1)) AS i\n"
+            f"          FROM (SELECT string_split(trim(s, ' '), '  ') AS w\n"
+            f"                FROM seq{r - 1})\n"
+            f"          WHERE len(w) >= 2)\n"
+            f"    GROUP BY w1, w2\n"
+            f")"
+        )
+        ctes.append(
+            f"best{r} AS MATERIALIZED (\n"
+            f"    SELECT {r} AS round, w1, w2, n FROM cnt{r}\n"
+            f"    ORDER BY n DESC, w1 ASC, w2 ASC LIMIT 1\n"
+            f")"
+        )
+        if r < BPE_ROUNDS:
+            ctes.append(
+                f"seq{r} AS MATERIALIZED (\n"
+                f"    SELECT q.doc_id,\n"
+                f"           replace(q.s,\n"
+                f"                   ' ' || b.w1 || '  ' || b.w2 || ' ',\n"
+                f"                   ' ' || b.w1 || '{_BPE_JOIN}' || b.w2 || ' ') AS s\n"
+                f"    FROM seq{r - 1} q, best{r} b\n"
+                f")"
+            )
+    union = "\nUNION ALL\n".join(
+        f"SELECT * FROM best{r}" for r in range(1, BPE_ROUNDS + 1)
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + f",\nmerges AS (\n{union}\n)\n"
+        "SELECT CAST(round AS INT) AS round, w1, w2,\n"
+        "       CAST(n AS BIGINT) AS pair_count\n"
+        "FROM merges"
+    )
+
+
+@register(
+    "bpe_vocab_merges",
+    oracle=_bpe_oracle(),
+    survey_ops="§7-text,A2,F4,⊘iterative",
+    tier=0,
+)
+def bpe_vocab_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-style tokenizer-vocabulary induction over ``documents``: R
+    greedy merge rounds, each promoting the corpus's most frequent
+    adjacent token pair (count DESC, pair ASC on ties) to a single
+    symbol that participates in later rounds — the word-level analog
+    of byte-pair encoding's trainer loop (Sennrich et al. 2016).
+
+    Cross-engine exactness is carried by the sequence ENCODING: each
+    document is one string, tokens joined by TWO spaces with a single
+    space at each boundary. A merge is then the literal replacement
+    ``' w1  w2 ' -> ' w1@@w2 '`` — every match consumes one of the two
+    delimiter spaces on each side, so token-adjacent occurrences never
+    share characters (both sides of a shared delimiter stay matchable)
+    while overlapping chains (``a a a``) merge left-to-right greedily,
+    identically in Spark's and DuckDB's one-pass literal ``replace``.
+
+    Scale posture: each round is one partial-aggregated pair count
+    (shuffle moves Zipf-compressed (w1, w2, n) combiner rows, never
+    sequences) + a 1-row argmax fetch (the trainer-scalar idiom of the
+    k-means collects) + a narrow ``replace`` projection; sequences are
+    persisted per round and released as the next round lands, so
+    lineage stays one round deep. Rounds are a declared constant — a
+    production trainer at 100 TB would cap the trained slice with the
+    ``auto_train_shift`` hash-gate idiom, recorded here as the scale
+    dial, not built: the oracle must replay whatever slice trains, and
+    the full-corpus loop IS the registered contract at fixture scale.
+
+    The 6-row result materializes on the driver by construction (the
+    argmax of round r gates round r+1 — inherently sequential)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    cur = (
+        docs.filter(F.length(F.trim(F.col("text"))) > 0)
+        .select(
+            "doc_id",
+            F.concat(
+                F.lit(" "), F.concat_ws("  ", toks), F.lit(" ")
+            ).alias("s"),
+        )
+        .persist()
+    )
+    cur.count()
+    merges: list[tuple[int, str, str, int]] = []
+    try:
+        for r in range(1, BPE_ROUNDS + 1):
+            w = F.split(F.trim(F.col("s")), "  ")
+            pairs = F.transform(
+                F.sequence(F.lit(0), F.size("w") - 2),
+                lambda i: F.struct(
+                    F.element_at("w", i + 1).alias("w1"),
+                    F.element_at("w", i + 2).alias("w2"),
+                ),
+            )
+            best = (
+                cur.select(w.alias("w"))
+                .filter(F.size("w") >= 2)
+                .select(F.explode(pairs).alias("p"))
+                .select("p.*")
+                .groupBy("w1", "w2")
+                .agg(F.count("*").alias("n"))
+                .orderBy(
+                    F.col("n").desc(), F.col("w1").asc(), F.col("w2").asc()
+                )
+                .limit(1)
+                .collect()
+            )
+            if not best:
+                break
+            b = best[0]
+            merges.append((r, b["w1"], b["w2"], b["n"]))
+            if r == BPE_ROUNDS:
+                break
+            nxt = cur.select(
+                "doc_id",
+                F.replace(
+                    F.col("s"),
+                    F.lit(f" {b['w1']}  {b['w2']} "),
+                    F.lit(f" {b['w1']}{_BPE_JOIN}{b['w2']} "),
+                ).alias("s"),
+            ).persist()
+            nxt.count()
+            cur.unpersist()
+            cur = nxt
+    finally:
+        cur.unpersist()
+    return spark.createDataFrame(
+        merges, "round int, w1 string, w2 string, pair_count bigint"
+    )

@@ -100,6 +100,9 @@ _ROTATION_TIERS: dict[str, int] = {
     # (last-ranked) wait for r16.
     "embedding_knn_graph": 0,
     "dedup_embedding_lsh": 0,
+    # (0) r15 NEW: bpe_vocab_merges (iterative BPE merge trainer);
+    # dedup_keep_canonical (last-ranked fill) waits for r16. Fill 9->8.
+    "bpe_vocab_merges": 0,
     # (0) r15 changed — kept current as the round progresses.
     # pq.py changed (_lut_wide explicit-scatter build, sparse-codebook
     # robustness — ADVICE r14 medium): every query transiting the
@@ -125,7 +128,6 @@ _ROTATION_TIERS: dict[str, int] = {
     "daily_report_pipeline": 1,
     "decontaminate_overlap": 1,
     "dedup_exact": 1,
-    "dedup_keep_canonical": 1,
 }
 
 
@@ -174,6 +176,7 @@ PLAN_OPAQUE_QUERIES: dict[str, str] = {
     "decontaminate_embedding": "signature tables materialized in fn()",
     "dedup_embedding_lsh": "bucket+verify materialized in fn()",
     "embedding_knn_graph": "bucket+verify+rank materialized in fn()",
+    "bpe_vocab_merges": "iterative merge trainer; 6-row result built on the driver",
     "dedup_incremental": "shared signature relation materialized in fn()",
     "dedup_minhash_lsh": "signatures/banding materialized in fn()",
     "dedup_ngram_jaccard": "shingle index materialized in fn()",

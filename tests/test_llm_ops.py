@@ -2363,3 +2363,56 @@ def test_mmr_diverse_topk_contract(spark):
     # diversity term must promote a distant vector above a near-copy
     assert order.index(13) < order.index(12), order
     assert 0 < MMR_LAMBDA < 1
+
+
+def test_bpe_merges_match_python_reference(spark):
+    """Third-engine check for the iterative BPE trainer: a pure-Python
+    reference (token-list rewrite — scan left-to-right, merge on pair
+    hit, skip both) over the same fixture must reproduce every round's
+    (pair, count) exactly. Pins that the double-space string-replace
+    encoding implements greedy non-overlapping token merging, not some
+    string-level approximation."""
+    from collections import Counter
+
+    import duckdb
+
+    from stream_processing_test_spark.llm.corpus import (
+        BPE_ROUNDS,
+        _BPE_JOIN,
+    )
+
+    docs = [
+        r[0].lower().split()
+        for r in duckdb.sql(
+            f"SELECT trim(text) FROM '{SF}/documents.parquet' "
+            "WHERE len(trim(text)) > 0"
+        ).fetchall()
+    ]
+    expected = []
+    for rnd in range(1, BPE_ROUNDS + 1):
+        counts = Counter()
+        for t in docs:
+            for i in range(len(t) - 1):
+                counts[(t[i], t[i + 1])] += 1
+        (w1, w2), n = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        expected.append((rnd, w1, w2, n))
+        merged_docs = []
+        for t in docs:
+            out, i = [], 0
+            while i < len(t):
+                if i + 1 < len(t) and t[i] == w1 and t[i + 1] == w2:
+                    out.append(t[i] + _BPE_JOIN + t[i + 1])
+                    i += 2
+                else:
+                    out.append(t[i])
+                    i += 1
+            merged_docs.append(out)
+        docs = merged_docs
+
+    got = sorted(
+        (r["round"], r["w1"], r["w2"], r["pair_count"])
+        for r in _q("bpe_vocab_merges").fn(spark, SF).collect()
+    )
+    assert got == expected
