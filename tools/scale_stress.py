@@ -1832,6 +1832,12 @@ EXTRA_LADDER = [
     # two-phase window keeps the big sort partition-parallel: claimed
     # linear in positions, never a one-partition sort
     "vocab_top_ngrams",
+    # iterative BPE trainer (r15): 6 rounds of (pair count + 1-row
+    # argmax + narrow replace), sequences persisted one round deep —
+    # claimed ~linear in corpus positions x rounds. The ladder corpus
+    # is the trainer's worst case for the COUNT stage (30k vocab,
+    # ~every pair distinct -> combiner rows ~ corpus positions)
+    "bpe_vocab_merges",
 ]
 
 
