@@ -138,6 +138,7 @@ BENCH_EXCLUDED = {
     "mmr_diverse_topk": "pool stage is headline ann_cosine_topk's broadcast brute-scoring shape cut to 50 rows/query by a partitioned window; the greedy is an applyInPandas kernel over |queries| x 50 bounded rows — sub-second and scale-invariant by construction (the corpus-scale stages are the headline's)",
     "embedding_knn_graph": "headline dedup_embedding_lsh's auto-sized bucket-join candidate + exact-verify stages verbatim (shared embedding_lsh_pairs core), with the threshold tail swapped for a WindowGroupLimit-pruned per-node rank — <= n*k rows cross the rank exchange; no fact-scale stage the LSH headline doesn't already time",
     "bpe_vocab_merges": "six sequential rounds of the bigram explode + keyed partial-agg shape headline tfidf_top_terms times (each round ends in a 1-row TakeOrdered argmax, strictly cheaper than the rank) plus narrow replace projections — inherently sequential repetition of an already-timed shape, no distinct fact-scale stage",
+    "semantic_dup_clusters": "embedding_knn_graph's stages (excluded, shape-timed by headline dedup_embedding_lsh) + an id-pair semi-join and the iterative CC loop headline dup_clusters times; no distinct fact-scale stage",
     "quantity_grouping_sets": "grouping-sets twin of headline revenue_cube; identical rollup machinery",
     "engaged_users_setops": "INTERSECT/EXCEPT over per-user aggregates; same distinct-exchange shape as user_cardinality",
     "substring_dup_coverage": "hashed-gram inverted index on documents; same shingle-index stages as headline dedup_ngram_jaccard",

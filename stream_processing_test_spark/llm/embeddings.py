@@ -907,3 +907,136 @@ def embedding_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     from stream_processing_test_spark.llm.dedup import embedding_lsh_pairs
 
     return embedding_lsh_pairs(emb, per_node_top_k=KNN_GRAPH_K)
+
+
+def _semantic_clusters_oracle() -> str:
+    """DuckDB replay: the k-NN graph chain (identical CTEs to the
+    ``embedding_knn_graph`` oracle), mutual-edge filter at the shared
+    near-dup threshold, then the recursive min-label walk the
+    ``dup_clusters`` oracle established — transitivity checked
+    end-to-end, not assumed."""
+    from stream_processing_test_spark.llm.dedup import (
+        EMBED_COSINE_THRESHOLD,
+    )
+    from stream_processing_test_spark.llm.similarity import bucket_ctes
+
+    return f"""
+WITH RECURSIVE {bucket_ctes(n_tables=None, n_planes=None)},
+cand AS (
+    SELECT DISTINCT a.vec_id AS doc_a, b.vec_id AS doc_b
+    FROM buckets a JOIN buckets b
+      ON a.table_id = b.table_id AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+verified AS (
+    SELECT c.doc_a, c.doc_b,
+           ROUND(list_cosine_similarity(ea.v, eb.v), 4) AS cos_sim
+    FROM cand c
+    JOIN esig ea ON ea.vec_id = c.doc_a
+    JOIN esig eb ON eb.vec_id = c.doc_b
+),
+sym AS (
+    SELECT doc_a AS vec_id, doc_b AS neighbor_id, cos_sim FROM verified
+    UNION ALL
+    SELECT doc_b AS vec_id, doc_a AS neighbor_id, cos_sim FROM verified
+),
+ranked AS (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY vec_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rk
+    FROM sym
+),
+knn AS (
+    SELECT vec_id, neighbor_id, cos_sim FROM ranked
+    WHERE rk <= {KNN_GRAPH_K}
+),
+mutual AS (
+    SELECT a.vec_id AS doc_a, a.neighbor_id AS doc_b
+    FROM knn a JOIN knn b
+      ON b.vec_id = a.neighbor_id AND b.neighbor_id = a.vec_id
+    WHERE a.vec_id < a.neighbor_id
+      AND a.cos_sim >= {EMBED_COSINE_THRESHOLD}
+),
+edges AS (SELECT doc_a AS e_src, doc_b AS e_dst FROM mutual
+          UNION ALL
+          SELECT doc_b, doc_a FROM mutual),
+nodes AS (SELECT DISTINCT e_src AS node FROM edges),
+walk(node, lbl) AS (
+    SELECT node, node FROM nodes
+    UNION
+    SELECT e.e_dst, w.lbl FROM walk w JOIN edges e ON e.e_src = w.node
+),
+comp AS (SELECT node AS vec_id, MIN(lbl) AS component FROM walk GROUP BY node)
+SELECT CAST(c.vec_id AS BIGINT) AS vec_id,
+       CAST(c.component AS BIGINT) AS component,
+       CAST(s.csize AS BIGINT) AS cluster_size
+FROM comp c
+JOIN (SELECT component, COUNT(*) AS csize FROM comp GROUP BY component) s
+  ON c.component = s.component
+"""
+
+
+@register(
+    "semantic_dup_clusters",
+    oracle=_semantic_clusters_oracle(),
+    survey_ops="§7-dedup,§7-similarity,LSH,J1,A2",
+    tier=0,
+)
+def semantic_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic duplicate groups: connected components over the
+    MUTUAL k-NN edges that clear the embedding near-dup threshold —
+    the cluster deliverable of SemDeDup-style curation (keep one
+    representative per semantic group), built on candidate machinery
+    that stays banded (the LSH bucket join), never the cluster-routed
+    quadratic the r10 SemDeDup decision rejected for candidate
+    generation.
+
+    Pipeline: ``embedding_lsh_pairs`` in ``per_node_top_k`` mode (the
+    registered ``embedding_knn_graph`` relation — eagerly
+    checkpointed, so the mutual self-join reads materialized graph
+    rows, not two executions of the candidate chain), a left-semi
+    reverse-edge join + threshold filter (mutuality prunes hub nodes:
+    an edge survives only if BOTH endpoints rank each other top-k),
+    then ``cluster.connected_components`` (min-label / star contraction,
+    log-round bounded) with per-component sizes. Output mirrors
+    ``dup_clusters``: (vec_id, component, cluster_size), component =
+    min member id — the canonical keeper.
+
+    Scale posture: every stage is an already-priced shape — the knn
+    rungs (BENCH_NOTES §r15-knn), id-pair-only mutual join, and the CC
+    loop whose rounds are logarithmic in cluster diameter (tiny here:
+    mutual near-dup groups are cliques-ish)."""
+    from stream_processing_test_spark.llm.cluster import (
+        connected_components,
+    )
+    from stream_processing_test_spark.llm.dedup import (
+        EMBED_COSINE_THRESHOLD,
+        embedding_lsh_pairs,
+    )
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").alias("v")
+    )
+    g = embedding_lsh_pairs(emb, per_node_top_k=KNN_GRAPH_K)
+    rev = g.select(
+        F.col("neighbor_id").alias("vec_id"),
+        F.col("vec_id").alias("neighbor_id"),
+    )
+    mutual = (
+        g.join(rev, ["vec_id", "neighbor_id"], "left_semi")
+        .filter(
+            (F.col("vec_id") < F.col("neighbor_id"))
+            & (F.col("cos_sim") >= EMBED_COSINE_THRESHOLD)
+        )
+        .select(
+            F.col("vec_id").alias("doc_a"),
+            F.col("neighbor_id").alias("doc_b"),
+        )
+    )
+    comp = connected_components(mutual, src="doc_a", dst="doc_b").select(
+        F.col("node").alias("vec_id"), "component"
+    )
+    sizes = comp.groupBy("component").agg(
+        F.count("*").alias("cluster_size")
+    )
+    return comp.join(sizes, "component").select(
+        "vec_id", "component", "cluster_size"
+    )

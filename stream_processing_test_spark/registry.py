@@ -103,6 +103,9 @@ _ROTATION_TIERS: dict[str, int] = {
     # (0) r15 NEW: bpe_vocab_merges (iterative BPE merge trainer);
     # dedup_keep_canonical (last-ranked fill) waits for r16. Fill 9->8.
     "bpe_vocab_merges": 0,
+    # (0) r15 NEW: semantic_dup_clusters (mutual-kNN components);
+    # dedup_exact (last-ranked fill) waits for r16. Fill 8->7.
+    "semantic_dup_clusters": 0,
     # (0) r15 changed — kept current as the round progresses.
     # pq.py changed (_lut_wide explicit-scatter build, sparse-codebook
     # robustness — ADVICE r14 medium): every query transiting the
@@ -127,7 +130,6 @@ _ROTATION_TIERS: dict[str, int] = {
     "bm25_topk": 1,
     "daily_report_pipeline": 1,
     "decontaminate_overlap": 1,
-    "dedup_exact": 1,
 }
 
 
@@ -177,6 +179,7 @@ PLAN_OPAQUE_QUERIES: dict[str, str] = {
     "dedup_embedding_lsh": "bucket+verify materialized in fn()",
     "embedding_knn_graph": "bucket+verify+rank materialized in fn()",
     "bpe_vocab_merges": "iterative merge trainer; 6-row result built on the driver",
+    "semantic_dup_clusters": "knn graph checkpoint + connected-components loop in fn()",
     "dedup_incremental": "shared signature relation materialized in fn()",
     "dedup_minhash_lsh": "signatures/banding materialized in fn()",
     "dedup_ngram_jaccard": "shingle index materialized in fn()",

@@ -2416,3 +2416,50 @@ def test_bpe_merges_match_python_reference(spark):
         for r in _q("bpe_vocab_merges").fn(spark, SF).collect()
     )
     assert got == expected
+
+
+def test_semantic_dup_clusters_union_find(spark):
+    """Third-engine check: mutual thresholded edges derived from the
+    registered knn graph's own output, closed with a pure-Python
+    union-find, must reproduce (component, cluster_size) exactly —
+    min-id canonical labels and transitive closure, independent of
+    both Spark's iterative loop and the oracle's recursive walk."""
+    from stream_processing_test_spark.llm.dedup import (
+        EMBED_COSINE_THRESHOLD,
+    )
+
+    g = _q("embedding_knn_graph").fn(spark, SF).collect()
+    edges_dir = {(r["vec_id"], r["neighbor_id"]): r["cos_sim"] for r in g}
+    mutual = [
+        (a, b)
+        for (a, b), c in edges_dir.items()
+        if a < b and (b, a) in edges_dir and c >= EMBED_COSINE_THRESHOLD
+    ]
+    assert mutual, "fixture should produce mutual near-dup edges"
+
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in mutual:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    labels = {n: find(n) for n in parent}
+    from collections import Counter
+
+    sizes = Counter(labels.values())
+    expected = sorted(
+        (n, lbl, sizes[lbl]) for n, lbl in labels.items()
+    )
+
+    got = sorted(
+        (r["vec_id"], r["component"], r["cluster_size"])
+        for r in _q("semantic_dup_clusters").fn(spark, SF).collect()
+    )
+    assert got == expected
