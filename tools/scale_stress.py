@@ -776,6 +776,83 @@ def vector_knn_run(spark, tdir: str, repeats: int) -> dict:
     return out
 
 
+def vector_semclusters_run(spark, tdir: str, repeats: int) -> dict:
+    """End-to-end `semantic_dup_clusters` composition at the ladder
+    operating point (same sizing note as ``vector_knn_run``): knn
+    graph -> mutual semi-join + threshold -> connected components +
+    sizes — the registered op's exact tail on the ladder-sized graph.
+    Records mutual-edge volume and cluster counts alongside the
+    wall."""
+    from pyspark.sql import functions as F
+
+    from stream_processing_test_spark.llm.cluster import (
+        connected_components,
+    )
+    from stream_processing_test_spark.llm.dedup import (
+        EMBED_COSINE_THRESHOLD,
+        embedding_lsh_pairs,
+    )
+    from stream_processing_test_spark.llm.embeddings import KNN_GRAPH_K
+    from stream_processing_test_spark.llm.similarity import auto_planes
+    from stream_processing_test_spark.session import release_local_checkpoint
+    from stream_processing_test_spark.tables import load
+
+    emb = load(spark, tdir, "embeddings").select(
+        "vec_id", F.col("embedding").alias("v")
+    )
+    n = emb.count()
+    planes = auto_planes(n, target_occupancy=VEC_OCCUPANCY)
+    out: dict = {
+        "n_vecs": n,
+        "k": KNN_GRAPH_K,
+        "planes": planes,
+        "tables": VEC_TABLES,
+    }
+    samples: list[float] = []
+    for i in range(repeats):
+        spark.catalog.clearCache()
+        release_pinned_rdds(spark)
+        t0 = time.time()
+        g = embedding_lsh_pairs(
+            emb,
+            n_tables=VEC_TABLES,
+            n_planes=planes,
+            per_node_top_k=KNN_GRAPH_K,
+        )
+        rev = g.select(
+            F.col("neighbor_id").alias("vec_id"),
+            F.col("vec_id").alias("neighbor_id"),
+        )
+        mutual = (
+            g.join(rev, ["vec_id", "neighbor_id"], "left_semi")
+            .filter(
+                (F.col("vec_id") < F.col("neighbor_id"))
+                & (F.col("cos_sim") >= EMBED_COSINE_THRESHOLD)
+            )
+            .select(
+                F.col("vec_id").alias("doc_a"),
+                F.col("neighbor_id").alias("doc_b"),
+            )
+        )
+        comp = connected_components(
+            mutual, src="doc_a", dst="doc_b"
+        ).select(F.col("node").alias("vec_id"), "component")
+        sizes = comp.groupBy("component").agg(
+            F.count("*").alias("cluster_size")
+        )
+        res = comp.join(sizes, "component").localCheckpoint(eager=True)
+        samples.append(round(time.time() - t0, 2))
+        if i == 0:
+            out["clustered_nodes"] = res.count()
+            out["clusters"] = res.select("component").distinct().count()
+            out["mutual_edges"] = mutual.count()
+        release_local_checkpoint(res)
+        release_local_checkpoint(g)
+    out["wall_sec"] = min(samples)
+    out["samples"] = samples
+    return out
+
+
 def lsh_recall_probe(
     spark,
     tdir: str,
@@ -1941,7 +2018,7 @@ def main() -> None:
     ap.add_argument(
         "--vec-extras",
         default="",
-        help="comma list from {thr08,ivf,ann,recall,policywall,pq,pqdial,ivfpq,ivfprobe,append,appendadc,contam,diverse,qbatch,knn}: for the "
+        help="comma list from {thr08,ivf,ann,recall,policywall,pq,pqdial,ivfpq,ivfprobe,append,appendadc,contam,diverse,qbatch,knn,semclusters}: for the "
         "named vec tiers run ONLY these attribution extras (threshold-0.8 "
         "LSH variant, IVF rung, the REGISTERED ann_lsh_topk verbatim, the "
         "planted-pair recall probe at the registered + policy operating "
@@ -2017,6 +2094,8 @@ def main() -> None:
             vector_appendadc_run(spark, wdir, 1, with_recall=False)
         if "knn" in vec_extras:
             vector_knn_run(spark, wdir, 1)
+        if "semclusters" in vec_extras:
+            vector_semclusters_run(spark, wdir, 1)
         print("[warmup] vector JIT pass done", flush=True)
     if any(t.startswith("stream_") for t in tier_names):
         wdir = os.path.join(args.scratch, "warmup_stream")
@@ -2171,6 +2250,14 @@ def main() -> None:
                     print(
                         f"[{tier}] knn_graph_registered: "
                         f"{entry['knn_graph_registered']}",
+                        flush=True,
+                    )
+                if "semclusters" in vec_extras:
+                    entry["semclusters"] = vector_semclusters_run(
+                        spark, tdir, args.repeats
+                    )
+                    print(
+                        f"[{tier}] semclusters: {entry['semclusters']}",
                         flush=True,
                     )
                 if "contam" in vec_extras:
