@@ -406,3 +406,60 @@ def test_encode_codes_blas_equals_parity_fold(data):
     got = encode_codes_np([r.tolist() for r in V], rows)
     want = _fold_reference_codes(V, rows)
     assert (got == want).all()
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.text(alphabet="ab@", min_size=1, max_size=3),
+            min_size=1,
+            max_size=8,
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_bpe_string_encoding_matches_token_merge(corpus):
+    """The BPE trainer's double-space string encoding + one-pass
+    literal replace (the semantics Spark's and DuckDB's ``replace``
+    share with Python's ``str.replace``) must merge exactly what the
+    token-list reference merges, round after round, on arbitrary
+    corpora — '@'-bearing tokens (joiner collisions), overlap chains
+    (``a a a``), count ties, single-token docs. The fixture test
+    (tests/test_llm_ops.py) pins Spark == reference end-to-end and the
+    oracle gate pins Spark == DuckDB; this property closes the
+    encoding itself over the adversarial input space."""
+    from collections import Counter
+
+    from stream_processing_test_spark.llm.corpus import _BPE_JOIN
+
+    docs_tok = [list(t) for t in corpus]
+    strs = [" " + "  ".join(t) + " " for t in corpus]
+
+    for _ in range(3):
+        counts = Counter()
+        for t in docs_tok:
+            for i in range(len(t) - 1):
+                counts[(t[i], t[i + 1])] += 1
+        if not counts:
+            break
+        (w1, w2), _n = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merged = []
+        for t in docs_tok:
+            out, i = [], 0
+            while i < len(t):
+                if i + 1 < len(t) and t[i] == w1 and t[i + 1] == w2:
+                    out.append(t[i] + _BPE_JOIN + t[i + 1])
+                    i += 2
+                else:
+                    out.append(t[i])
+                    i += 1
+            merged.append(out)
+        docs_tok = merged
+        pat, rep = f" {w1}  {w2} ", f" {w1}{_BPE_JOIN}{w2} "
+        strs = [s.replace(pat, rep) for s in strs]
+        decoded = [s.strip(" ").split("  ") for s in strs]
+        assert decoded == docs_tok
