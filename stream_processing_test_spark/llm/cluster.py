@@ -105,11 +105,16 @@ def connected_components(
         .repartition("src")
         .persist()
     )
+    # LAZY checkpoint (r16): the init labels need lineage truncation
+    # (round 2 must not replay the edge pipeline) but not their own
+    # action — round 1's count materializes the checkpoint blocks and
+    # populates sym's cache in the same job, removing one driver
+    # barrier per CC query (job-count pinned in test_scale_layout).
     labels = (
         sym.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     def propagate(lbl: DataFrame) -> DataFrame:
         """(node, component) -> (node, old_component, component): one
@@ -225,13 +230,16 @@ def star_components(
         .filter(F.col("src") != F.col("dst"))
         .distinct()
     )
-    nodes = (
-        edges.select(F.col(src).alias("node"))
-        .union(edges.select(F.col(dst).alias("node")))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    cur = canonical.localCheckpoint(eager=True)
+    # ``nodes`` has exactly one consumer (the final labels join) — no
+    # checkpoint at all (r16): the caller's action computes it once
+    # from ``edges``, which every registered caller hands over already
+    # materialized (the pairs checkpoint). ``cur``'s init checkpoint
+    # goes LAZY for the same reason as minlabel's: round 1's diff
+    # count materializes it; no standalone setup action.
+    nodes = edges.select(F.col(src).alias("node")).union(
+        edges.select(F.col(dst).alias("node"))
+    ).distinct()
+    cur = canonical.localCheckpoint(eager=False)
     for rounds in range(1, max_iter + 1):
         nxt = _small_star(_large_star(cur)).localCheckpoint(eager=False)
         n_diff = (

@@ -48,6 +48,36 @@ def get_spark(
         # dot-product folds: ~40% on ann_lsh_topk, ~16% on simhash).
         .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Shuffle writer: keep the SORT-based writer at every reduce
+        # partition count instead of the bypass-merge writer Spark
+        # picks below 200 partitions. The bypass writer opens one file
+        # PER REDUCE PARTITION per map task and then concatenates them
+        # (M*R creates + an NIO merge); jcmd sampling of the r16 bench
+        # showed DiskBlockObjectWriter.initialize/createTempShuffleBlock
+        # as the TOP frames of the dedup family's wall. The sort writer
+        # emits one data+index file per map task regardless of R —
+        # measured 2.75 -> 1.51 s on dedup_ngram_jaccard (min-of-3,
+        # same host, OPTIMIZATION_r16.md). At cluster scale shuffle
+        # partition counts exceed 200, where Spark uses the sort
+        # writer anyway — this setting only aligns the small-R regime
+        # with that behavior; it never changes results, only file
+        # layout of shuffle temp output. Env-overridable for A/B.
+        .config(
+            "spark.shuffle.sort.bypassMergeThreshold",
+            os.environ.get("SPARK_GRAFT_BYPASS_THRESHOLD", "2"),
+        )
+        # Let the planner use shuffled-hash joins when its size gates
+        # hold (guide §3.1/§9): both sides still shuffle, but the
+        # per-partition build side skips the sort — SMJ remains the
+        # planner's choice whenever the build side cannot provably fit
+        # (canBuildLocalHashMap size check), so the 100 TB
+        # huge-both-sides case keeps its graceful sort-merge spill.
+        # Measured on the join-heavy slots (q2/q16/q21/dup_clusters):
+        # ~8-15% off each (same-host interleaved A/B, r16).
+        .config(
+            "spark.sql.join.preferSortMergeJoin",
+            os.environ.get("SPARK_GRAFT_PREFER_SMJ", "false"),
+        )
         .config("spark.sql.parquet.filterPushdown", "true")
         # events.ts is parquet TIMESTAMP(NANOS); set once at session
         # build so per-query conf mutation never races a concurrent read.

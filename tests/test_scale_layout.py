@@ -541,7 +541,9 @@ def test_connected_components_one_job_per_round(spark):
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         # chain 1-2-3 (diameter 2) + pair 10-11: two-hop rounds need
-        # exactly 2 (1 productive pair + 1 confirming), 1 setup job.
+        # exactly 2 (1 productive pair + 1 confirming), and since r16
+        # the init labels checkpoint is LAZY — materialized by round
+        # 1's count — so there is NO separate setup job.
         edges = spark.createDataFrame(
             [(1, 2), (2, 3), (10, 11)], "src LONG, dst LONG"
         )
@@ -549,7 +551,7 @@ def test_connected_components_one_job_per_round(spark):
         labels = connected_components(edges)
         sc.setJobGroup("cc_after", "")
         n_jobs = len(sc.statusTracker().getJobIdsForGroup("cc_jobs"))
-        assert n_jobs == 3, f"expected 1 setup + 2 two-hop rounds = 3 jobs, got {n_jobs}"
+        assert n_jobs == 2, f"expected 2 two-hop round jobs (no setup job), got {n_jobs}"
         got = sorted((r["node"], r["component"]) for r in labels.collect())
         assert got == [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)]
     finally:
