@@ -49,6 +49,7 @@ def connected_components(
     max_iter: int = 25,
     algorithm: str = "auto",
     minlabel_budget: int = 4,
+    with_count: bool = False,
 ) -> DataFrame:
     """(node, component) for every node in ``edges``; component = min
     node id reachable. Edges are undirected (one direction given).
@@ -95,7 +96,7 @@ def connected_components(
     """
     if algorithm == "star":
         labels, _ = star_components(edges, src=src, dst=dst, max_iter=max_iter)
-        return labels
+        return (labels, labels.count()) if with_count else labels
     if algorithm not in ("minlabel", "auto"):
         raise ValueError(f"unknown algorithm {algorithm!r}: auto|minlabel|star")
     budget = minlabel_budget if algorithm == "auto" else max_iter
@@ -119,20 +120,23 @@ def connected_components(
     def propagate(lbl: DataFrame) -> DataFrame:
         """(node, component) -> (node, old_component, component): one
         min-label pass. new = min(own, neighborhood min) <= old, so
-        "changed" is exactly new < old."""
-        nbr_min = (
-            sym.join(lbl, sym["src"] == lbl["node"])
-            .select(F.col("dst").alias("node"), "component")
-            .groupBy("node")
-            .agg(F.min("component").alias("nbr_min"))
-        )
-        return lbl.join(nbr_min, "node", "left").select(
-            "node",
-            F.col("component").alias("old_component"),
-            F.least(
-                F.col("component"),
-                F.coalesce(F.col("nbr_min"), F.col("component")),
-            ).alias("component"),
+        "changed" is exactly new < old. ONE parameterized-SQL round
+        trip per pass (r16): the Column form was ~20 py4j calls, and a
+        round trip is 1-10 ms on this host (OPTIMIZATION_r16.md
+        §py4j) — per-round driver latency is exactly what serializes
+        the loop."""
+        return sym.sparkSession.sql(
+            """SELECT l.node,
+                      l.component AS old_component,
+                      least(l.component,
+                            coalesce(m.nbr_min, l.component)) AS component
+               FROM {lbl} l
+               LEFT JOIN (SELECT s.dst AS node,
+                                 min(l2.component) AS nbr_min
+                          FROM {sym} s JOIN {lbl2} l2 ON s.src = l2.node
+                          GROUP BY s.dst) m
+                 ON l.node = m.node""",
+            lbl=lbl, sym=sym, lbl2=lbl,
         )
 
     try:
@@ -140,20 +144,27 @@ def connected_components(
         for _ in range(budget):  # action; release them one round late
             mid = propagate(labels).select("node", "component")
             stepped = propagate(mid).localCheckpoint(eager=False)
-            changed = stepped.filter(
-                F.col("component") < F.col("old_component")
-            ).count()
+            # the round's SINGLE job returns BOTH the convergence
+            # signal and (r16) the node count — so ``with_count``
+            # callers (the keep-verdict family's broadcast size gate)
+            # never pay a separate count job over the labels
+            stats = stepped.select(
+                F.count("*").alias("n"),
+                F.count_if(
+                    F.col("component") < F.col("old_component")
+                ).alias("changed"),
+            ).first()
             labels = stepped.select("node", "component")
             release_local_checkpoint(prev_cp)
             prev_cp = stepped
-            if changed == 0:
-                return labels
+            if stats["changed"] == 0:
+                return (labels, stats["n"]) if with_count else labels
         if algorithm == "auto":
             # high-diameter graph: stop paying a barrier per 2 hops and
             # collapse it in O(log d) star rounds instead
             release_local_checkpoint(prev_cp)
             out, _ = star_components(edges, src=src, dst=dst, max_iter=max_iter)
-            return out
+            return (out, out.count()) if with_count else out
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds"
         )
@@ -164,17 +175,18 @@ def connected_components(
 def _large_star(e: DataFrame) -> DataFrame:
     """Large-star: each node u connects its STRICTLY LARGER neighbors
     to m = min({u} ∪ Γ(u)). Operates on the symmetrized neighborhood;
-    output edges are oriented big->small and deduplicated."""
-    sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    mins = sym.groupBy("src").agg(F.min("dst").alias("mn"))
-    return (
-        sym.join(mins, "src")
-        .filter(F.col("dst") > F.col("src"))
-        .select(
-            F.col("dst").alias("src"),
-            F.least(F.col("src"), F.col("mn")).alias("dst"),
-        )
-        .distinct()
+    output edges are oriented big->small and deduplicated. One
+    parameterized-SQL round trip (r16 — same plan as the Column form,
+    ~15 fewer py4j calls per round; see OPTIMIZATION_r16.md §py4j)."""
+    return e.sparkSession.sql(
+        """WITH sym AS (SELECT src, dst FROM {e}
+                        UNION ALL
+                        SELECT dst AS src, src AS dst FROM {e2}),
+                mins AS (SELECT src, min(dst) AS mn FROM sym GROUP BY src)
+           SELECT DISTINCT s.dst AS src, least(s.src, m.mn) AS dst
+           FROM sym s JOIN mins m ON s.src = m.src
+           WHERE s.dst > s.src""",
+        e=e, e2=e,
     )
 
 
@@ -182,18 +194,20 @@ def _small_star(e: DataFrame) -> DataFrame:
     """Small-star: orient every edge big->small, then each node u
     connects its (all smaller) neighbors AND itself to
     m = min(Γ(u)). Output oriented big->small, deduplicated,
-    self-loops dropped."""
-    oriented = e.select(
-        F.greatest("src", "dst").alias("src"),
-        F.least("src", "dst").alias("dst"),
-    ).filter(F.col("src") != F.col("dst"))
-    mins = oriented.groupBy("src").agg(F.min("dst").alias("mn"))
-    return (
-        oriented.join(mins, "src")
-        .select(F.col("dst").alias("src"), F.col("mn").alias("dst"))
-        .union(mins.select("src", F.col("mn").alias("dst")))
-        .filter(F.col("src") != F.col("dst"))
-        .distinct()
+    self-loops dropped. One parameterized-SQL round trip (r16)."""
+    return e.sparkSession.sql(
+        """WITH oriented AS (SELECT greatest(src, dst) AS src,
+                                    least(src, dst) AS dst
+                             FROM {e} WHERE src <> dst),
+                mins AS (SELECT src, min(dst) AS mn
+                         FROM oriented GROUP BY src)
+           SELECT DISTINCT src, dst FROM (
+               SELECT o.dst AS src, m.mn AS dst
+               FROM oriented o JOIN mins m ON o.src = m.src
+               UNION ALL
+               SELECT src, mn AS dst FROM mins)
+           WHERE src <> dst""",
+        e=e,
     )
 
 
@@ -242,14 +256,18 @@ def star_components(
     cur = canonical.localCheckpoint(eager=False)
     for rounds in range(1, max_iter + 1):
         nxt = _small_star(_large_star(cur)).localCheckpoint(eager=False)
-        n_diff = (
-            nxt.withColumn("side", F.lit(1))
-            .unionAll(cur.withColumn("side", F.lit(-1)))
-            .groupBy("src", "dst")
-            .agg(F.sum("side").alias("d"))
-            .filter(F.col("d") != 0)
-            .count()
-        )
+        # multiset symmetric difference in ONE parameterized-SQL job
+        # (same union/±1-flag plan as before, built in one round trip)
+        n_diff = cur.sparkSession.sql(
+            """SELECT count(*) AS n FROM (
+                   SELECT src, dst, sum(side) AS d FROM (
+                       SELECT src, dst, 1 AS side FROM {nxt}
+                       UNION ALL
+                       SELECT src, dst, -1 AS side FROM {cur})
+                   GROUP BY src, dst)
+               WHERE d <> 0""",
+            nxt=nxt, cur=cur,
+        ).first()["n"]
         # the diff job read cur AND materialized nxt's checkpoint, so
         # cur's blocks are dead from here — free them now instead of
         # waiting for the ContextCleaner's next periodic JVM GC
@@ -380,8 +398,12 @@ def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents").select("doc_id")
     pairs = dedup_ngram_jaccard(spark, sf_dir)
-    comp = connected_components(pairs, src="doc_a", dst="doc_b")
-    return with_keep_verdict(docs, comp).select("doc_id", "component", "keep")
+    comp, n_nodes = connected_components(
+        pairs, src="doc_a", dst="doc_b", with_count=True
+    )
+    return with_keep_verdict(docs, comp, n_nodes=n_nodes).select(
+        "doc_id", "component", "keep"
+    )
 
 
 _VERDICT_ROW_BYTES = 64  # (node, component) UnsafeRow + HashedRelation overhead
@@ -405,7 +427,9 @@ def _auto_broadcast_threshold_bytes(spark: SparkSession) -> int:
     return int(m.group(1)) * mult
 
 
-def with_keep_verdict(docs: DataFrame, comp: DataFrame) -> DataFrame:
+def with_keep_verdict(
+    docs: DataFrame, comp: DataFrame, n_nodes: int | None = None
+) -> DataFrame:
     """Append (component, keep) to a corpus frame via a left join
     against the clustered-node set — the map-side verdict shared by
     ``dedup_keep_canonical``, ``leakage_safe_split`` and the fused
@@ -424,8 +448,14 @@ def with_keep_verdict(docs: DataFrame, comp: DataFrame) -> DataFrame:
     — the join is left to the planner/AQE as an ordinary shuffle join.
     Layout-asserted for all three callers in test_scale_layout
     (hint under default conf, shuffle join with the threshold off)."""
+    # ``n_nodes`` (r16): callers that ran the CC loop already know the
+    # clustered-node count (it rides the last round's convergence job —
+    # connected_components(with_count=True)), so the size gate needs no
+    # extra count job; None keeps the original measured-count probe.
     thr = _auto_broadcast_threshold_bytes(docs.sparkSession)
-    if thr > 0 and comp.count() * _VERDICT_ROW_BYTES <= thr:
+    if n_nodes is None:
+        n_nodes = comp.count()
+    if thr > 0 and n_nodes * _VERDICT_ROW_BYTES <= thr:
         comp = F.broadcast(comp)
     joined = docs.join(comp, docs["doc_id"] == comp["node"], "left")
     component = F.coalesce(F.col("component"), F.col("doc_id"))
@@ -493,10 +523,12 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents").select("doc_id")
     pairs = dedup_ngram_jaccard(spark, sf_dir)
-    comp = connected_components(pairs, src="doc_a", dst="doc_b")
+    comp, n_nodes = connected_components(
+        pairs, src="doc_a", dst="doc_b", with_count=True
+    )
     # with_keep_verdict owns the broadcast-left-join + singleton
     # coalesce rule — one definition shared with dedup_keep_canonical
-    verdict = with_keep_verdict(docs, comp)
+    verdict = with_keep_verdict(docs, comp, n_nodes=n_nodes)
     gate = (
         phash(F.concat(F.lit("split:"), F.col("component").cast("string")))
         % 100

@@ -333,8 +333,10 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter("passes_quality")
     )
     pairs = dedup_ngram_jaccard(spark, sf_dir)
-    comp = connected_components(pairs, src="doc_a", dst="doc_b")
-    kept = with_keep_verdict(docs, comp).filter("keep")
+    comp, n_nodes = connected_components(
+        pairs, src="doc_a", dst="doc_b", with_count=True
+    )
+    kept = with_keep_verdict(docs, comp, n_nodes=n_nodes).filter("keep")
     return kept.groupBy("source", "lang").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),

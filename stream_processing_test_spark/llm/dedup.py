@@ -30,6 +30,7 @@ from stream_processing_test_spark.llm.hashing import (
     MINFAM_P,
     minfam_coeffs,
     phash,
+    phash_spark_sql,
     phash_sql,
 )
 from stream_processing_test_spark.registry import register
@@ -198,40 +199,39 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     sh = shingles(docs).persist()
 
-    rare_shingles = (
-        sh.groupBy("shingle").agg(F.count("*").alias("df")).filter(
-            F.col("df") <= DF_MAX
-        ).select("shingle")
-    )
-    rare = sh.join(rare_shingles, "shingle").persist()
-    sizes = rare.groupBy("doc_id").agg(F.count("*").alias("sz"))
-
-    a = rare.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = rare.select(F.col("doc_id").alias("doc_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("isect"))
-    )
-    jaccard = F.col("isect").cast("double") / (
-        F.col("sa") + F.col("sb") - F.col("isect")
-    )
-    result = (
-        inter.join(
-            sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sa")),
-            "doc_a",
-        )
-        .join(
-            sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sb")),
-            "doc_b",
-        )
-        .filter(jaccard >= JACCARD_THRESHOLD)
-        .select(
-            "doc_a",
-            "doc_b",
-            F.round(jaccard, 4).alias("jaccard"),
-        )
+    # the index tail is assembled as TWO parameterized spark.sql
+    # statements (r16) — identical relational content to the Column
+    # form (df-cap join, self-join, sizes fan-back), ~25 fewer py4j
+    # round trips per invocation at this host's 1-10 ms/trip
+    # (OPTIMIZATION_r16.md §py4j). The persists are unchanged: ``sh``
+    # feeds the df-count AND the join side; ``rare`` feeds both
+    # self-join sides and the sizes aggregate.
+    rare = spark.sql(
+        f"""SELECT s.doc_id, s.shingle
+            FROM {{sh}} s
+            JOIN (SELECT shingle FROM {{sh2}}
+                  GROUP BY shingle HAVING count(*) <= {DF_MAX}) r
+              ON s.shingle = r.shingle""",
+        sh=sh, sh2=sh,
+    ).persist()
+    result = spark.sql(
+        f"""WITH sizes AS (SELECT doc_id, count(*) AS sz
+                           FROM {{r1}} GROUP BY doc_id),
+                 inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                                  count(*) AS isect
+                           FROM {{r2}} a JOIN {{r3}} b
+                             ON a.shingle = b.shingle
+                            AND a.doc_id < b.doc_id
+                           GROUP BY a.doc_id, b.doc_id)
+            SELECT doc_a, doc_b,
+                   round(CAST(isect AS DOUBLE) / (sa.sz + sb.sz - isect), 4)
+                       AS jaccard
+            FROM inter
+            JOIN sizes sa ON inter.doc_a = sa.doc_id
+            JOIN sizes sb ON inter.doc_b = sb.doc_id
+            WHERE CAST(isect AS DOUBLE) / (sa.sz + sb.sz - isect)
+                  >= {JACCARD_THRESHOLD}""",
+        r1=rare, r2=rare, r3=rare,
     )
     return finish_with(result, sh, rare)
 
@@ -309,35 +309,30 @@ def minhash_sig_bands(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
     (the signature groupBy), with map-side partial min doing the rest.
     """
     sh = shingles(docs, distinct=False)
-    hb = F.col("hb")
-    sig = (
-        sh.select("doc_id", (F.col("shingle") % MINFAM_P).alias("hb"))
-        .groupBy("doc_id")
-        .agg(
-            F.array(
-                *[
-                    F.min((F.lit(a) * hb + F.lit(b)) % MINFAM_P)
-                    for a, b in minfam_coeffs(NUM_HASHES)
-                ]
-            ).alias("sig")
-        )
-        .persist()
+    # ONE parameterized spark.sql for the 32-min signature aggregate
+    # (and one F.expr for the band explode) instead of ~250 Column
+    # objects: same expressions, same exact int64 arithmetic, but one
+    # py4j round trip — the Column form cost ~0.6 s of plan-build per
+    # invocation at this host's 1-10 ms/round-trip (OPTIMIZATION_r16.md
+    # §py4j).
+    mins = ", ".join(
+        f"min(({a} * hb + {b}) % {MINFAM_P})"
+        for a, b in minfam_coeffs(NUM_HASHES)
     )
+    sig = sh.sparkSession.sql(
+        f"""SELECT doc_id, array({mins}) AS sig
+            FROM (SELECT doc_id, shingle % {MINFAM_P} AS hb FROM {{sh}})
+            GROUP BY doc_id""",
+        sh=sh,
+    ).persist()
     bands = sig.select(
         "doc_id",
         "sig",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.slice("sig", b * _ROWS_PER_BAND + 1, _ROWS_PER_BAND).alias(
-                            "bucket"
-                        ),
-                    )
-                    for b in range(NUM_BANDS)
-                ]
-            )
+        F.expr(
+            f"explode(transform(sequence(0, {NUM_BANDS - 1}), "
+            f"b -> struct(b AS band, "
+            f"slice(sig, b * {_ROWS_PER_BAND} + 1, {_ROWS_PER_BAND}) "
+            f"AS bucket)))"
         ).alias("bb"),
     ).select(
         "doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
@@ -935,47 +930,45 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
         .filter(F.col("tok") != "")
     )
-    h = phash("tok")
 
     # per (doc, bit): sum of +1/-1 votes, then pack bits driver-free.
     # One wide 60-counter aggregation (map-side combinable) beats a
     # 60x explode: the shuffle carries |docs| rows, not |docs|*60.
-    votes = toks.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.when(h.bitwiseAND(F.lit(1 << k)) != 0, 1).otherwise(-1)
-            ).alias(f"b{k}")
-            for k in range(SIMHASH_BITS)
-        ]
+    # Assembled as ONE parameterized spark.sql statement rather than
+    # ~400 Column objects: py4j round trips are 1-10 ms on this host,
+    # and the Column form cost ~1.4 s of pure plan-build per invocation
+    # (measured r16; the SQL form is ~0.14 s — identical aggregates,
+    # identical results). The token hash is projected once; the 60 sums
+    # read the projected ``h`` (runtime subexpression elimination made
+    # the inline form equally cheap to EXECUTE, so this changes build
+    # cost only).
+    sums = ", ".join(
+        f"sum(CASE WHEN (h & {1 << k}) != 0 THEN 1 ELSE -1 END) AS b{k}"
+        for k in range(SIMHASH_BITS)
+    )
+    pack = " + ".join(
+        f"(CASE WHEN b{k} > 0 THEN {1 << k}L ELSE 0L END)"
+        for k in range(SIMHASH_BITS)
     )
     # |docs| rows — persisted: both sides of the per-block self-join
     # consume it (otherwise the 60-counter aggregation runs twice).
-    simhash = votes.select(
-        "doc_id",
-        sum(
-            [
-                F.when(F.col(f"b{k}") > 0, F.lit(1 << k)).otherwise(F.lit(0))
-                for k in range(SIMHASH_BITS)
-            ],
-            F.lit(0),
-        ).cast("long").alias("simhash"),
+    simhash = spark.sql(
+        f"""SELECT doc_id, CAST({pack} AS BIGINT) AS simhash
+            FROM (SELECT doc_id, {sums}
+                  FROM (SELECT doc_id, {phash_spark_sql('tok')} AS h
+                        FROM {{toks}})
+                  GROUP BY doc_id)""",
+        toks=toks,
     ).persist()
 
     blocks = simhash.select(
         "doc_id",
         "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("block_id"),
-                        F.shiftrightunsigned("simhash", _BLOCK_BITS * i)
-                        .bitwiseAND(F.lit(_BLOCK_MASK))
-                        .alias("block"),
-                    )
-                    for i in range(SIMHASH_BLOCKS)
-                ]
-            )
+        F.expr(
+            f"explode(transform(sequence(0, {SIMHASH_BLOCKS - 1}), "
+            f"i -> struct(i AS block_id, "
+            f"shiftrightunsigned(simhash, {_BLOCK_BITS} * i) & {_BLOCK_MASK} "
+            f"AS block)))"
         ).alias("bb"),
     ).select("doc_id", "simhash", "bb.block_id", "bb.block")
 

@@ -62,6 +62,20 @@ def phash_sql(expr: str, seed: int | None = None) -> str:
     return f"CAST('0x' || substr(md5({expr}), 1, {PHASH_HEX}) AS BIGINT)"
 
 
+def phash_spark_sql(expr: str, seed: int | None = None) -> str:
+    """Spark-SQL-string twin of :func:`phash` — same expression tree
+    (``conv(substring(md5(x),1,15),16,10)`` cast to BIGINT), emitted as
+    a SQL fragment for builders that assemble one big statement instead
+    of Column algebra. Why that matters: a py4j round trip costs 1-10
+    ms on the sandbox host (OPTIMIZATION_r16.md §py4j), so an operator
+    that assembles hundreds of Column objects pays seconds of pure
+    driver latency per invocation; one parsed SQL string is one round
+    trip. Keep in lockstep with :func:`phash`/:func:`phash_sql`."""
+    if seed is not None:
+        expr = f"concat('{seed}:', {expr})"
+    return f"CAST(conv(substring(md5({expr}), 1, {PHASH_HEX}), 16, 10) AS BIGINT)"
+
+
 def phash_py(s: str, seed: int | None = None) -> int:
     """Driver-Python twin of :func:`phash`."""
     if seed is not None:

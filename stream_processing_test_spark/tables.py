@@ -67,9 +67,33 @@ def normalize_event_ts(df: DataFrame) -> DataFrame:
     raise TypeError(f"unsupported events.ts dtype: {dt}")
 
 
+# Plan-object cache: (session → {(sf_dir, table) → DataFrame}). A
+# DataFrame here is an immutable LOGICAL PLAN (scan + projection), not
+# data — reusing it never caches rows or results (every action still
+# scans the parquet), it only skips rebuilding the reader. Why it
+# matters: each `spark.read.parquet` is a dozen py4j round trips plus a
+# driver-side footer/schema read, and on this sandbox a py4j round trip
+# is 1-10 ms (measured, OPTIMIZATION_r16.md §py4j) — a 6-table TPC-H
+# query paid ~0.5 s of pure plan-build per invocation. Keyed WEAKLY by
+# the session (scoped `newSession()` clones get their own entries and
+# are dropped with the session; frames must not cross sessions), and by
+# the literal sf_dir/name pair. The driver fixture dirs are read-only,
+# so a cached file listing can never go stale for them; callers that
+# WRITE and re-read a path must use spark.read directly (all sink tests
+# do).
+from weakref import WeakKeyDictionary
+
+_LOAD_CACHE: "WeakKeyDictionary[SparkSession, dict]" = WeakKeyDictionary()
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    per_session = _LOAD_CACHE.setdefault(spark, {})
+    key = (sf_dir, name)
+    df = per_session.get(key)
+    if df is not None:
+        return df
     if name == "events":
         # Safety net for externally-built Spark 3.x sessions where the
         # vectorized reader rejects TIMESTAMP(NANOS) outright; on Spark
@@ -79,9 +103,13 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         except Exception:
             pass
-        df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        return normalize_event_ts(df)
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        df = normalize_event_ts(
+            spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        )
+    else:
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    per_session[key] = df
+    return df
 
 
 def literal_df(spark: SparkSession, rows: list[tuple], schema: str) -> DataFrame:

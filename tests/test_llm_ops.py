@@ -2463,3 +2463,50 @@ def test_semantic_dup_clusters_union_find(spark):
         for r in _q("semantic_dup_clusters").fn(spark, SF).collect()
     )
     assert got == expected
+
+
+def test_phash_spark_sql_twin_matches_python(spark):
+    """The r16 Spark-SQL-string phash twin (hashing.phash_spark_sql,
+    used by the SQL-assembled builders) must stay in lockstep with the
+    Column twin and the Python twin — one drifting hash would silently
+    shift every SQL-built signature."""
+    from pyspark.sql import functions as F
+
+    from stream_processing_test_spark.llm.hashing import (
+        phash,
+        phash_py,
+        phash_spark_sql,
+    )
+
+    samples = ["", "a", "hello world", "héllo", "42:seeded", "x " * 20]
+    df = spark.createDataFrame([(s,) for s in samples], "s STRING")
+    rows = df.select(
+        "s",
+        phash(F.col("s")).alias("col_twin"),
+        F.expr(phash_spark_sql("s")).alias("sql_twin"),
+        F.expr(phash_spark_sql("s", seed=7)).alias("sql_seeded"),
+        phash(F.col("s"), seed=7).alias("col_seeded"),
+    ).collect()
+    for r in rows:
+        assert r["col_twin"] == r["sql_twin"] == phash_py(r["s"])
+        assert r["col_seeded"] == r["sql_seeded"] == phash_py(r["s"], seed=7)
+
+
+def test_connected_components_with_count(spark):
+    """with_count=True (r16) returns the clustered-node count computed
+    inside the round's own convergence job — it must equal the label
+    frame's row count on both the converged-minlabel and the
+    star-fallback paths."""
+    from stream_processing_test_spark.llm.cluster import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "src LONG, dst LONG"
+    )
+    labels, n = connected_components(edges, with_count=True)
+    assert n == labels.count() == 5
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 64)], "src LONG, dst LONG"
+    )
+    labels2, n2 = connected_components(chain, with_count=True)  # star fallback
+    assert n2 == labels2.count() == 64
