@@ -49,87 +49,70 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # prior-row-age order — trimmed from 16 as changed queries enter
 # tier 0, dropping the last-ranked fill rows each time.
 _ROTATION_TIERS: dict[str, int] = {
-    # (0) the thirty-four r12-row deferrals (tools/gen_rotation.py)
-    "asof_click_attribution": 0,
-    "bm25_multi_topk": 0,
+    # (0) the THIRTY-NINE r13-row deferrals gen_rotation.py emits at
+    # r16 start (VERDICT r15 item 1 — replayed verbatim from the tool's
+    # owed list, stale_min_round=13)
+    "class_balanced_sample": 0,
+    "daily_scores": 0,
+    "dedup_embedding_cosine": 0,
+    "dedup_exact": 0,
+    "dedup_keep_canonical": 0,
+    "doc_chunking": 0,
+    "doc_quality_score": 0,
+    "doc_repetition_stats": 0,
+    "embedding_centroids": 0,
+    "embedding_norm_stats": 0,
+    "engaged_users_setops": 0,
+    "envelope_rollup_csv": 0,
+    "error_labels": 0,
+    "lang_sampling_weights": 0,
+    "leakage_safe_split": 0,
+    "monotonic_violations": 0,
+    "pii_redact": 0,
+    "q12_priority_shipping": 0,
+    "q17_small_quantity_revenue": 0,
+    "q3_shipping_priority": 0,
+    "quality_calibrated_filter": 0,
+    "range_join_error_context": 0,
+    "records_in_window": 0,
+    "report_batches": 0,
+    "resolution_classify": 0,
+    "sequence_pack": 0,
+    "session_windows": 0,
+    "source_mixing": 0,
+    "stratified_sample": 0,
+    "streaming_daily_scores": 0,
+    "streaming_daily_scores_update": 0,
+    "streaming_dedup": 0,
+    "streaming_enriched_rollup": 0,
+    "substring_dup_coverage": 0,
+    "suppliers_with_bulk_items": 0,
+    "tfidf_top_terms": 0,
+    "token_count": 0,
+    "top_events_per_user": 0,
+    "users_without_big_purchase": 0,
+    # (0) r16 CHANGED (optimization round — results identical, code
+    # moved, so each earns a fresh driver row): the SQL-assembled
+    # builders (dedup_ngram_jaccard, dedup_simhash, dedup_minhash_lsh
+    # + its incremental rider), everything transiting the reworked
+    # connected-components loop (dup_clusters, dup_clusters_star,
+    # corpus_curation_pipeline, semantic_dup_clusters,
+    # embedding_knn_graph — keep/leakage are already owed above), and
+    # decontaminate_overlap (shares the shingles/persist core).
+    "dedup_ngram_jaccard": 0,
+    "dup_clusters": 0,
+    "dup_clusters_star": 0,
     "corpus_curation_pipeline": 0,
-    "day_close_trigger": 0,
+    "dedup_simhash": 0,
     "dedup_minhash_lsh": 0,
-    "doc_lm_score": 0,
-    "doc_span_dedup": 0,
-    "failing_programs": 0,
-    "lang_id_ngram": 0,
-    "multimodal_preprocess": 0,
-    "per_source_rollup": 0,
-    "probe_source_events": 0,
-    "program_match": 0,
-    "props_json_stats": 0,
-    "q11_important_parts": 0,
-    "q14_promo_revenue_share": 0,
-    "q15_top_supplier": 0,
-    "q19_disjunctive_revenue": 0,
-    "q20_excess_suppliers": 0,
-    "q22_idle_customers": 0,
-    "q4_order_priority": 0,
-    "q5_region_revenue": 0,
-    "q7_nation_trade_volume": 0,
-    "q8_market_share": 0,
-    "quantity_grouping_sets": 0,
-    "revenue_rollup": 0,
-    "rich_accounts_union": 0,
-    "rolling_user_stats": 0,
-    "streaming_click_purchase_join": 0,
-    "streaming_envelope_rollup": 0,
-    "streaming_failure_streaks": 0,
-    "streaming_rate_rollup": 0,
-    "streaming_sliding_rollup": 0,
-    "user_cardinality_approx": 0,
-    # (0) r15 NEW: embedding_top_component (power-iteration PCA,
-    # projection extremes); embedding_norm_stats (last-ranked fill)
-    # waits for r16 to hold the window at 50
-    "embedding_top_component": 0,
-    # (0) r15 NEW: mmr_diverse_topk (greedy MMR diversity re-rank,
-    # §2.9 applyInPandas surface); embedding_centroids (last-ranked
-    # fill) waits for r16
-    "mmr_diverse_topk": 0,
-    # (0) r15 NEW: embedding_knn_graph (per-node LSH k-NN graph), plus
-    # dedup_embedding_lsh promoted as CHANGED — both transit the
-    # embedding_lsh_pairs core, whose tail gained the per_node_top_k
-    # branch (threshold path value-identical, but the code moved).
-    # Fill trimmed 11 -> 9: doc_quality_score and doc_repetition_stats
-    # (last-ranked) wait for r16.
-    "embedding_knn_graph": 0,
-    "dedup_embedding_lsh": 0,
-    # (0) r15 NEW: bpe_vocab_merges (iterative BPE merge trainer);
-    # dedup_keep_canonical (last-ranked fill) waits for r16. Fill 9->8.
-    "bpe_vocab_merges": 0,
-    # (0) r15 NEW: semantic_dup_clusters (mutual-kNN components);
-    # dedup_exact (last-ranked fill) waits for r16. Fill 8->7.
+    "dedup_incremental": 0,
     "semantic_dup_clusters": 0,
-    # (0) r15 changed — kept current as the round progresses.
-    # pq.py changed (_lut_wide explicit-scatter build, sparse-codebook
-    # robustness — ADVICE r14 medium): every query transiting the
-    # wide ADC LUT rides it — ann_pq_topk, ann_ivfpq_topk, and the
-    # dispatchers ann_auto_topk / ann_index_append whose PQ/ADC
-    # branches consume it. dedup.py changed (eval-broadcast gate now
-    # counts the actual eval side — ADVICE r14 low):
-    # decontaminate_embedding. probe.py changed (gate/exec PATH
-    # agreement — ADVICE r14 low): probe_source_events is already
-    # owed above. Five promotions -> fill trimmed 16 -> 11, dropping
-    # the last-ranked rows (q3_shipping_priority,
-    # q17_small_quantity_revenue, q12_priority_shipping, pii_redact,
-    # leakage_safe_split).
-    "ann_pq_topk": 0,
-    "ann_ivfpq_topk": 0,
-    "ann_auto_topk": 0,
-    "ann_index_append": 0,
-    "decontaminate_embedding": 0,
-    # (1) fill to 50, ranked by prior-row age (gen_rotation.py)
-    "active_sources": 1,
-    "ann_cosine_topk": 1,
-    "bm25_topk": 1,
-    "daily_report_pipeline": 1,
-    "decontaminate_overlap": 1,
+    "embedding_knn_graph": 0,
+    "decontaminate_overlap": 0,
+    # (1) fill to 50 (gen_rotation's prior-row-age rank, one slot
+    # left): ann_ivf_auto_probe — VERDICT r15 item 6's never-second-row
+    # query (embedding_diverse_sample, same cohort, waits for r17).
+    "ann_ivf_auto_probe": 1,
 }
 
 
