@@ -287,6 +287,21 @@ def star_components(
     )
 
 
+def _with_cluster_sizes(comp: DataFrame) -> DataFrame:
+    """(node, component) -> (doc_id, component, cluster_size): the
+    shared size fan-back of both cluster queries, as one parameterized
+    SQL statement (r16 — same groupBy+join plan, one py4j round trip
+    instead of ~12; see OPTIMIZATION_r16.md §py4j)."""
+    return comp.sparkSession.sql(
+        """SELECT c.node AS doc_id, c.component, s.cluster_size
+           FROM {c} c
+           JOIN (SELECT component, count(*) AS cluster_size
+                 FROM {c2} GROUP BY component) s
+             ON c.component = s.component""",
+        c=comp, c2=comp,
+    )
+
+
 _CLUSTER_ORACLE = f"""
 WITH RECURSIVE {NGRAM_PAIR_CTES},
 edges AS (SELECT doc_a AS e_src, doc_b AS e_dst FROM pairs
@@ -323,13 +338,8 @@ def dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from stream_processing_test_spark.llm.dedup import dedup_ngram_jaccard
 
     pairs = dedup_ngram_jaccard(spark, sf_dir)
-    comp = connected_components(pairs, src="doc_a", dst="doc_b").select(
-        F.col("node").alias("doc_id"), "component"
-    )
-    sizes = comp.groupBy("component").agg(F.count("*").alias("cluster_size"))
-    return comp.join(sizes, "component").select(
-        "doc_id", "component", "cluster_size"
-    )
+    comp = connected_components(pairs, src="doc_a", dst="doc_b")
+    return _with_cluster_sizes(comp)
 
 
 @register(
@@ -349,11 +359,8 @@ def dup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup_ngram_jaccard(spark, sf_dir)
     comp = connected_components(
         pairs, src="doc_a", dst="doc_b", algorithm="star"
-    ).select(F.col("node").alias("doc_id"), "component")
-    sizes = comp.groupBy("component").agg(F.count("*").alias("cluster_size"))
-    return comp.join(sizes, "component").select(
-        "doc_id", "component", "cluster_size"
     )
+    return _with_cluster_sizes(comp)
 
 
 _KEEP_ORACLE = f"""
@@ -455,14 +462,21 @@ def with_keep_verdict(
     thr = _auto_broadcast_threshold_bytes(docs.sparkSession)
     if n_nodes is None:
         n_nodes = comp.count()
-    if thr > 0 and n_nodes * _VERDICT_ROW_BYTES <= thr:
-        comp = F.broadcast(comp)
-    joined = docs.join(comp, docs["doc_id"] == comp["node"], "left")
-    component = F.coalesce(F.col("component"), F.col("doc_id"))
-    return joined.select(
-        *[docs[c] for c in docs.columns],
-        component.alias("component"),
-        (component == F.col("doc_id")).alias("keep"),
+    # one parameterized-SQL round trip (r16): same left join + coalesce
+    # verdict, with the size-gated broadcast expressed as the SQL hint
+    # (identical planner effect to F.broadcast on the build side)
+    hint = (
+        "/*+ BROADCAST(c) */ "
+        if thr > 0 and n_nodes * _VERDICT_ROW_BYTES <= thr
+        else ""
+    )
+    cols = ", ".join(f"d.`{c}`" for c in docs.columns)
+    return docs.sparkSession.sql(
+        f"""SELECT {hint}{cols},
+                   coalesce(c.component, d.doc_id) AS component,
+                   coalesce(c.component, d.doc_id) = d.doc_id AS keep
+            FROM {{d}} d LEFT JOIN {{c}} c ON d.doc_id = c.node""",
+        d=docs, c=comp,
     )
 
 

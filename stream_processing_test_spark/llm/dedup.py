@@ -113,17 +113,23 @@ def shingles(
     and the candidate self-join all reuse this one exchange instead of
     re-shuffling the full shingle set two more times.
     """
-    w = F.split(F.col(text_col), " ")
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(w) - (n - 1)),
-        lambda i: F.array_join(F.slice(w, i, n), " "),
-    )
     # the md5-per-gram expansion is the dedup family's hottest map
     # stage; an under-partitioned doc scan (single-row-group file)
-    # would run it on one core — no-op at real scan widths
-    out = parallelize_narrow_scan(doc.filter(F.size(w) >= n)).select(
-        "doc_id", F.explode(grams).alias("gram")
-    ).select("doc_id", phash("gram").alias("shingle"))
+    # would run it on one core — no-op at real scan widths. Assembled
+    # as SQL strings (r16): the Column/lambda form was ~28 py4j round
+    # trips per call at this host's 1-10 ms/trip, and shingles() runs
+    # ~10x per bench round across its consumers (same expressions,
+    # same values — runtime CSE already shared the repeated split()).
+    w = f"split({text_col}, ' ')"
+    grams = (
+        f"transform(sequence(1, size({w}) - {n - 1}), "
+        f"i -> array_join(slice({w}, i, {n}), ' '))"
+    )
+    out = (
+        parallelize_narrow_scan(doc.where(f"size({w}) >= {n}"))
+        .selectExpr("doc_id", f"explode({grams}) AS gram")
+        .selectExpr("doc_id", f"{phash_spark_sql('gram')} AS shingle")
+    )
     if not distinct:
         return out
     return out.repartition("shingle").dropDuplicates(["doc_id", "shingle"])
