@@ -205,39 +205,53 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     sh = shingles(docs).persist()
 
-    # the index tail is assembled as TWO parameterized spark.sql
-    # statements (r16) — identical relational content to the Column
-    # form (df-cap join, self-join, sizes fan-back), ~25 fewer py4j
-    # round trips per invocation at this host's 1-10 ms/trip
-    # (OPTIMIZATION_r16.md §py4j). The persists are unchanged: ``sh``
-    # feeds the df-count AND the join side; ``rare`` feeds both
-    # self-join sides and the sizes aggregate.
-    rare = spark.sql(
-        f"""SELECT s.doc_id, s.shingle
-            FROM {{sh}} s
-            JOIN (SELECT shingle FROM {{sh2}}
-                  GROUP BY shingle HAVING count(*) <= {DF_MAX}) r
-              ON s.shingle = r.shingle""",
-        sh=sh, sh2=sh,
-    ).persist()
-    result = spark.sql(
-        f"""WITH sizes AS (SELECT doc_id, count(*) AS sz
-                           FROM {{r1}} GROUP BY doc_id),
-                 inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                                  count(*) AS isect
-                           FROM {{r2}} a JOIN {{r3}} b
-                             ON a.shingle = b.shingle
-                            AND a.doc_id < b.doc_id
-                           GROUP BY a.doc_id, b.doc_id)
-            SELECT doc_a, doc_b,
-                   round(CAST(isect AS DOUBLE) / (sa.sz + sb.sz - isect), 4)
-                       AS jaccard
-            FROM inter
-            JOIN sizes sa ON inter.doc_a = sa.doc_id
-            JOIN sizes sb ON inter.doc_b = sb.doc_id
-            WHERE CAST(isect AS DOUBLE) / (sa.sz + sb.sz - isect)
-                  >= {JACCARD_THRESHOLD}""",
-        r1=rare, r2=rare, r3=rare,
+    # The index tail consumes the persisted frames through the
+    # DataFrame/Column API, BY OBJECT IDENTITY. The r16 round routed
+    # them through parameterized ``spark.sql("... {df} ...", df=sh)``
+    # to save ~25 py4j round trips — but Spark 4.1's df-parameter
+    # substitution (a temp-view rewrite) does NOT match the
+    # CacheManager: the after-plan showed 16 raw document scans and
+    # ZERO InMemoryTableScan nodes, i.e. both persists were dead weight
+    # and the md5-shingle expansion recomputed per consumer (VERDICT
+    # r16 item 1; reproduced in isolation this round — only Column-API
+    # consumption of the persisted object hits the cache). The handful
+    # of extra round trips (~25 × 1-10 ms) is far cheaper than
+    # re-running the hottest map stage 3-4×, at any scale.
+    rare_shingles = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= DF_MAX)
+        .select("shingle")
+    )
+    rare = sh.join(rare_shingles, "shingle").persist()
+    sizes = rare.groupBy("doc_id").agg(F.count("*").alias("sz"))
+
+    a = rare.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = rare.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("isect"))
+    )
+    jaccard = F.col("isect").cast("double") / (
+        F.col("sa") + F.col("sb") - F.col("isect")
+    )
+    result = (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sa")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sb")),
+            "doc_b",
+        )
+        .filter(jaccard >= JACCARD_THRESHOLD)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(jaccard, 4).alias("jaccard"),
+        )
     )
     return finish_with(result, sh, rare)
 
