@@ -95,6 +95,15 @@ def connected_components(
     exchange instead of re-shuffling the (static) edge set.
     """
     if algorithm == "star":
+        # documented asymmetry (ADVICE r16): on the star path (and the
+        # auto->star fallback below) ``with_count`` pays a SEPARATE
+        # count job — star's convergence job counts the edge-set diff,
+        # not nodes, so the node count cannot ride it the way
+        # minlabel's does. No bench caller reaches this: the
+        # with_count callers (keep/leakage/curation) run on
+        # low-diameter dup graphs that converge inside the minlabel
+        # budget, and dup_clusters_star pins the star path WITHOUT
+        # with_count.
         labels, _ = star_components(edges, src=src, dst=dst, max_iter=max_iter)
         return (labels, labels.count()) if with_count else labels
     if algorithm not in ("minlabel", "auto"):
@@ -192,7 +201,18 @@ def _large_star(e: DataFrame) -> DataFrame:
     to m = min({u} ∪ Γ(u)). Operates on the symmetrized neighborhood;
     output edges are oriented big->small and deduplicated. One
     parameterized-SQL round trip (r16 — same plan as the Column form,
-    ~15 fewer py4j calls per round; see OPTIMIZATION_r16.md §py4j)."""
+    ~15 fewer py4j calls per round; see OPTIMIZATION_r16.md §py4j).
+
+    r17 note: per-round exchange sharing (clustering this dedup by
+    ``src`` so small-star's src-keyed stages reuse the exchange, plus a
+    per-round checkpoint of this output) was IMPLEMENTED, MEASURED and
+    REJECTED — on the 200k-edge chain forest it cut stages ~6% but
+    raised shuffled bytes 11% deterministically (the src-only
+    repartition loses map-side dedup of the raw join output, and the
+    checkpoint's unknown stats forfeit early broadcasts); runtime was
+    flat within host noise. Bytes are the scarcer resource at 100 TB
+    (guide §2.3), so the r16 shape stands. Numbers in
+    OPTIMIZATION_r17.md §star."""
     return e.sparkSession.sql(
         """WITH sym AS (SELECT src, dst FROM {e}
                         UNION ALL

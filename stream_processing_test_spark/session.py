@@ -66,17 +66,26 @@ def get_spark(
             "spark.shuffle.sort.bypassMergeThreshold",
             os.environ.get("SPARK_GRAFT_BYPASS_THRESHOLD", "2"),
         )
-        # Let the planner use shuffled-hash joins when its size gates
-        # hold (guide §3.1/§9): both sides still shuffle, but the
-        # per-partition build side skips the sort — SMJ remains the
-        # planner's choice whenever the build side cannot provably fit
-        # (canBuildLocalHashMap size check), so the 100 TB
-        # huge-both-sides case keeps its graceful sort-merge spill.
-        # Measured on the join-heavy slots (q2/q16/q21/dup_clusters):
-        # ~8-15% off each (same-host interleaved A/B, r16).
+        # r17: `spark.sql.join.preferSortMergeJoin=false` (r16) is GONE —
+        # the isolated A/B + plan audit VERDICT r16 item 3 asked for
+        # showed it inert: every shuffle join in the bench that the
+        # static planner sees is either BroadcastHashJoin (TPC-H dims,
+        # cached dedup relations) or sized from a LogicalRDD checkpoint
+        # whose default stats are huge, so the static SHJ gate never
+        # held (zero ShuffledHashJoin across plans/r16 and the r17
+        # executed-plan sweep). The mechanism that CAN pick
+        # shuffled-hash safely is AQE's runtime conversion: when every
+        # post-shuffle partition of the build side is measured (not
+        # estimated) below this threshold, SMJ is rewritten to SHJ —
+        # skipping both sort passes — and left alone otherwise, so the
+        # 100 TB huge-both-sides case keeps graceful sort-merge spill.
+        # Must be >= advisoryPartitionSizeInBytes (64m default) to take
+        # effect. Biggest winner: the CC loop's per-round label joins,
+        # which are LogicalRDD-stat'd and were paying two sorts of the
+        # edge set per pass (A/B + runtime plan in OPTIMIZATION_r17.md).
         .config(
-            "spark.sql.join.preferSortMergeJoin",
-            os.environ.get("SPARK_GRAFT_PREFER_SMJ", "false"),
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            os.environ.get("SPARK_GRAFT_SHJ_LOCALMAP", "0"),
         )
         .config("spark.sql.parquet.filterPushdown", "true")
         # events.ts is parquet TIMESTAMP(NANOS); set once at session

@@ -86,6 +86,24 @@ from weakref import WeakKeyDictionary
 _LOAD_CACHE: "WeakKeyDictionary[SparkSession, dict]" = WeakKeyDictionary()
 
 
+def invalidate_load_cache(spark: SparkSession, sf_dir: str | None = None) -> int:
+    """Drop cached reader plans for ``sf_dir`` (or all of them) in this
+    session — the escape hatch for a caller that REGENERATES a fixture
+    directory and wants ``load()`` to re-list it (ADVICE r16: the
+    'write-then-re-read paths must use spark.read directly' contract
+    was documented but unenforced; this makes the safe path callable).
+    Returns the number of entries dropped."""
+    per_session = _LOAD_CACHE.get(spark)
+    if not per_session:
+        return 0
+    keys = [
+        k for k in per_session if sf_dir is None or k[0] == sf_dir
+    ]
+    for k in keys:
+        del per_session[k]
+    return len(keys)
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")

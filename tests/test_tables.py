@@ -78,3 +78,30 @@ def test_loader_instants_independent_of_session_timezone(spark):
         .collect()
     }
     assert utc == ny
+
+
+def test_invalidate_load_cache_refreshes_listing(spark, tmp_path):
+    """load() caches reader plans per (session, sf_dir, table); a caller
+    that regenerates a fixture dir must be able to drop that entry and
+    re-list (ADVICE r16: the write-then-re-read contract was documented
+    but unenforced). After invalidate, load() returns a fresh plan that
+    sees the rewritten file."""
+    import pandas as pd
+
+    from stream_processing_test_spark.tables import invalidate_load_cache
+
+    d = tmp_path / "sfX"
+    d.mkdir()
+    pd.DataFrame({"r_regionkey": [1], "r_name": ["a"]}).to_parquet(
+        d / "region.parquet"
+    )
+    first = load(spark, str(d), "region")
+    assert first.count() == 1
+    # same object back while cached
+    assert load(spark, str(d), "region") is first
+    pd.DataFrame(
+        {"r_regionkey": [1, 2], "r_name": ["a", "b"]}
+    ).to_parquet(d / "region.parquet")
+    assert invalidate_load_cache(spark, str(d)) == 1
+    assert load(spark, str(d), "region") is not first
+    assert load(spark, str(d), "region").count() == 2
