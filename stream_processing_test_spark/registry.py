@@ -34,85 +34,74 @@ class QuerySpec:
 
 _REGISTRY: dict[str, QuerySpec] = {}
 
-# Round-15 rotation: the driver checks a 50-query prefix. The owed
+# Round-17 rotation: the driver checks a 50-query prefix. The owed
 # list is COMPUTED, not hand-maintained: ``python tools/gen_rotation.py
 # [--changed ...]`` reads every CORRECTNESS_r*.json, finds the
 # stale-minimum cohort (queries whose newest driver row is oldest —
 # they MUST lead the window), and ranks the fill cohort by prior-row
-# age. This dict is its r15 output, plus the round's new/changed
-# queries (kept current as the round progresses, per the rotation
-# contract). Unlisted queries keep ``10 + tier``.
-#
-# Tier (0) = the THIRTY-FOUR r12-row deferrals the r14 verdict bound
-# r15 to lead with (tool-verified), plus this round's changed queries
-# annotated inline below. Tier (1) = the fill rows, gen_rotation's
-# prior-row-age order — trimmed from 16 as changed queries enter
-# tier 0, dropping the last-ranked fill rows each time.
+# age. This dict is its r17 output (the 38 r14-row deferrals VERDICT
+# r16 item 4 binds this round to lead with), plus the round's changed
+# queries annotated inline below. Unlisted queries keep ``10 + tier``.
 _ROTATION_TIERS: dict[str, int] = {
-    # (0) the THIRTY-NINE r13-row deferrals gen_rotation.py emits at
-    # r16 start (VERDICT r15 item 1 — replayed verbatim from the tool's
-    # owed list, stale_min_round=13)
-    "class_balanced_sample": 0,
-    "daily_scores": 0,
-    "dedup_embedding_cosine": 0,
-    "dedup_exact": 0,
-    "dedup_keep_canonical": 0,
-    "doc_chunking": 0,
-    "doc_quality_score": 0,
-    "doc_repetition_stats": 0,
-    "embedding_centroids": 0,
-    "embedding_norm_stats": 0,
-    "engaged_users_setops": 0,
-    "envelope_rollup_csv": 0,
-    "error_labels": 0,
-    "lang_sampling_weights": 0,
-    "leakage_safe_split": 0,
-    "monotonic_violations": 0,
-    "pii_redact": 0,
-    "q12_priority_shipping": 0,
-    "q17_small_quantity_revenue": 0,
-    "q3_shipping_priority": 0,
-    "quality_calibrated_filter": 0,
-    "range_join_error_context": 0,
-    "records_in_window": 0,
-    "report_batches": 0,
-    "resolution_classify": 0,
-    "sequence_pack": 0,
-    "session_windows": 0,
-    "source_mixing": 0,
-    "stratified_sample": 0,
-    "streaming_daily_scores": 0,
-    "streaming_daily_scores_update": 0,
-    "streaming_dedup": 0,
-    "streaming_enriched_rollup": 0,
-    "substring_dup_coverage": 0,
-    "suppliers_with_bulk_items": 0,
-    "tfidf_top_terms": 0,
-    "token_count": 0,
-    "top_events_per_user": 0,
-    "users_without_big_purchase": 0,
-    # (0) r16 CHANGED (optimization round — results identical, code
-    # moved, so each earns a fresh driver row): the SQL-assembled
-    # builders (dedup_ngram_jaccard, dedup_simhash, dedup_minhash_lsh
-    # + its incremental rider), everything transiting the reworked
-    # connected-components loop (dup_clusters, dup_clusters_star,
-    # corpus_curation_pipeline, semantic_dup_clusters,
-    # embedding_knn_graph — keep/leakage are already owed above), and
-    # decontaminate_overlap (shares the shingles/persist core).
+    # (0) the THIRTY-EIGHT r14-row deferrals gen_rotation.py emits at
+    # r17 start (VERDICT r16 item 4 — replayed verbatim from the tool's
+    # owed list, stale_min_round=14)
+    "ann_cosine_topk_int8": 0,
+    "ann_ivf_topk": 0,
+    "ann_lsh_topk": 0,
+    "attribute_rollup": 0,
+    "balance_quartiles": 0,
+    "cohort_retention": 0,
+    "decayed_user_scores": 0,
+    "decontaminate_bloom": 0,
+    "dedup_multimodal": 0,
+    "doc_fingerprint": 0,
+    "embedding_diverse_sample": 0,
+    "embedding_quantize_int8": 0,
+    "envelope_rollup": 0,
+    "envelope_rollup_orc": 0,
+    "envelope_rollup_parquet": 0,
+    "funnel_conversion": 0,
+    "lang_mismatch_audit": 0,
+    "multimodal_features": 0,
+    "price_percentiles": 0,
+    "q10_returned_items": 0,
+    "q13_order_count_distribution": 0,
+    "q16_part_supplier_variety": 0,
+    "q18_large_orders": 0,
+    "q1_pricing_summary": 0,
+    "q21_blocking_suppliers": 0,
+    "q2_min_cost_supplier": 0,
+    "q6_forecast_revenue": 0,
+    "q9_product_profit": 0,
+    "revenue_cube": 0,
+    "skew_salted_rollup": 0,
+    "sql_daily_event_summary": 0,
+    "stats_moments": 0,
+    "streaming_click_purchase_outer": 0,
+    "streaming_session_windows": 0,
+    "user_cardinality": 0,
+    "user_value_percentiles": 0,
+    "vendor_flow_stats": 0,
+    "vocab_top_ngrams": 0,
+    # (0) r17 CHANGED (optimization round — results identical, code
+    # moved, so each earns a fresh driver row): the ngram trunk's
+    # Column-API cache restoration (dedup_ngram_jaccard + its five
+    # consumers) and everything transiting the CC loop's checkpointed
+    # sym (semantic_dup_clusters).
     "dedup_ngram_jaccard": 0,
     "dup_clusters": 0,
     "dup_clusters_star": 0,
+    "dedup_keep_canonical": 0,
+    "leakage_safe_split": 0,
     "corpus_curation_pipeline": 0,
-    "dedup_simhash": 0,
-    "dedup_minhash_lsh": 0,
-    "dedup_incremental": 0,
     "semantic_dup_clusters": 0,
-    "embedding_knn_graph": 0,
-    "decontaminate_overlap": 0,
-    # (1) fill to 50 (gen_rotation's prior-row-age rank, one slot
-    # left): ann_ivf_auto_probe — VERDICT r15 item 6's never-second-row
-    # query (embedding_diverse_sample, same cohort, waits for r17).
-    "ann_ivf_auto_probe": 1,
+    # (1) fill to 50, gen_rotation's prior-row-age rank
+    "bpe_vocab_merges": 1,
+    "embedding_top_component": 1,
+    "mmr_diverse_topk": 1,
+    "asof_click_attribution": 1,
+    "bm25_multi_topk": 1,
 }
 
 

@@ -32,6 +32,18 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
 
+    # Scratch placement was EXAMINED and left at the JVM default (r17):
+    # spark.local.dir (shuffle files), streaming temp checkpoints and
+    # state-store deltas all land under java.io.tmpdir, and this
+    # sandbox's /tmp is ext4-on-virtual-disk (~90x slower than tmpfs
+    # for fsync'd small files in a microbench) — but an isolated
+    # interleaved A/B of java.io.tmpdir=/dev/shm over the streaming +
+    # dedup + window slots measured FLAT (total ratio 1.03, every
+    # query within noise; BENCH_NOTES §r17-tmpdir): Spark's scratch
+    # writes are page-cache-buffered, not fsync-bound, and the r16
+    # sort-writer pin already removed the file-create storm. No knob
+    # ships for a measured non-effect.
+
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
